@@ -1,13 +1,285 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Conventions shared by every (query, oracle) pair so the driver's
+  * column-sorted value-hash compare is deterministic:
+  *  - computed integers are BIGINT on both sides (Spark `.cast("long")`,
+  *    DuckDB `CAST(.. AS BIGINT)`);
+  *  - timestamps surface as epoch MICROSECONDS (unix_micros/epoch_us);
+  *  - doubles whose value depends on FP association order are rounded
+  *    identically on both sides; raw stored doubles pass through;
+  *  - top-N orderings always carry a unique-key tie-break.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference pipeline's batch twin on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EditAnalytics.editSizeByWindow(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1/§2.2 reference surface + batch core
+    "q_edit_window" -> ((s, d) => EditAnalytics.editSizeByWindow(s, d)),
+    "q_filter_project" -> ((s, d) => EditAnalytics.filterProject(s, d)),
+    "q_sliding_window" -> ((s, d) => EditAnalytics.slidingWindow(s, d)),
+    "q_session_window" -> ((s, d) => EditAnalytics.sessionWindow(s, d)),
+    "q1_pricing_agg" -> ((s, d) => BatchQueries.pricingSummary(s, d)),
+    "q_topn_join" -> ((s, d) => BatchQueries.topRevenueOrders(s, d)),
+    "q_multijoin" -> ((s, d) => BatchQueries.regionalVolume(s, d)),
+    "q_broadcast_join" -> ((s, d) => BatchQueries.supplierByRegion(s, d)),
+    "q_semi_anti_join" -> ((s, d) => BatchQueries.customersWithWithoutOrders(s, d)),
+    "q_distinct_agg" -> ((s, d) => BatchQueries.distinctUsers(s, d)),
+    "q_approx_distinct" -> ((s, d) => BatchQueries.approxDistinctUsers(s, d)),
+    "q_window_rank" -> ((s, d) => BatchQueries.topOrdersPerPriority(s, d)),
+    "q_window_running" -> ((s, d) => BatchQueries.runningQuantity(s, d)),
+    "q_rollup" -> ((s, d) => BatchQueries.rollupQuantities(s, d)),
+    "q_union_dedup" -> ((s, d) => BatchQueries.unionDistinctUsers(s, d)),
+    "q_json_extract" -> ((s, d) => BatchQueries.jsonExtractAgg(s, d)),
+    "q_groupby_having" -> ((s, d) => BatchQueries.repeatCustomers(s, d)),
+    "q_minmax_by" -> ((s, d) => BatchQueries.topEventPerType(s, d)),
+    "q_conditional_agg" -> ((s, d) => BatchQueries.userActivity(s, d)),
+    "q_asof_join" -> ((s, d) => AsOf.eventsAsOfOrders(s, d)),
+    // §2.3 LLM-pipeline operators
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    "ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(s, d)),
+    "ann_lsh" -> ((s, d) => Similarity.annLshBuckets(s, d)),
+    "text_tokencount" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
+    "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)))
+
+  /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
+    * buckets, langid heuristic, simhash) get rows-only checks — their
+    * semantics are engine-specific by design (see SURVEY §2 [s] rows).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_edit_window" ->
+      """SELECT event_type,
+         epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS win_start,
+         epoch_us(time_bucket(INTERVAL '5 minutes', ts)) + 300000000 AS win_end,
+         ROUND(SUM(ABS(value)), 2) AS edit_size,
+         COUNT(*) AS n_edits
+         FROM events WHERE lower(event_type) <> 'error'
+         GROUP BY 1, 2, 3""",
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_partkey,
+         ROUND(l_extendedprice * (1.0 - l_discount), 4) AS net_price,
+         CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem
+         WHERE l_discount > 0.05
+           AND l_shipdate >= TIMESTAMP '1999-01-01'
+           AND l_shipdate < TIMESTAMP '1999-04-01'""",
+    "q_sliding_window" ->
+      """SELECT event_type,
+         epoch_us(time_bucket(INTERVAL '5 minutes', ts)) - s.off AS win_start,
+         ROUND(SUM(ABS(value)), 2) AS edit_size, COUNT(*) AS n_edits
+         FROM events, (SELECT unnest([0, 300000000]) AS off) s
+         WHERE lower(event_type) <> 'error'
+         GROUP BY 1, 2""",
+    "q_session_window" ->
+      """WITH g AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, t_us, value,
+             SUM(CASE WHEN prev_us IS NULL OR t_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT user_id, CAST(sid AS BIGINT) AS sid, COUNT(*) AS n_events,
+           MIN(t_us) AS session_start, MAX(t_us) AS session_end,
+           ROUND(SUM(value), 2) AS session_value
+         FROM s GROUP BY user_id, sid""",
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+         ROUND(AVG(l_quantity), 4) AS avg_qty,
+         ROUND(AVG(l_discount), 4) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_topn_join" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_multijoin" ->
+      """SELECT n_name,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
+    "q_broadcast_join" ->
+      """SELECT r_name, COUNT(*) AS n_supp, ROUND(SUM(s_acctbal), 2) AS total_bal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q_semi_anti_join" ->
+      """SELECT 'with_orders' AS grp, COUNT(*) AS n FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+         UNION ALL
+         SELECT 'no_orders' AS grp, COUNT(*) AS n FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "q_distinct_agg" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+         COUNT(*) AS n_events FROM events GROUP BY event_type""",
+    "q_window_rank" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t WHERE rn <= 3""",
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         ROUND(SUM(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING), 1) AS running_qty
+         FROM lineitem""",
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         COALESCE(l_linestatus, 'ALL') AS linestatus,
+         ROUND(SUM(l_quantity), 1) AS sum_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_union_dedup" ->
+      """SELECT user_id FROM events WHERE event_type = 'error'
+         UNION
+         SELECT user_id FROM events WHERE event_type = 'purchase'""",
+    "q_json_extract" ->
+      """SELECT event_type,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         COUNT(json_extract_string(props, '$.k')) AS n_k
+         FROM events GROUP BY event_type""",
+    "q_groupby_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS total_spent
+         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5""",
+    "q_minmax_by" ->
+      """SELECT event_type, event_id AS top_event, value AS top_value
+         FROM (SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY value DESC, event_id DESC) AS rn
+           FROM events) t WHERE rn = 1""",
+    "q_conditional_agg" ->
+      """SELECT user_id,
+         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         COUNT(*) AS n
+         FROM events GROUP BY user_id""",
+    "q_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+           SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM events e LEFT JOIN orders o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+         WHERE rn = 1""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+         COUNT(*) AS n_copies FROM documents GROUP BY md5(text)""",
+    "dedup_ngram_jaccard" ->
+      """WITH s AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 2),
+             i -> array_to_string(t[i:i+3], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 4) d)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+           FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+         WHERE jaccard >= 0.5""",
+    "dedup_minhash_lsh" ->
+      """WITH s AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 2),
+             i -> array_to_string(t[i:i+3], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 4) d)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+           FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+         WHERE jaccard >= 0.8""",
+    "dedup_embedding" ->
+      """SELECT id_a, id_b, cos_sim FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
+         WHERE cos_sim >= 0.45""",
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
+           FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM c) t
+         WHERE rank <= 5""",
+    "text_tokencount" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_re_tokens
+         FROM documents""",
+    "text_quality" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ROUND(CAST(len(list_filter(string_split(text, ' '),
+           t -> list_contains(['the','a','of','and','to','in','is','it','on','for'], t))) AS DOUBLE)
+           / len(string_split(text, ' ')), 6) AS stop_ratio,
+         ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')), 6) AS uniq_ratio,
+         ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           / len(string_split(text, ' ')), 6) AS mean_tok_len,
+         ROUND((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' '))) *
+           (1.0 - CAST(len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','a','of','and','to','in','is','it','on','for'], t))) AS DOUBLE)
+             / len(string_split(text, ' '))), 6) AS quality_score
+         FROM documents""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+         list_min(list_transform(range(1, len(t) - 6),
+           i -> md5(array_to_string(t[i:i+7], ' ')))) AS fingerprint
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+               WHERE len(string_split(text, ' ')) >= 8) d""",
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS payload_md5,
+         CAST((doc_id % 64 + 1) * 8 AS BIGINT) AS width,
+         CAST((doc_id % 48 + 1) * 8 AS BIGINT) AS height,
+         CAST((doc_id % 64 + 1) * 8 * ((doc_id % 48 + 1) * 8) AS BIGINT) AS n_pixels
+         FROM documents""",
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+           CAST(floor(length(text) / 100) AS BIGINT) AS n_frames
+           FROM documents WHERE length(text) >= 100)
+         SELECT doc_id, n_frames,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * 100 AS BIGINT) AS byte_offset,
+           md5(substring(text, CAST(frame_idx * 100 + 1 AS INT), 100)) AS frame_md5
+         FROM (SELECT doc_id, text, n_frames,
+                 unnest(range(0, n_frames, 10)) AS frame_idx FROM f) u""")
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Batch analytics core — the general query surface of the engine.
+  * Each query is a pure (SparkSession, sfDir) => DataFrame with a
+  * DuckDB oracle twin in SparkEntry.oracleSql.
+  *
+  * Scale notes are per query; the common rules: dims broadcast,
+  * facts shuffle once on their aggregation/join keys, doubles that
+  * cross an FP-association boundary are rounded in BOTH engines.
+  */
+object BatchQueries {
+
+  /** TPC-H Q1 shape: multi-aggregate scan — one shuffle carrying only
+    * partial aggregates (4 groups).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 shape: 3-way join + agg + deterministic top-N
+    * (tie-broken on the key). Orders/lineitem shuffle on orderkey;
+    * the filtered customer side is small enough for AQE to broadcast.
+    */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-table star join; nation/region/supplier are
+    * broadcast (dims), customer/orders/lineitem shuffle on their keys.
+    */
+  def regionalVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
+    val s = broadcast(Tables.supplier(spark, dir))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  /** Explicit broadcast dimension join: supplier ⋈ nation ⋈ region. */
+  def supplierByRegion(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_supp"),
+        round(sum(col("s_acctbal")), 2).as("total_bal"))
+
+  /** Semi/anti join: EXISTS and NOT EXISTS as left_semi/left_anti —
+    * no row multiplication, the build side ships only the key column.
+    */
+  def customersWithWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val keys = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withO = c.join(keys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("grp"), col("n"))
+    val without = c.join(keys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("no_orders").as("grp"), col("n"))
+    withO.unionByName(without)
+  }
+
+  /** Distinct aggregation: exact countDistinct (expands to a two-phase
+    * partial-distinct shuffle — the approx twin is q_approx_distinct).
+    */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Analytic rank: top-3 orders per priority. Raw stored doubles order
+    * identically in any engine (no arithmetic), so no rounding needed.
+    */
+  def topOrdersPerPriority(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+  }
+
+  /** Running (cumulative) sum per partition: quantities are integral
+    * doubles so the running sum is FP-exact in any fold order.
+    */
+  def runningQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_quantity")).over(w), 1).as("running_qty"))
+  }
+
+  /** ROLLUP sub-totals with explicit grouping-null labels. */
+  def rollupQuantities(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 1).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+
+  /** UNION + dedup (users seen in errors or purchases). */
+  def unionDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.filter(col("event_type") === "error").select(col("user_id"))
+      .unionByName(
+        e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .distinct()
+  }
+
+  /** JSON field extraction + aggregation over events.props. */
+  def jsonExtractAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+
+  /** GROUP BY + HAVING: repeat customers. */
+  def repeatCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_spent"))
+      .filter(col("n_orders") >= 5)
+
+  /** argmax per group via max_by over a (value, id) struct — the struct
+    * tie-break makes it deterministic (oracle uses the equivalent
+    * row_number formulation).
+    */
+  def topEventPerType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("event_id"), struct(col("value"), col("event_id")))
+          .as("top_event"),
+        max(col("value")).as("top_value"))
+
+  /** Conditional (pivot-style) aggregation per user. */
+  def userActivity(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))), 2).as("purchase_value"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"),
+        count(lit(1)).as("n"))
+
+  /** Approximate distinct (HLL) — the 100 TB path for q_distinct_agg;
+    * rows-only check (sketch internals are engine-specific).
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+}

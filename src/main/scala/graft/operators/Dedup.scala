@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators for LLM training-data pipelines:
+  * exact, n-gram Jaccard (exact near-dup), MinHash+LSH (scalable
+  * near-dup), SimHash. All pure column algebra — no UDFs.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set (distinct), for docs with >= n tokens.
+    * Shingle i (0-based) covers tokens [i, i+n); count = size - n + 1.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  private def shingled(spark: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id.
+    * One shuffle on the hash; at 100 TB this is the cheapest possible
+    * dedup (no pairwise work, partial-agg combines map-side).
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
+    * explode shingles, join on shingle, count common per pair, J = |∩| /
+    * (|A|+|B|-|∩|). Shuffles on the shingle hash — pairwise work is
+    * bounded by shared-shingle pairs, not n². At extreme scale a
+    * document-frequency cap on hot shingles bounds skew (not applied
+    * here: the oracle is the uncapped exact computation).
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      n: Int = 4, tau: Double = 0.5): DataFrame = {
+    val s = shingled(spark, dir, n)
+    val ex = s.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+    val a = ex.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("g"))
+    val b = ex.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("g"))
+    a.join(b, a("g") === b("g") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** k minhash signatures: each shingle is hashed ONCE to a long, then
+    * the k-member hash family is derived numerically — xxhash64 over
+    * (i, baseHash) — instead of re-hashing the string k times (k×
+    * string traversals + allocations would dominate at scale).
+    */
+  def minhashSignature(sh: Column, k: Int): Column = {
+    val base = transform(sh, g => xxhash64(g))
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(base, h => xxhash64(i, h))))
+  }
+
+  /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
+    *
+    * k=128 hashes, 32 bands × 4 rows: P(candidate miss | J >= 0.8) =
+    * (1 - 0.8^4)^32 ≈ 5e-8, so the verified output equals the exact
+    * brute-force pairs at tau=0.8 (the DuckDB oracle) while doing
+    * O(n·bands) candidate work instead of O(n²). Candidate generation
+    * shuffles on (band, bucket-hash); skewed mega-buckets would be
+    * salted/capped at extreme scale.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+      n: Int = 4, k: Int = 128, bands: Int = 32,
+      tau: Double = 0.8): DataFrame = {
+    val rows = k / bands
+    val s = shingled(spark, dir, n)
+    // Signature via explode + k codegen'd min-aggregates, NOT nested
+    // higher-order functions: Spark HOF lambdas evaluate interpreted,
+    // which is ~100× slower on the k×shingles hot loop, and the
+    // grouped form also distributes per-document work across the
+    // cluster (a giant document can't hot-spot one task's lambda).
+    val ex = s.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h0"))
+    val minCols = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("h0"))).as(s"mh_$i"))
+    val sig = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(j =>
+        hash((j * rows until (j + 1) * rows).map(i => col(s"mh_$i")): _*)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sa = s.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+      col("sz").as("sz_a"))
+    val sb = s.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+      col("sz").as("sz_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: bit i of the hash is the sign of the
+    * sum over tokens of ±1 according to bit i of xxhash64(token).
+    */
+  def simhash64(toks: Column): Column =
+    (0 until 64).map { i =>
+      when(
+        aggregate(toks, lit(0L), (s, t) =>
+          s + when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)) > 0L,
+        lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** SimHash near-dup candidate pairs with Hamming distance <= maxDist,
+    * using 4×16-bit block LSH (pigeonhole: any pair within distance 3
+    * shares an exact block; we verify with the true bit_count).
+    */
+  def simhashPairs(spark: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame = {
+    // Same rationale as minhash: explode + codegen'd aggregates beat
+    // interpreted nested HOF lambdas on the tokens×64 hot loop.
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s_$i"))
+    val d = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"s_$i") > 0L, lit(1L << i))
+          .otherwise(0L)).reduce(_ + _).as("sig"))
+    val blocks = d.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "key")
+    blocks.as("x").join(blocks.as("y"),
+        col("x.block") === col("y.block") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

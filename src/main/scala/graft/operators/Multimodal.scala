@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal column handling: media as opaque `binary` columns with
+  * typed metadata. The codec decode itself is STUBBED (deterministic
+  * fake — this container has no image/audio libs); everything Spark
+  * cares about — schema, binary column plumbing, partitioned batch
+  * shape, offset arithmetic — is real and oracle-checked.
+  */
+object Multimodal {
+
+  /** Materialize an opaque binary payload per document (UTF-8 bytes
+    * stand in for encoded media) + typed metadata columns, the way a
+    * 100 TB media table would carry (bytes, width, height, ...)
+    * alongside scalar columns in the same parquet row group.
+    */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      md5(col("text")).as("payload_md5"),
+      (((col("doc_id") % 64) + 1) * 8).cast("long").as("width"),
+      (((col("doc_id") % 48) + 1) * 8).cast("long").as("height"))
+      .withColumn("n_pixels", col("width") * col("height"))
+
+  /** Frame sampling over a (stubbed) media payload: every 10th
+    * 100-byte "frame", with real offset arithmetic and a content
+    * checksum per sampled frame. The explode happens map-side — no
+    * shuffle; at scale this is the standard patch/frame extraction
+    * shape feeding a Pandas-UDF-style batched decoder.
+    */
+  def frameSample(spark: SparkSession, dir: String,
+      frameBytes: Int = 100, stride: Int = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        floor(length(col("text")) / frameBytes).cast("long").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"), col("text"),
+        explode(sequence(lit(0L), col("n_frames") - 1L,
+          lit(stride.toLong))).as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("byte_offset"),
+        md5(substr(col("text"), (col("frame_idx") * frameBytes + 1)
+          .cast("int"), lit(frameBytes))).as("frame_md5"))
+
+  /** Decoded-frame record produced by the stubbed codec. */
+  final case class DecodedFrame(doc_id: Long, frame_idx: Long,
+      width: Int, height: Int, mean_intensity: Double)
+
+  /** STUB decoder — deterministic fake in place of a real codec
+    * (libjpeg etc. absent here). Runs as mapPartitions so a real
+    * decoder would amortize per-partition init (model load, codec
+    * context) exactly like a Pandas-UDF batch would.
+    */
+  def decodeFramesStub(spark: SparkSession, dir: String): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    frameSample(spark, dir)
+      .select(col("doc_id"), col("frame_idx"), col("frame_md5"))
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        // real impl: init codec once per partition, decode each frame
+        it.map { case (docId, idx, checksum) =>
+          val h = java.lang.Long.parseLong(checksum.substring(0, 8), 16)
+          DecodedFrame(docId, idx, ((h % 64) + 1).toInt * 8,
+            ((h % 48) + 1).toInt * 8, (h % 256).toDouble)
+        }
+      }
+  }
+}
