@@ -20,8 +20,8 @@ object Dedup {
       i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
 
-  private def shingled(spark: SparkSession, dir: String, n: Int): DataFrame =
-    Tables.documents(spark, dir)
+  private def shingled(docs: DataFrame, n: Int): DataFrame =
+    docs
       .filter(size(split(col("text"), " ")) >= n)
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .withColumn("sz", size(col("sh")))
@@ -31,7 +31,10 @@ object Dedup {
     * dedup (no pairwise work, partial-agg combines map-side).
     */
   def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    exact(Tables.documents(spark, dir))
+
+  def exact(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
@@ -42,9 +45,12 @@ object Dedup {
     * document-frequency cap on hot shingles bounds skew (not applied
     * here: the oracle is the uncapped exact computation).
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String,
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir))
+
+  def ngramJaccardPairs(docs: DataFrame,
       n: Int = 4, tau: Double = 0.5): DataFrame = {
-    val s = shingled(spark, dir, n)
+    val s = shingled(docs, n)
     val ex = s.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
     val a = ex.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("g"))
     val b = ex.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("g"))
@@ -77,11 +83,14 @@ object Dedup {
     * shuffles on (band, bucket-hash); skewed mega-buckets would be
     * salted/capped at extreme scale.
     */
-  def minhashLshPairs(spark: SparkSession, dir: String,
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(Tables.documents(spark, dir))
+
+  def minhashLshPairs(docs: DataFrame,
       n: Int = 4, k: Int = 128, bands: Int = 32,
       tau: Double = 0.8): DataFrame = {
     val rows = k / bands
-    val s = shingled(spark, dir, n)
+    val s = shingled(docs, n)
     // Signature via explode + k codegen'd min-aggregates, NOT nested
     // higher-order functions: Spark HOF lambdas evaluate interpreted,
     // which is ~100× slower on the k×shingles hot loop, and the
@@ -130,11 +139,14 @@ object Dedup {
     * using 4×16-bit block LSH (pigeonhole: any pair within distance 3
     * shares an exact block; we verify with the true bit_count).
     */
-  def simhashPairs(spark: SparkSession, dir: String,
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir))
+
+  def simhashPairs(docs: DataFrame,
       maxDist: Int = 3): DataFrame = {
     // Same rationale as minhash: explode + codegen'd aggregates beat
     // interpreted nested HOF lambdas on the tokens×64 hot loop.
-    val ex = Tables.documents(spark, dir)
+    val ex = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val bitSums = (0 until 64).map(i =>
@@ -154,7 +166,8 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

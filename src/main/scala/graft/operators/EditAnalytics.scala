@@ -35,8 +35,11 @@ object EditAnalytics {
   /** FLAGSHIP — batch twin of the full reference pipeline:
     * filter → project → 5-min tumbling window per key → sum |delta|.
     */
-  def editSizeByWindow(spark: SparkSession, dir: String): DataFrame = {
-    val e = humanMainFilter(Tables.events(spark, dir))
+  def editSizeByWindow(spark: SparkSession, dir: String): DataFrame =
+    editSizeByWindow(Tables.events(spark, dir))
+
+  def editSizeByWindow(events: DataFrame): DataFrame = {
+    val e = humanMainFilter(events)
       .select(col("event_type"), col("ts"), col("value"))
     e.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(
@@ -68,7 +71,10 @@ object EditAnalytics {
     * event lands in exactly two windows, assigned map-side.
     */
   def slidingWindow(spark: SparkSession, dir: String): DataFrame =
-    humanMainFilter(Tables.events(spark, dir))
+    slidingWindow(Tables.events(spark, dir))
+
+  def slidingWindow(events: DataFrame): DataFrame =
+    humanMainFilter(events)
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
       .agg(round(sum(abs(col("value"))), 2).as("edit_size"),
         count(lit(1)).as("n_edits"))
@@ -81,11 +87,14 @@ object EditAnalytics {
     * one shuffle on user_id, no self-join. The streaming twin uses
     * `session_window` (see streaming package).
     */
-  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    sessionWindow(Tables.events(spark, dir))
+
+  def sessionWindow(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val e = Tables.events(spark, dir)
+    val e = events
       .withColumn("t_us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("t_us"), 1).over(byUser))
       .withColumn("new_s",

@@ -18,7 +18,10 @@ object Multimodal {
     * alongside scalar columns in the same parquet row group.
     */
   def binaryMeta(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    binaryMeta(Tables.documents(spark, dir))
+
+  def binaryMeta(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
       md5(col("text")).as("payload_md5"),
@@ -32,9 +35,12 @@ object Multimodal {
     * shuffle; at scale this is the standard patch/frame extraction
     * shape feeding a Pandas-UDF-style batched decoder.
     */
-  def frameSample(spark: SparkSession, dir: String,
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    frameSample(Tables.documents(spark, dir))
+
+  def frameSample(docs: DataFrame,
       frameBytes: Int = 100, stride: Int = 10): DataFrame =
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("text"),
         floor(length(col("text")) / frameBytes).cast("long").as("n_frames"))
       .filter(col("n_frames") > 0)

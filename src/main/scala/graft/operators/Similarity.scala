@@ -21,9 +21,11 @@ object Similarity {
     * ordering is FP-stable and matches the sequential oracle;
     * ties break on neighbor_id.
     */
-  def annBruteForce(spark: SparkSession, dir: String,
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame =
+    annBruteForce(Tables.embeddings(spark, dir))
+
+  def annBruteForce(e: DataFrame,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
     val q = broadcast(e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
     val scored = e.join(q, col("vec_id") =!= col("query_id"))
@@ -40,11 +42,14 @@ object Similarity {
     * All-pairs here (the exact oracle); the LSH variant below is the
     * sub-quadratic scale path.
     */
-  def embeddingNearDupPairs(spark: SparkSession, dir: String,
+  def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairs(Tables.embeddings(spark, dir))
+
+  def embeddingNearDupPairs(emb: DataFrame,
       tau: Double = 0.45): DataFrame = {
     // Pre-compute each vector's norm once (not once per pair — that
     // would redo O(n) work n times under the all-pairs join).
-    val e = Tables.embeddings(spark, dir)
+    val e = emb
       .select(col("vec_id"), col("embedding"),
         Vectors.norm2(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
@@ -63,9 +68,11 @@ object Similarity {
     * state), then search only within buckets. Approximate — recall
     * is spec-tested against the brute-force baseline.
     */
-  def annLshBuckets(spark: SparkSession, dir: String,
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame =
+    annLshBuckets(Tables.embeddings(spark, dir))
+
+  def annLshBuckets(e: DataFrame,
       planes: Int = 8): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
     // plane p, dim d coefficient: deterministic hash in [-1, 1)
     val sketch = transform(sequence(lit(0), lit(planes - 1)), p =>
       when(aggregate(zip_with(col("embedding").cast("array<double>"),

@@ -18,7 +18,10 @@ object TextAnalysis {
     * (alnum runs + single non-space punctuation marks).
     */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    tokenCounts(Tables.documents(spark, dir))
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_m"),
       size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
@@ -28,14 +31,17 @@ object TextAnalysis {
   /** Quality scoring: length, stopword ratio, distinct-token ratio,
     * mean token length, and a deterministic composite score.
     */
-  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    qualityScores(Tables.documents(spark, dir))
+
+  def qualityScores(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val nTok = size(toks).cast("double")
     val stopRatio = size(filter(toks,
       t => t.isin(StopWords.map(_.asInstanceOf[Any]): _*))).cast("double") / nTok
     val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
     val meanTokLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
-    Tables.documents(spark, dir).select(
+    docs.select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       round(stopRatio, 6).as("stop_ratio"),
@@ -47,11 +53,14 @@ object TextAnalysis {
   /** Winnowing-lite document fingerprint: the minimum md5 over all
     * 8-token shingles (content-shift tolerant, order sensitive).
     */
-  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    fingerprints(Tables.documents(spark, dir))
+
+  def fingerprints(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val sh = transform(sequence(lit(0), size(toks) - 8),
       i => md5(array_join(slice(toks, i + 1, lit(8)), " ")))
-    Tables.documents(spark, dir)
+    docs
       .filter(size(split(col("text"), " ")) >= 8)
       .select(col("doc_id"), array_min(sh).as("fingerprint"))
   }
@@ -73,13 +82,16 @@ object TextAnalysis {
     ((length(text) - length(replace(text, lit(sub), lit("")))) /
       sub.length).cast("long")
 
-  def languageId(spark: SparkSession, dir: String): DataFrame = {
+  def languageId(spark: SparkSession, dir: String): DataFrame =
+    languageId(Tables.documents(spark, dir))
+
+  def languageId(docs: DataFrame): DataFrame = {
     val padded = concat(lit(" "), col("text"), lit(" "))
     val scores = LangMarkers.map { case (lang, markers) =>
       struct(markers.map(m => countOcc(padded, m)).reduce(_ + _).as("score"),
         lit(lang).as("lang"))
     }
-    Tables.documents(spark, dir).select(
+    docs.select(
       col("doc_id"), col("lang").as("lang_label"),
       greatest(scores: _*).getField("lang").as("lang_pred"))
   }

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.EditEvents
+
+/** Streaming sources for the edit-event feed.
+  *
+  * Reference: a KafkaSource of JSON values with a bounded-out-of-
+  * orderness watermark (DataStreamJob.java:61-66, 114-120). Spark-first
+  * form: any `readStream` producing a `value` column (Kafka connector,
+  * file, socket, rate, MemoryStream) goes through the same declarative
+  * `from_json` decode — the transform pipeline is source-agnostic, so
+  * swapping file-test input for a production Kafka topic changes ONE
+  * line, not the job.
+  */
+object EditStream {
+
+  /** JSON-lines files appearing under `path` (the file-backed stand-in
+    * for a Kafka topic; new files = new messages).
+    */
+  def readJsonFiles(spark: SparkSession, path: String): DataFrame =
+    EditEvents.fromJson(spark.readStream.text(path))
+
+  /** Kafka-shaped frames: any streaming DataFrame with a binary/string
+    * `value` column (e.g. `spark.readStream.format("kafka")...`).
+    */
+  def fromKafkaShaped(frames: DataFrame): DataFrame =
+    EditEvents.fromJson(frames)
+
+  /** Deterministic synthetic edit stream from the rate source (dev /
+    * load-test tool; ~rowsPerSecond events/s).
+    */
+  def synthetic(spark: SparkSession, rowsPerSecond: Int = 100): DataFrame = {
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+    raw.select(
+      col("value").cast("string").as("id"),
+      concat(lit("site"), pmod(col("value"), lit(5L)), lit(".example.org"))
+        .as("domain"),
+      when(pmod(col("value"), lit(10L)) < 8, lit("main namespace"))
+        .otherwise(lit("talk")).as("namespace"),
+      concat(lit("Page_"), pmod(col("value"), lit(1000L))).as("title"),
+      date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .as("timestamp"),
+      concat(lit("user"), pmod(col("value"), lit(97L))).as("user_name"),
+      when(pmod(col("value"), lit(7L)) === 0, lit("bot"))
+        .otherwise(lit("human")).as("user_type"),
+      (pmod(col("value"), lit(9000L)) + 1000L).as("old_length"),
+      (pmod(xxhash64(col("value")), lit(9000L)) + 1000L).as("new_length"),
+      col("timestamp").as("ts"))
+  }
+}

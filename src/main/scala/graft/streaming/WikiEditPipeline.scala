@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference job end-to-end, Structured-Streaming-first.
+  *
+  * Reference (DataStreamJob.java:49-91): Kafka JSON → filter human +
+  * main namespace → (domain, new_length, old_length) → keyBy(domain)
+  * → 5-min tumbling window → sum |new-old| → JSON docs → Mongo.
+  *
+  * Here each stage is a pure DataFrame → DataFrame function, shared
+  * verbatim between batch and streaming (the same plan runs under
+  * `read` or `readStream`) — incrementalization is Spark's job, not
+  * hand-written operator code. Event-time windows + watermark replace
+  * the reference's processing-time windows (strictly stronger:
+  * reproducible on replay).
+  */
+object WikiEditPipeline {
+
+  /** Filter: human edits in the main namespace, case-insensitive
+    * (DataStreamJob.java:68-77).
+    */
+  def humanMainEdits(edits: DataFrame): DataFrame =
+    edits.filter(lower(col("user_type")) === "human" &&
+      lower(col("namespace")) === "main namespace")
+
+  /** Projection to the windowing inputs (DataStreamJob.java:78-83
+    * mapped to Tuple3; the length delta is computed map-side here so
+    * the shuffle carries one long, not two).
+    */
+  def editDeltas(edits: DataFrame): DataFrame =
+    humanMainEdits(edits).select(col("domain"), col("ts"),
+      abs(col("new_length") - col("old_length")).as("delta"))
+
+  /** keyBy(domain) + 5-min tumbling window + summed edit size
+    * (DataStreamJob.java:84-108), with bounded out-of-orderness via
+    * watermark (DataStreamJob.java:63). Output schema mirrors the
+    * reference's Mongo document: {domain, edit_size, start, end}.
+    */
+  def windowedEditSize(edits: DataFrame,
+      watermarkDelay: String = "1 second"): DataFrame =
+    editDeltas(edits)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "5 minutes"), col("domain"))
+      .agg(sum(col("delta")).as("edit_size"), count(lit(1)).as("n_edits"))
+      .select(col("domain"), col("edit_size"),
+        col("window.start").as("start"), col("window.end").as("end"),
+        col("n_edits"))
+
+  /** Full job: JSON-lines source dir → windowed edit sizes → JSON doc
+    * sink (the reference's Kafka→Mongo wiring, re-pointed at
+    * swappable endpoints).
+    */
+  def run(spark: SparkSession, inputPath: String, outputPath: String,
+      checkpoint: String): StreamingQuery =
+    JsonDocSink.startFileSink(
+      windowedEditSize(EditStream.readJsonFiles(spark, inputPath)),
+      outputPath, checkpoint)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+    "india juliet kilo lima mike november oscar papa"
+  private val nearDup = base.replace("oscar", "quebec")   // 1-word change
+  private val distinct = "one two three four five six seven eight nine ten " +
+    "eleven twelve thirteen fourteen fifteen sixteen"
+
+  private def docs = Seq(
+    (0L, base, "en", "s", base.length.toLong),
+    (1L, base, "en", "s", base.length.toLong),        // exact dup of 0
+    (2L, nearDup, "en", "s", nearDup.length.toLong),  // near dup of 0
+    (3L, distinct, "en", "s", distinct.length.toLong))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup keeps min id and counts copies") {
+    initLog()
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("ngram jaccard finds the near-dup pair, not the distinct doc") {
+    initLog()
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 4, tau = 0.5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)))   // exact dup: J = 1.0
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH pairs == exact jaccard pairs on the test corpus") {
+    initLog()
+    val d = graft.sources.Tables.documents(spark, sf)
+    val lsh = Dedup.minhashLshPairs(d, tau = 0.8).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val exact = Dedup.ngramJaccardPairs(d, n = 4, tau = 0.8).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: exact dup pair at hamming 0") {
+    initLog()
+    val out = Dedup.simhashPairs(docs).collect()
+    val h01 = out.find(r => r.getAs[Long]("id_a") == 0L &&
+      r.getAs[Long]("id_b") == 1L)
+    assert(h01.isDefined && h01.get.getAs[Long]("hamming") == 0L)
+    // block-LSH guarantee: near-dup (1 flipped word) must also surface
+    assert(out.forall(r => r.getAs[Long]("hamming") <= 3L))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.Vectors
+
+class SimilaritySpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  private def emb = Seq(
+    (0L, vec(1, 0, 0, 0), 0),
+    (1L, vec(0.99, 0.14, 0, 0), 0),   // near dup of 0
+    (2L, vec(0, 1, 0, 0), 1),
+    (3L, vec(0, 0, 1, 0), 2))
+    .toDF("vec_id", "embedding", "label")
+
+  test("cosine column: identical vectors ~1, orthogonal 0") {
+    initLog()
+    val r = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") === 0 && col("b.vec_id").isin(0, 2))
+      .select(col("b.vec_id").as("id"),
+        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("c")).toMap
+    assert(math.abs(r(0L) - 1.0) < 1e-12)
+    assert(math.abs(r(2L)) < 1e-12)
+  }
+
+  test("brute-force ANN ranks the planted near-dup first") {
+    initLog()
+    val out = Similarity.annBruteForce(emb, nQueries = 1, k = 2).collect()
+    assert(out.head.getAs[Long]("neighbor_id") == 1L)
+    assert(out.head.getAs[Long]("rank") == 1L)
+  }
+
+  test("near-dup pairs finds exactly the planted pair at tau=0.9") {
+    initLog()
+    val pairs = Similarity.embeddingNearDupPairs(emb, tau = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 0L &&
+      pairs.head.getAs[Long]("id_b") == 1L)
+  }
+
+  test("LSH buckets: near-identical vectors collide, orthogonal don't all") {
+    initLog()
+    val buckets = Similarity.annLshBuckets(emb, planes = 8).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("bucket")).toMap
+    assert(buckets(0L) == buckets(1L), "near-dups must share a bucket")
+    assert(buckets.values.toSet.size > 1, "distinct directions should spread")
+  }
+}

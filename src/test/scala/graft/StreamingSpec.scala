@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.streaming.{EditStream, JsonDocSink, SessionTracker, WikiEditPipeline}
+
+/** End-to-end streaming specs driven through the real file-stream
+  * source (new file = new micro-batch, advancing the watermark
+  * between processAllAvailable calls — the closest local stand-in
+  * for the reference's Kafka topic).
+  */
+class StreamingSpec extends GraftSpecBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def editJson(id: Int, domain: String, userType: String,
+      ns: String, t: String, oldLen: Long, newLen: Long): String =
+    s"""{"id":"$id","domain":"$domain","namespace":"$ns","title":"T$id",""" +
+      s""""timestamp":"$t","user_name":"u$id","user_type":"$userType",""" +
+      s""""old_length":$oldLen,"new_length":$newLen}"""
+
+  test("full pipeline: stream result equals batch twin (reference semantics)") {
+    initLog()
+    val in = tmp("graft_in")
+    val lines = Seq(
+      editJson(1, "en.wikipedia.org", "human", "main namespace",
+        "2023-11-27T19:01:00Z", 100, 150),                       // +50
+      editJson(2, "en.wikipedia.org", "human", "main namespace",
+        "2023-11-27T19:03:30Z", 150, 120),                       // +30
+      editJson(3, "en.wikipedia.org", "bot", "main namespace",
+        "2023-11-27T19:02:00Z", 0, 999),                         // dropped
+      editJson(4, "de.wikipedia.org", "human", "talk",
+        "2023-11-27T19:02:00Z", 0, 999),                         // dropped
+      editJson(5, "de.wikipedia.org", "HUMAN", "Main Namespace",
+        "2023-11-27T19:06:00Z", 500, 400))                       // +100, win 2
+    Files.write(Paths.get(in, "batch1.json"),
+      String.join("\n", lines: _*).getBytes)
+
+    val stream = WikiEditPipeline.windowedEditSize(
+      EditStream.readJsonFiles(spark, in))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("wiki_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("wiki_out")
+        .select(col("domain"), col("edit_size"), col("n_edits"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(("en.wikipedia.org", 80L, 2L),
+        ("de.wikipedia.org", 100L, 1L)))
+    } finally q.stop()
+  }
+
+  test("JSON doc sink emits one document per window (Mongo-sink analog)") {
+    initLog()
+    val in = tmp("graft_in2")
+    Files.write(Paths.get(in, "b1.json"), editJson(1, "fr.wikipedia.org",
+      "human", "main namespace", "2023-11-27T10:00:10Z", 10, 30).getBytes)
+    val docs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stream = WikiEditPipeline.windowedEditSize(
+      EditStream.readJsonFiles(spark, in))
+    val q = JsonDocSink.startForeachBatch(stream, "complete") { (b, _) =>
+      docs ++= b.collect().map(_.getString(0))
+    }
+    try {
+      q.processAllAvailable()
+      assert(docs.exists(d => d.contains("\"fr.wikipedia.org\"") &&
+        d.contains("\"edit_size\":20")))
+    } finally q.stop()
+  }
+
+  test("stateful session tracker closes sessions across micro-batches") {
+    initLog()
+    val in = tmp("graft_sess")
+    val schema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    def row(u: Long, t: String, v: Double) =
+      s"""{"user_id":$u,"ts":"$t","value":$v}"""
+    Files.write(Paths.get(in, "b1.json"), String.join("\n",
+      row(7, "2024-01-01T00:00:00Z", 1.0),
+      row(7, "2024-01-01T00:10:00Z", 2.0)).getBytes)
+
+    val events = spark.readStream.schema(schema).json(in)
+    val sessions = SessionTracker.fromEvents(spark, events)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      // second batch far in the future -> watermark passes gap -> close
+      Files.write(Paths.get(in, "b2.json"),
+        row(7, "2024-01-01T06:00:00Z", 9.0).getBytes)
+      q.processAllAvailable()
+      // one more to let the timeout fire after watermark advance
+      Files.write(Paths.get(in, "b3.json"),
+        row(8, "2024-01-01T12:00:00Z", 1.0).getBytes)
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").collect()
+      assert(closed.exists(r => r.getAs[Long]("user_id") == 7L &&
+        r.getAs[Long]("n_events") == 2L &&
+        r.getAs[Double]("session_value") == 3.0), closed.mkString(";"))
+    } finally q.stop()
+  }
+
+  test("synthetic rate source produces schema-complete edit events") {
+    initLog()
+    val df = EditStream.synthetic(spark, rowsPerSecond = 10)
+    assert(df.isStreaming)
+    assert(Seq("domain", "namespace", "user_type", "old_length",
+      "new_length", "ts").forall(df.columns.contains))
+  }
+}

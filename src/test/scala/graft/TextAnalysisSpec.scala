@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextAnalysisSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the cat sat on the mat", "en", "s", 22L),
+    (1L, "alpha bravo charlie delta echo foxtrot golf hotel india", "en", "s", 55L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("token counts: whitespace and regex tokens") {
+    initLog()
+    val r = TextAnalysis.tokenCounts(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_ws_tokens") == 6L)
+    assert(r(0L).getAs[Long]("n_re_tokens") == 6L)
+    assert(r(0L).getAs[Long]("n_chars_m") == 22L)
+  }
+
+  test("quality: stopword and uniqueness ratios") {
+    initLog()
+    val r = TextAnalysis.qualityScores(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // "the" twice + "on" = 3 stopwords of 6 tokens
+    assert(math.abs(r(0L).getAs[Double]("stop_ratio") - 0.5) < 1e-9)
+    // 5 distinct of 6
+    assert(math.abs(r(0L).getAs[Double]("uniq_ratio") - 5.0 / 6) < 1e-6)
+    val q = r(1L).getAs[Double]("quality_score")
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("fingerprint: only docs with >= 8 tokens, stable value") {
+    initLog()
+    val out = TextAnalysis.fingerprints(docs).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("doc_id") == 1L)
+    val again = TextAnalysis.fingerprints(docs).collect()
+    assert(out.head.getAs[String]("fingerprint") ==
+      again.head.getAs[String]("fingerprint"))
+  }
+
+  test("langid emits a known label per doc") {
+    initLog()
+    val out = TextAnalysis.languageId(docs).collect()
+    val labels = TextAnalysis.LangMarkers.map(_._1).toSet
+    assert(out.forall(r => labels.contains(r.getAs[String]("lang_pred"))))
+    // doc 0 is English-marked ("the" twice)
+    assert(out.find(_.getAs[Long]("doc_id") == 0L).get
+      .getAs[String]("lang_pred") == "en")
+  }
+
+  test("multimodal: frame offsets and decode stub batch shape") {
+    initLog()
+    val text300 = ("x" * 299) + "y"
+    val d = Seq((0L, text300, "en", "s", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal.frameSample(d).collect()
+    assert(frames.length == 1, "3 frames, stride 10 -> only frame 0 sampled")
+    assert(frames.head.getAs[Long]("byte_offset") == 0L)
+    val meta = Multimodal.binaryMeta(d).collect().head
+    assert(meta.getAs[Long]("n_bytes") == 300L)
+    assert(meta.getAs[Long]("n_pixels") ==
+      meta.getAs[Long]("width") * meta.getAs[Long]("height"))
+    val decoded = Multimodal.decodeFramesStub(spark, sf).limit(5).collect()
+    assert(decoded.forall(f => f.width > 0 && f.height > 0))
+  }
+}
