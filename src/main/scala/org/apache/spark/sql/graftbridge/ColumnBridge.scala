@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge.
+  *
+  * Spark 4 made `Column` expression-agnostic (ColumnNode-backed) and
+  * the classic converters `private[sql]`; third-party native
+  * expressions need this one-hop shim in an `org.apache.spark.sql`
+  * subpackage — the same access trick every Spark extension library
+  * uses. Keep ALL private-API contact confined to this file.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+class DotProductSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("native dot == HOF dot, bit-exact, float and double inputs") {
+    initLog()
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, 0.6f)))
+      .toDF("a", "b")
+    val r = df.select(
+      Vectors.dot(col("a"), col("b")).as("native"),
+      Vectors.dotHof(col("a"), col("b")).as("hof")).collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(1)) // identical fold order
+    }
+    val d = Seq((Array(1.5, 2.5), Array(2.0, 4.0))).toDF("a", "b")
+      .select(Vectors.dot(col("a"), col("b"))).head.getDouble(0)
+    assert(d == 13.0)
+  }
+
+  test("participates in whole-stage codegen (no interpreted fallback)") {
+    initLog()
+    // parquet-backed input: literals would constant-fold to a
+    // LocalTableScan and hide the codegen path
+    val df = graft.sources.Tables.embeddings(spark, sf)
+      .select(Vectors.dot(col("embedding"), col("embedding")).as("d"))
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val hasCodegen = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w
+    }.nonEmpty
+    assert(hasCodegen, df.queryExecution.executedPlan.toString)
+    assert(df.head.getDouble(0) > 0.0)
+  }
+
+  test("null array yields null") {
+    initLog()
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(Vectors.dot(col("a"), col("b")).as("d"))
+    assert(df.head.isNullAt(0))
+  }
+
+  test("GraftExtensions registers dot_product / cosine_sim for SQL") {
+    initLog()
+    val prior = spark // force base session creation first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // fresh session on the same context, with extensions applied
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+          "cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head()
+      assert(r.getDouble(0) == 11.0)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setActiveSession(prior)
+      SparkSession.setDefaultSession(prior)
+    }
+    // runtime registration path on an existing session
+    GraftExtensions.register(prior)
+    assert(prior.sql("SELECT dot_product(array(2.0D), array(3.0D))")
+      .head().getDouble(0) == 6.0)
+  }
+}
