@@ -43,6 +43,13 @@ object SparkEntry {
     "q_minmax_by" -> ((s, d) => BatchQueries.topEventPerType(s, d)),
     "q_conditional_agg" -> ((s, d) => BatchQueries.userActivity(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.eventsAsOfOrders(s, d)),
+    "q_pivot" -> ((s, d) => BatchQueries.pivotUserActivity(s, d)),
+    "q_percentile" -> ((s, d) => BatchQueries.pricePercentiles(s, d)),
+    "q_cube" -> ((s, d) => BatchQueries.cubeQuantities(s, d)),
+    "q_above_avg" -> ((s, d) => BatchQueries.aboveAverageOrders(s, d)),
+    "q_string_funcs" -> ((s, d) => BatchQueries.customerNameFacts(s, d)),
+    "q_date_funcs" -> ((s, d) => BatchQueries.ordersByMonth(s, d)),
+    "q_scalar_agg" -> ((s, d) => BatchQueries.lineitemStats(s, d)),
     // §2.3 LLM-pipeline operators
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -195,6 +202,50 @@ object SparkEntry {
            FROM events e LEFT JOIN orders o
              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
          WHERE rn = 1""",
+    "q_pivot" ->
+      """SELECT user_id,
+         ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+         ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+         ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+         ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+         FROM events GROUP BY user_id""",
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+         ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median,
+         ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+         FROM orders GROUP BY o_orderpriority""",
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         COALESCE(l_linestatus, 'ALL') AS linestatus,
+         ROUND(SUM(l_quantity), 1) AS sum_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q_above_avg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above,
+         ROUND(MAX(o_totalprice), 2) AS max_price
+         FROM orders o JOIN (SELECT o_custkey AS ck, AVG(o_totalprice) AS cust_avg
+                             FROM orders GROUP BY o_custkey) a
+           ON o.o_custkey = a.ck
+         WHERE o.o_totalprice > a.cust_avg
+         GROUP BY o_orderpriority""",
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_mktsegment) AS segment_u,
+         substring(c_name, 1, 8) AS name_prefix,
+         c_name || '#' || CAST(c_nationkey AS VARCHAR) AS tagged,
+         CAST(length(c_name) AS BIGINT) AS name_len
+         FROM customer WHERE c_name LIKE '%7%'""",
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+         FROM orders GROUP BY 1, 2""",
+    "q_scalar_agg" ->
+      """SELECT COUNT(*) AS n_rows,
+         COUNT(DISTINCT l_orderkey) AS n_orders,
+         ROUND(MIN(l_extendedprice), 2) AS min_price,
+         ROUND(MAX(l_extendedprice), 2) AS max_price,
+         ROUND(AVG(l_quantity), 4) AS avg_qty
+         FROM lineitem""",
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
          COUNT(*) AS n_copies FROM documents GROUP BY md5(text)""",

@@ -199,4 +199,81 @@ object BatchQueries {
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+
+  /** True pivot: event_type values become columns (explicit value list
+    * so the plan is single-pass — no dynamic-distinct pre-query).
+    */
+  def pivotUserActivity(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 2))
+
+  /** Exact interpolated percentiles per group (the sort-based exact
+    * form; at 100 TB the approx_percentile sketch replaces it).
+    */
+  def pricePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)), 4)
+          .as("approx_median"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+      .select(col("o_orderpriority"), col("median"), col("p95"))
+
+  /** CUBE grouping sets over two dimensions. */
+  def cubeQuantities(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 1).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+
+  /** Correlated-subquery shape: orders above their customer's average
+    * order value. Composed as agg + self-join (the decorrelated plan
+    * Spark itself would produce; one shuffle on custkey).
+    */
+  def aboveAverageOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgs = o.groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("cust_avg"))
+    o.join(avgs, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+  }
+
+  /** Row-level string functions: upper/substring/concat/length/LIKE. */
+  def customerNameFacts(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_name").like("%7%"))
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("segment_u"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat(col("c_name"), lit("#"), col("c_nationkey").cast("string"))
+          .as("tagged"),
+        length(col("c_name")).cast("long").as("name_len"))
+
+  /** Calendar extraction + aggregation (year/month rollup of orders). */
+  def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+
+  /** Global (no-group) scalar aggregate over the fact table. */
+  def lineitemStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"))
 }
