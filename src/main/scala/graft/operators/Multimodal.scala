@@ -52,6 +52,49 @@ object Multimodal {
         md5(substr(col("text"), (col("frame_idx") * frameBytes + 1)
           .cast("int"), lit(frameBytes))).as("frame_md5"))
 
+  /** Resize planning: target box + preserved aspect ratio, pure column
+    * arithmetic over the metadata (the actual pixel resample lives in
+    * the decode stub's partition batch at a real deployment).
+    */
+  def resizePlan(meta: DataFrame, maxSide: Int = 224): DataFrame = {
+    val scale = least(
+      lit(maxSide.toDouble) / col("width"),
+      lit(maxSide.toDouble) / col("height"),
+      lit(1.0))
+    meta.select(col("doc_id"), col("width"), col("height"),
+      round(scale, 6).as("scale"),
+      floor(col("width") * scale).cast("long").as("out_w"),
+      floor(col("height") * scale).cast("long").as("out_h"))
+  }
+
+  /** Feature-extraction record produced by the stubbed encoder. */
+  final case class FrameFeatures(doc_id: Long, frame_idx: Long,
+      features: Array[Float])
+
+  /** STUB feature extractor (image/audio embedding model absent):
+    * deterministic 8-dim feature vector derived from the frame
+    * checksum, emitted per partition batch — the output feeds
+    * directly into graft.operators.Similarity (ANN / near-dup), which
+    * is the real multimodal-dedup composition at scale.
+    */
+  def extractFeaturesStub(spark: SparkSession, dir: String): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    frameSample(spark, dir)
+      .select(col("doc_id"), col("frame_idx"), col("frame_md5"))
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        // real impl: load model once per partition, batch-infer frames
+        it.map { case (docId, idx, checksum) =>
+          val feats = Array.tabulate(8) { i =>
+            val h = java.lang.Long.parseLong(
+              checksum.substring(i * 4, i * 4 + 4), 16)
+            (h.toFloat / 65535.0f) * 2.0f - 1.0f
+          }
+          FrameFeatures(docId, idx, feats)
+        }
+      }
+  }
+
   /** Decoded-frame record produced by the stubbed codec. */
   final case class DecodedFrame(doc_id: Long, frame_idx: Long,
       width: Int, height: Int, mean_intensity: Double)

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import graft.operators._
+
+/** Physical-plan shape assertions — the properties that make these
+  * operators survive a 100× scale-up. A regression here (a lost
+  * broadcast, an extra shuffle, a full sort where a group-limit
+  * belongs) is a performance bug even while results stay correct.
+  */
+class PlanShapeSpec extends GraftSpecBase {
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  /** Flatten the plan tree, descending through AQE wrappers (their
+    * inner plan is a field, not a child) and query stages.
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case other => other.children.flatMap(allNodes)
+    })
+  }
+
+  private def countNodes(p: SparkPlan, pred: SparkPlan => Boolean): Int =
+    allNodes(p).count(pred)
+
+  private def shuffles(df: DataFrame): Int =
+    countNodes(plan(df), _.isInstanceOf[ShuffleExchangeExec])
+
+  private def names(df: DataFrame): Seq[String] =
+    allNodes(plan(df)).map(_.nodeName)
+
+  test("multijoin broadcasts every dimension (4 broadcast joins)") {
+    initLog()
+    val p = plan(BatchQueries.regionalVolume(spark, sf))
+    assert(countNodes(p, _.isInstanceOf[BroadcastExchangeExec]) >= 3,
+      names(BatchQueries.regionalVolume(spark, sf)).mkString(","))
+  }
+
+  test("as-of join costs exactly one shuffle") {
+    initLog()
+    assert(shuffles(AsOf.eventsAsOfOrders(spark, sf)) == 1)
+  }
+
+  test("windowed agg is two-phase (map-side partial before the shuffle)") {
+    initLog()
+    val df = BatchQueries.pricingSummary(spark, sf)
+    assert(names(df).count(_ == "HashAggregate") >= 2, names(df).mkString(","))
+    assert(shuffles(df) == 1)
+  }
+
+  test("top-k window rank prunes with WindowGroupLimit before the shuffle") {
+    initLog()
+    val df = BatchQueries.topOrdersPerPriority(spark, sf)
+    assert(names(df).contains("WindowGroupLimit"), names(df).mkString(","))
+  }
+
+  test("top-N join ends in TakeOrderedAndProject, not a global sort") {
+    initLog()
+    val df = BatchQueries.topRevenueOrders(spark, sf)
+    assert(names(df).contains("TakeOrderedAndProject"), names(df).mkString(","))
+  }
+
+  test("ANN brute force broadcasts the query side") {
+    initLog()
+    val ns = names(Similarity.annBruteForce(spark, sf))
+    assert(ns.exists(n => n.startsWith("BroadcastNestedLoopJoin") ||
+      n.startsWith("BroadcastHashJoin")), ns.mkString(","))
+    assert(ns.contains("WindowGroupLimit"), "per-partition top-k pruning expected")
+  }
+
+  test("flagship window agg: single shuffle, pruned scan") {
+    initLog()
+    val df = EditAnalytics.editSizeByWindow(spark, sf)
+    assert(shuffles(df) == 1, names(df).mkString(","))
+    val scans = allNodes(plan(df)).filter(_.nodeName.contains("Scan"))
+    assert(scans.forall(!_.toString.contains("props")),
+      "untouched JSON column must be pruned")
+  }
+}

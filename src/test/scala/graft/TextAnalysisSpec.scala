@@ -65,4 +65,29 @@ class TextAnalysisSpec extends GraftSpecBase {
     val decoded = Multimodal.decodeFramesStub(spark, sf).limit(5).collect()
     assert(decoded.forall(f => f.width > 0 && f.height > 0))
   }
+
+  test("multimodal: resize plan preserves aspect ratio within bounds") {
+    initLog()
+    val meta = Multimodal.binaryMeta(
+      graft.sources.Tables.documents(spark, sf))
+    val out = Multimodal.resizePlan(meta, maxSide = 224).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("out_w") <= 224 && r.getAs[Long]("out_h") <= 224)
+      assert(r.getAs[Long]("out_w") > 0 && r.getAs[Long]("out_h") > 0)
+    }
+  }
+
+  test("multimodal: stub features flow into ANN similarity") {
+    initLog()
+    val feats = Multimodal.extractFeaturesStub(spark, sf)
+      .toDF("doc_id", "frame_idx", "embedding")
+      .limit(50)
+      .select(
+        org.apache.spark.sql.functions.monotonically_increasing_id().as("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.lit(0).as("label"))
+    val nn = graft.operators.Similarity.annBruteForce(feats.cache(), 2, 3)
+    assert(nn.count() > 0)
+  }
 }
