@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_components" -> ((s, d) => Dedup.nearDupComponents(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(s, d)),
@@ -273,6 +274,29 @@ object SparkEntry {
                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
            FROM s a JOIN s b ON a.doc_id < b.doc_id) p
          WHERE jaccard >= 0.8""",
+    "dedup_components" ->
+      """WITH RECURSIVE
+         s AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 2),
+             i -> array_to_string(t[i:i+3], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 4) d),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+             AS canonical_id
+         FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+         GROUP BY d.doc_id""",
     "dedup_embedding" ->
       """SELECT id_a, id_b, cos_sim FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -52,9 +52,19 @@ object Dedup {
       n: Int = 4, tau: Double = 0.5): DataFrame = {
     val s = shingled(docs, n)
     val ex = s.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
-    val a = ex.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("g"))
-    val b = ex.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("g"))
-    a.join(b, a("g") === b("g") && col("id_a") < col("id_b"))
+    // EXACT pruning before the self-join:
+    //  - shingles in a single document generate no pairs — drop them
+    //    (most shingles, in any diverse corpus);
+    //  - a pair can only reach J >= tau if sizes are within a tau
+    //    ratio (|∩| <= min ⟹ J <= min/max) — enforce in the join.
+    val shared = ex.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g"))))
+      .filter(col("df") > 1).drop("df")
+    val a = shared.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("g"))
+    val b = shared.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("g"))
+    a.join(b, a("g") === b("g") && col("id_a") < col("id_b") &&
+        col("sz_a") >= col("sz_b") * tau && col("sz_b") >= col("sz_a") * tau)
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard", round(col("common").cast("double") /
@@ -121,6 +131,51 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("common")), 6))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Canonical id per document: the minimum doc_id reachable through
+    * the near-duplicate pair graph (connected components via min-label
+    * propagation). Each iteration is one distributed join + agg;
+    * convergence needs O(component diameter) rounds — near-dup
+    * clusters are shallow, and the loop stops at fixpoint. Lineage is
+    * truncated per round (localCheckpoint) so plans stay bounded.
+    *
+    * A user deduplicates a corpus with:
+    *   docs.join(canonicalIds(docs, pairs).filter($"doc_id" === $"canonical_id"), "doc_id")
+    */
+  def canonicalIds(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id").as("u"),
+      col("doc_id").as("canonical_id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("u").as("v"), col("canonical_id").as("vl")), "v")
+        .groupBy(col("u")).agg(min(col("vl")).as("nl"))
+      val next = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("canonical_id"), coalesce(col("nl"), col("canonical_id")))
+            .as("canonical_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("canonical_id", "old"), "u")
+        .filter(col("canonical_id") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("u").as("doc_id"), col("canonical_id"))
+  }
+
+  /** Driver-contract form: components of the exact near-dup graph at
+    * tau=0.8 (candidates via MinHash LSH, verified exactly — equals
+    * the brute-force pair set, see minhashLshPairs).
+    */
+  def nearDupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    canonicalIds(docs, minhashLshPairs(docs))
   }
 
   /** 64-bit SimHash per document: bit i of the hash is the sign of the
