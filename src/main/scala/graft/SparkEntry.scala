@@ -50,6 +50,8 @@ object SparkEntry {
     "q_string_funcs" -> ((s, d) => BatchQueries.customerNameFacts(s, d)),
     "q_date_funcs" -> ((s, d) => BatchQueries.ordersByMonth(s, d)),
     "q_scalar_agg" -> ((s, d) => BatchQueries.lineitemStats(s, d)),
+    "q_outer_join" -> ((s, d) => BatchQueries.ordersPerCustomerOuter(s, d)),
+    "q_set_ops" -> ((s, d) => BatchQueries.userSetOps(s, d)),
     // §2.3 LLM-pipeline operators
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -247,6 +249,21 @@ object SparkEntry {
          ROUND(MAX(l_extendedprice), 2) AS max_price,
          ROUND(AVG(l_quantity), 4) AS avg_qty
          FROM lineitem""",
+    "q_outer_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         ROUND(SUM(COALESCE(o_totalprice, 0.0)), 2) AS spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q_set_ops" ->
+      """SELECT 'both' AS grp, COUNT(*) AS n FROM (
+           SELECT user_id FROM events WHERE event_type = 'click'
+           INTERSECT
+           SELECT user_id FROM events WHERE event_type = 'purchase') t
+         UNION ALL
+         SELECT 'click_only' AS grp, COUNT(*) AS n FROM (
+           SELECT user_id FROM events WHERE event_type = 'click'
+           EXCEPT
+           SELECT user_id FROM events WHERE event_type = 'purchase') t2""",
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
          COUNT(*) AS n_copies FROM documents GROUP BY md5(text)""",

@@ -268,6 +268,28 @@ object BatchQueries {
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("revenue"))
 
+  /** Outer join preserving unmatched left rows (order count per
+    * customer including zeros).
+    */
+  def ordersPerCustomerOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("spent"))
+
+  /** Set operations: INTERSECT / EXCEPT between user populations. */
+  def userSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clickers = e.filter(col("event_type") === "click").select(col("user_id"))
+    val buyers = e.filter(col("event_type") === "purchase").select(col("user_id"))
+    clickers.intersect(buyers)
+      .agg(count(lit(1)).as("n")).select(lit("both").as("grp"), col("n"))
+      .unionByName(clickers.except(buyers)
+        .agg(count(lit(1)).as("n")).select(lit("click_only").as("grp"), col("n")))
+  }
+
   /** Global (no-group) scalar aggregate over the fact table. */
   def lineitemStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
