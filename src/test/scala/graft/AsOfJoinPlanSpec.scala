@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfJoinPlan
+import graft.sources.Tables
+
+class AsOfJoinPlanSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("custom exec: correct as-of semantics on known rows") {
+    initLog()
+    val quotes = Seq(              // (key, t, px)
+      (1L, 10L, 100.0), (1L, 20L, 101.0), (1L, 30L, 102.0),
+      (2L, 15L, 200.0)).toDF("qk", "qt", "px")
+    val trades = Seq(              // (key, t)
+      (1L, 5L),    // before any quote -> null
+      (1L, 20L),   // exactly at quote -> 101.0
+      (1L, 25L),   // between -> 101.0
+      (1L, 99L),   // after all -> 102.0
+      (2L, 16L),   // -> 200.0
+      (3L, 50L))   // no quotes for key -> null
+      .toDF("tk", "tt")
+    val out = AsOfJoinPlan.asof(trades, quotes, "tk", "qk", "tt", "qt")
+      .select(col("tk"), col("tt"), col("px"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(out == Set(
+      (1L, 5L, null), (1L, 20L, 101.0), (1L, 25L, 101.0),
+      (1L, 99L, 102.0), (2L, 16L, 200.0), (3L, 50L, null)))
+  }
+
+  test("custom exec agrees with the composed union+window as-of join") {
+    initLog()
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_ev"))
+    // unique (key, time) on the right: keep max orderkey per (cust, date)
+    val o = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"), unix_micros(col("o_orderdate")).as("t_ord"))
+      .agg(max(col("o_orderkey")).as("ok"))
+    val custom = AsOfJoinPlan.asof(e, o, "user_id", "o_custkey", "t_ev", "t_ord")
+      .select(col("event_id"), col("ok"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // composed reference answer via window trick on the same inputs
+    val tagged = e.select(col("user_id").as("k"), col("t_ev").as("t"),
+        lit(1).as("tag"), col("event_id"), lit(null).cast("long").as("ok"))
+      .unionByName(o.select(col("o_custkey").as("k"), col("t_ord").as("t"),
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"), col("ok")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("tag"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val composed = tagged
+      .withColumn("m", last(col("ok"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(custom.size == composed.size)
+    val diffs = custom.collect { case (id, v) if composed(id) != v => id }
+    assert(diffs.isEmpty, s"${diffs.take(5)} differ")
+  }
+
+  test("custom exec plan: one exchange per side, merge has no extra state") {
+    initLog()
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_ev"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("t_ord"))
+    val df = AsOfJoinPlan.asof(e, o, "user_id", "o_custkey", "t_ev", "t_ord")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p.take(400))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(df.count() == e.count(), "left-preserving")
+  }
+}
