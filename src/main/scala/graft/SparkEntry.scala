@@ -60,7 +60,8 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(s, d)),
-    "ann_lsh" -> ((s, d) => Similarity.annLshBuckets(s, d)),
+    "ann_lsh" -> ((s, d) =>
+      Similarity.annLshSearch(graft.sources.Tables.embeddings(s, d))),
     "text_tokencount" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),

@@ -106,10 +106,17 @@ object Dedup {
     // which is ~100× slower on the k×shingles hot loop, and the
     // grouped form also distributes per-document work across the
     // cluster (a giant document can't hot-spot one task's lambda).
+    // Double-hashing family (Kirsch-Mitzenmacher): h_i = h1 + i*h2
+    // from two base hashes — 2 string hashes + k mul-adds per shingle
+    // instead of k full hash evaluations. Masked to stay below 2^63
+    // (ANSI mode makes long overflow an error, and wrapping isn't
+    // needed for LSH quality).
     val ex = s.select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("h0"))
+      .select(col("doc_id"),
+        xxhash64(col("g")).bitwiseAND(lit((1L << 61) - 1)).as("h1"),
+        xxhash64(lit(1), col("g")).bitwiseAND(lit((1L << 55) - 1)).as("h2"))
     val minCols = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("h0"))).as(s"mh_$i"))
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh_$i"))
     val sig = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(j =>

@@ -63,25 +63,71 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
-  /** Random-hyperplane LSH bucketing: sign-bit sketch from h
+  /** Random-hyperplane LSH bucketing: sign-bit sketch from
     * deterministic pseudo-random hyperplanes (hash-derived, no RNG
-    * state), then search only within buckets. Approximate — recall
-    * is spec-tested against the brute-force baseline.
+    * state). Plane p's coefficient for dimension d is a hash of (p, d)
+    * mapped to [-1, 1); the bucket is the packed sign bitmask.
     */
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame =
     annLshBuckets(Tables.embeddings(spark, dir))
 
+  /** Sign-bit bucket for hash table `table` (coefficients seeded by
+    * (table, plane, dim) — deterministic, no RNG state to ship).
+    */
+  private def bucketCol(dims: Int, planes: Int, table: Int): org.apache.spark.sql.Column = {
+    def coeff(p: Int, d: Int): Double =
+      (Math.floorMod(scala.util.hashing.MurmurHash3
+        .productHash((table, p, d)), 2000001) / 1000000.0) - 1.0
+    // each plane projection = native dot(embedding, constant vector):
+    // one tight codegen'd loop per plane instead of a dims-term scalar
+    // expression tree (which falls out of codegen and runs interpreted)
+    (0 until planes).map { p =>
+      val plane = typedLit((0 until dims).map(d => coeff(p, d)))
+      when(Vectors.dot(col("embedding"), plane) > 0.0, 1L << p)
+        .otherwise(0L)
+    }.reduce(_ + _)
+  }
+
   def annLshBuckets(e: DataFrame,
       planes: Int = 8): DataFrame = {
-    // plane p, dim d coefficient: deterministic hash in [-1, 1)
-    val sketch = transform(sequence(lit(0), lit(planes - 1)), p =>
-      when(aggregate(zip_with(col("embedding").cast("array<double>"),
-        sequence(lit(0), size(col("embedding")) - 1).cast("array<double>"),
-        (x, d) => x * (pmod(xxhash64(concat(p.cast("string"), lit(":"),
-          d.cast("string"))), lit(2000001L)).cast("double") / 1000000.0
-          - lit(1.0))),
-        lit(0.0), (acc, v) => acc + v) > 0.0, 1).otherwise(0))
-    e.select(col("vec_id"), col("label"),
-      aggregate(sketch, lit(0), (acc, bit) => acc * 2 + bit).as("bucket"))
+    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    e.select(col("vec_id"), col("label"), col("embedding"),
+      bucketCol(dims, planes, 0).as("bucket"))
+  }
+
+  /** End-to-end approximate top-k: L independent hash tables of
+    * `planes` sign bits each; a query probes its bucket and all
+    * Hamming-1 neighbors in every table, unions the candidates,
+    * scores only those. Multiple small tables (not one big one) is
+    * what makes recall controllable: P(candidate) =
+    * 1-(1-p_table)^L. Per-query candidate count stays
+    * ~n·L·(planes+1)/2^planes; at 100 TB (table, bucket) is also the
+    * corpus partitioning key, so each probe touches a bounded slice.
+    */
+  def annLshSearch(e: DataFrame, nQueries: Int = 10, k: Int = 5,
+      planes: Int = 6, tables: Int = 4): DataFrame = {
+    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    val buckets = (0 until tables).map(t => bucketCol(dims, planes, t))
+    val all = e.select(col("vec_id"), col("embedding"),
+      posexplode(array(buckets: _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val corpus = all.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("tbl"), col("bucket").as("cb"))
+    val probes = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("tbl").as("qtbl"),
+        explode(array((col("bucket") +: (0 until planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("pb"))
+    val scored = broadcast(probes).join(corpus,
+        col("qtbl") === col("tbl") && col("pb") === col("cb") &&
+          col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Vectors.cosine(col("qe"), col("ce")), 6).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
   }
 }

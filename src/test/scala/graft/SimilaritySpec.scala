@@ -45,8 +45,22 @@ class SimilaritySpec extends GraftSpecBase {
   test("LSH buckets: near-identical vectors collide, orthogonal don't all") {
     initLog()
     val buckets = Similarity.annLshBuckets(emb, planes = 8).collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("bucket")).toMap
-    assert(buckets(0L) == buckets(1L), "near-dups must share a bucket")
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    // cos 0.99 => ~8° => each plane flips w.p. ~4.5%; near-dups land
+    // within multiprobe range, not necessarily in the same bucket
+    assert(java.lang.Long.bitCount(buckets(0L) ^ buckets(1L)) <= 1,
+      s"near-dups beyond multiprobe-1: ${buckets(0L)} vs ${buckets(1L)}")
     assert(buckets.values.toSet.size > 1, "distinct directions should spread")
+  }
+
+  test("LSH search recall vs brute force on the test corpus") {
+    initLog()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = asSet(Similarity.annBruteForce(e, nQueries = 10, k = 5))
+    val approx = asSet(Similarity.annLshSearch(e, nQueries = 10, k = 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall@5 = $recall")  // 8 planes + multiprobe-1
   }
 }
