@@ -49,6 +49,24 @@ object WikiEditPipeline {
         col("window.start").as("start"), col("window.end").as("end"),
         col("n_edits"))
 
+  /** Streaming session aggregation via Spark's native session_window
+    * (the streaming twin of EditAnalytics.sessionWindow's batch
+    * lag+cumsum form): per-user sessions closed after 30 minutes of
+    * event-time inactivity.
+    */
+  def sessionizedValue(events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** Full job: JSON-lines source dir → windowed edit sizes → JSON doc
     * sink (the reference's Kafka→Mongo wiring, re-pointed at
     * swappable endpoints).

@@ -100,6 +100,74 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("batch/stream parity: streaming the events parquet reproduces the flagship") {
+    initLog()
+    import graft.operators.EditAnalytics
+    import graft.sources.Tables
+    val batch = EditAnalytics.editSizeByWindow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4))).toSet
+    // stream the same parquet through the same transform; the nanos
+    // ts arrives as a long under nanosAsLong — apply the same
+    // normalization the batch reader does
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val dir = tmp("graft_parity")
+    Files.createSymbolicLink(Paths.get(dir, "events.parquet"),
+      Paths.get(s"$sf/events.parquet"))
+    val streamed = spark.readStream.schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = EditAnalytics.editSizeByWindow(streamed)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("parity_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("parity_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("kafka-shaped binary frames decode to typed edit events") {
+    initLog()
+    import graft.sources.EditEvents
+    val frames = Seq(
+      editJson(1, "en.wikipedia.org", "human", "main namespace",
+        "2023-11-27T19:01:00Z", 1, 2).getBytes("UTF-8"),
+      "not json at all".getBytes("UTF-8"))
+      .map(Tuple1(_))
+    import spark.implicits._
+    val df = frames.toDF("value")   // binary column, like the Kafka source
+    val decoded = EditEvents.fromJson(df).collect()
+    assert(decoded.length == 2)
+    val good = decoded.find(_.getAs[String]("domain") == "en.wikipedia.org")
+    assert(good.isDefined && good.get.getAs[Long]("new_length") == 2L)
+    // malformed frame degrades to nulls, not a crash
+    assert(decoded.exists(r => r.isNullAt(r.fieldIndex("domain"))))
+  }
+
+  test("streaming session_window closes per-user sessions by gap") {
+    initLog()
+    val in = tmp("graft_sw")
+    def row(u: Long, t: String, v: Double) =
+      s"""{"user_id":$u,"ts":"$t","value":$v}"""
+    Files.write(Paths.get(in, "b1.json"), String.join("\n",
+      row(5, "2024-02-01T00:00:00Z", 1.5),
+      row(5, "2024-02-01T00:10:00Z", 2.5),
+      row(5, "2024-02-01T03:00:00Z", 4.0)).getBytes)
+    val events = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE").json(in)
+    val q = WikiEditPipeline.sessionizedValue(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sw_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sw_out").collect()
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("session_value")))
+        .toSet
+      assert(rows == Set((2L, 4.0), (1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("synthetic rate source produces schema-complete edit events") {
     initLog()
     val df = EditStream.synthetic(spark, rowsPerSecond = 10)
