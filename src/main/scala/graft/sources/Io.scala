@@ -40,6 +40,13 @@ object Io {
       partitionCols: Seq[String] = Nil, numFiles: Int = 0): Unit =
     writer(df, partitionCols, numFiles).parquet(path)
 
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit =
+    writer(df, partitionCols).orc(path)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     writer(df).option("header", "true").csv(path)
 

@@ -24,6 +24,15 @@ class IoSpec extends GraftSpecBase {
     Io.writeJsonLines(docs, s"$base/json")
     assert(Io.readJsonLines(spark, s"$base/json", schema).count() == docs.count())
 
+    Io.writeOrc(docs, s"$base/orc")
+    val orcBack = Io.readOrc(spark, s"$base/orc")
+    assert(orcBack.agg(sum("n_chars")).head.getLong(0) ==
+      docs.agg(sum("n_chars")).head.getLong(0))
+    // predicate pushdown works on ORC too
+    val plan = orcBack.filter(col("doc_id") === 7).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id)"), plan.take(400))
+
     // partition pruning: only the lang=en directory is scanned
     Io.writeParquet(docs, s"$base/pq", partitionCols = Seq("lang"))
     val pruned = Io.readParquet(spark, s"$base/pq").filter(col("lang") === "en")
