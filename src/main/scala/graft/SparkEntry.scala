@@ -66,6 +66,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
+    "sample_hash" -> ((s, d) => Sampling.sampleDocuments(s, d)),
+    "sample_split" -> ((s, d) => Sampling.splitCounts(s, d)),
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)))
 
@@ -358,6 +360,16 @@ object SparkEntry {
            i -> md5(array_to_string(t[i:i+7], ' ')))) AS fingerprint
          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
                WHERE len(string_split(text, ' ')) >= 8) d""",
+    "sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')""",
+    "sample_split" ->
+      """SELECT lang,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                IN ('0','1','2','3','4','5','6','7','8','9','a','b','c','d')
+              THEN 'train' ELSE 'val' END AS split,
+         COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY 1, 2""",
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          md5(text) AS payload_md5,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deterministic, reproducible sampling — the split discipline a
+  * training-data pipeline needs: membership is a pure function of the
+  * row's id (content-hash), never of RNG state, partitioning, or
+  * execution order. Re-running on a re-partitioned 100 TB corpus
+  * yields byte-identical splits; adding rows never reshuffles
+  * existing assignments (stable holdouts).
+  *
+  * Granularity is sixteenths via the first md5 hex nibble — coarse on
+  * purpose: it is portable to ANY engine with md5 (the DuckDB oracle
+  * included), auditable by eye, and fine enough for split work.
+  */
+object Sampling {
+
+  private val HexOrder = "0123456789abcdef"
+
+  /** True iff the row falls in the first `sixteenths`/16 of the hash
+    * space of `id`.
+    */
+  def inHashSample(id: Column, sixteenths: Int): Column = {
+    require(sixteenths >= 0 && sixteenths <= 16)
+    val nibble = substring(md5(id.cast("string")), 1, 1)
+    nibble.isin(HexOrder.take(sixteenths).map(_.toString): _*)
+  }
+
+  /** Keep ~sixteenths/16 of rows, deterministically by id. */
+  def hashSample(df: DataFrame, idCol: String, sixteenths: Int): DataFrame =
+    df.filter(inHashSample(col(idCol), sixteenths))
+
+  /** Tag every row train/val: first `trainSixteenths`/16 of the hash
+    * space trains, the rest validates. A stable split: new ids never
+    * move old rows across the boundary.
+    */
+  def trainValSplit(df: DataFrame, idCol: String,
+      trainSixteenths: Int = 14): DataFrame =
+    df.withColumn("split",
+      when(inHashSample(col(idCol), trainSixteenths), lit("train"))
+        .otherwise(lit("val")))
+
+  /** Driver-contract queries. */
+  def sampleDocuments(spark: SparkSession, dir: String): DataFrame =
+    hashSample(Tables.documents(spark, dir), "doc_id", 4)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  def splitCounts(spark: SparkSession, dir: String): DataFrame =
+    trainValSplit(Tables.documents(spark, dir), "doc_id")
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+}
