@@ -65,6 +65,8 @@ object SparkEntry {
     "text_tokencount" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "text_fingerprint_fast" -> ((s, d) =>
+      TextAnalysis.fingerprintsFast(graft.sources.Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     "sample_hash" -> ((s, d) => Sampling.sampleDocuments(s, d)),
     "sample_split" -> ((s, d) => Sampling.splitCounts(s, d)),

@@ -101,26 +101,18 @@ object Dedup {
       tau: Double = 0.8): DataFrame = {
     val rows = k / bands
     val s = shingled(docs, n)
-    // Signature via explode + k codegen'd min-aggregates, NOT nested
-    // higher-order functions: Spark HOF lambdas evaluate interpreted,
-    // which is ~100× slower on the k×shingles hot loop, and the
-    // grouped form also distributes per-document work across the
-    // cluster (a giant document can't hot-spot one task's lambda).
-    // Double-hashing family (Kirsch-Mitzenmacher): h_i = h1 + i*h2
-    // from two base hashes — 2 string hashes + k mul-adds per shingle
-    // instead of k full hash evaluations. Masked to stay below 2^63
-    // (ANSI mode makes long overflow an error, and wrapping isn't
-    // needed for LSH quality).
-    val ex = s.select(col("doc_id"), explode(col("sh")).as("g"))
+    // Whole signature in one native-expression pass per document
+    // (functions.MinHashSig): rolling shingle hashes + double-hashing
+    // family, no explode, no wide k-column aggregate shuffle.
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val sig = docs
+      .filter(size(split(col("text"), " ")) >= n)
       .select(col("doc_id"),
-        xxhash64(col("g")).bitwiseAND(lit((1L << 61) - 1)).as("h1"),
-        xxhash64(lit(1), col("g")).bitwiseAND(lit((1L << 55) - 1)).as("h2"))
-    val minCols = (0 until k).map(i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh_$i"))
-    val sig = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        column(graft.functions.MinHashSig(
+          expression(split(col("text"), " ")), n, k)).as("mh"))
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(j =>
-        hash((j * rows until (j + 1) * rows).map(i => col(s"mh_$i")): _*)): _*)))
+        hash(slice(col("mh"), lit(j * rows + 1), lit(rows)))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&

@@ -65,6 +65,17 @@ object TextAnalysis {
       .select(col("doc_id"), array_min(sh).as("fingerprint"))
   }
 
+  /** Fingerprints via the native rolling-hash expression — the
+    * at-scale form of [[fingerprints]]: O(tokens) per document, no
+    * shingle-string materialization (see functions.MinShingleHash).
+    */
+  def fingerprintsFast(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    docs.select(col("doc_id"),
+      column(graft.functions.MinShingleHash(
+        expression(split(col("text"), " ")), n)).as("fingerprint64"))
+  }
+
   /** Character-bigram language-ID heuristic: score each language by
     * marker-substring frequency, pick the argmax (deterministic
     * tie-break by profile order). The test corpus' text is synthetic

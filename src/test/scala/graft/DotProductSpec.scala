@@ -38,6 +38,33 @@ class DotProductSpec extends GraftSpecBase {
     assert(df.head.getDouble(0) > 0.0)
   }
 
+  test("MinShingleHash matches a plain-Scala reference implementation") {
+    initLog()
+    import graft.functions.MinShingleHash
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(tokens: Seq[String], n: Int): Long = {
+      val hs = tokens.map(t => MinShingleHash.fnv1a(UTF8String.fromString(t)))
+      val k = math.min(n, tokens.length)
+      val base = 0x9e3779b97f4a7c15L
+      hs.sliding(k).map(w => w.foldLeft(0L)((acc, h) => acc * base + h))
+        .reduce((a, b) => if (java.lang.Long.compareUnsigned(a, b) < 0) a else b)
+    }
+    val texts = Seq(
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      "one two three",                     // shorter than n
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.fingerprintsFast(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t.split(" ").toSeq, 8), s"doc $i")
+    }
+    // shared 8-token window between docs 0 and 2 can yield equal mins
+    // only via a genuinely shared shingle; a changed tail must differ
+    assert(got(0L) != got(1L))
+  }
+
   test("null array yields null") {
     initLog()
     val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
