@@ -51,6 +51,7 @@ object SparkEntry {
     "q_date_funcs" -> ((s, d) => BatchQueries.ordersByMonth(s, d)),
     "q_scalar_agg" -> ((s, d) => BatchQueries.lineitemStats(s, d)),
     "q_outer_join" -> ((s, d) => BatchQueries.ordersPerCustomerOuter(s, d)),
+    "q_exists_sql" -> ((s, d) => BatchQueries.latePriorityOrders(s, d)),
     "q_set_ops" -> ((s, d) => BatchQueries.userSetOps(s, d)),
     // §2.3 LLM-pipeline operators
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -259,6 +260,15 @@ object SparkEntry {
          ROUND(SUM(COALESCE(o_totalprice, 0.0)), 2) AS spent
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey""",
+    "q_exists_sql" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority""",
     "q_set_ops" ->
       """SELECT 'both' AS grp, COUNT(*) AS n FROM (
            SELECT user_id FROM events WHERE event_type = 'click'

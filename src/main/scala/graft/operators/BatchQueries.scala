@@ -290,6 +290,24 @@ object BatchQueries {
         .agg(count(lit(1)).as("n")).select(lit("click_only").as("grp"), col("n")))
   }
 
+  /** The textual SQL surface: TPC-H Q4 shape with a correlated EXISTS,
+    * run through spark.sql over temp views — Catalyst decorrelates it
+    * into the same semi-join the DataFrame API would build.
+    */
+  def latePriorityOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders_v
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem_v
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   /** Global (no-group) scalar aggregate over the fact table. */
   def lineitemStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

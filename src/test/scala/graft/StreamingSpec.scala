@@ -168,6 +168,50 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dimension") {
+    initLog()
+    import spark.implicits._
+    val in = tmp("graft_enrich")
+    Files.write(Paths.get(in, "b1.json"), editJson(1, "en.wikipedia.org",
+      "human", "main namespace", "2023-11-27T10:00:00Z", 1, 2).getBytes)
+    val dim = Seq(("u1", "admin"), ("uX", "newbie")).toDF("user_name", "role")
+    val q = graft.streaming.StreamJoins.enrichWithStatic(
+        EditStream.readJsonFiles(spark, in), dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("role") == "admin")
+    } finally q.stop()
+  }
+
+  test("stream-stream join correlates within the time bound only") {
+    initLog()
+    val lIn = tmp("graft_ssl"); val rIn = tmp("graft_ssr")
+    def ev(u: Long, t: String, v: Double) =
+      s"""{"user_id":$u,"ts":"$t","value":$v}"""
+    Files.write(Paths.get(lIn, "b1.json"), String.join("\n",
+      ev(1, "2024-03-01T00:00:00Z", 1.0)).getBytes)
+    Files.write(Paths.get(rIn, "b1.json"), String.join("\n",
+      ev(1, "2024-03-01T00:00:30Z", 2.0),     // within 60s -> joins
+      ev(1, "2024-03-01T00:05:00Z", 3.0)).getBytes)  // too late -> dropped
+    val schema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    val left = spark.readStream.schema(schema).json(lIn)
+    val right = spark.readStream.schema(schema).json(rIn)
+    val q = graft.streaming.StreamJoins
+      .streamStreamWithin(left, right, "user_id", maxLagSeconds = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ss_out").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Double]("r_value") == 2.0)
+    } finally q.stop()
+  }
+
   test("synthetic rate source produces schema-complete edit events") {
     initLog()
     val df = EditStream.synthetic(spark, rowsPerSecond = 10)
