@@ -96,6 +96,47 @@ object TextAnalysis {
   def languageId(spark: SparkSession, dir: String): DataFrame =
     languageId(Tables.documents(spark, dir))
 
+  /** Trainable n-gram language ID, all-DataFrame:
+    * train = per-language top-M character bigrams by document
+    * frequency (one agg over the labeled corpus); classify = explode
+    * each doc's distinct bigrams, inner-join the (broadcast) profile
+    * table, argmax per doc on summed profile weight with a
+    * deterministic (score desc, lang) tie-break. Scales as one
+    * shuffle on (doc, lang); profiles are dimension-sized.
+    */
+  def charBigrams(text: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), length(text) - 2),
+      i => substr(text, i + 1, lit(2))))
+
+  def trainLangProfiles(labeled: DataFrame, topM: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = labeled
+      .select(col("lang"), explode(charBigrams(col("text"))).as("bg"))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("df").desc, col("bg"))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topM)
+      .select(col("lang").as("p_lang"), col("bg"),
+        (lit(1.0) / col("rk").cast("double")).as("weight"))
+  }
+
+  def classifyLang(docs: DataFrame, profiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs
+      .select(col("doc_id"), explode(charBigrams(col("text"))).as("bg"))
+      .join(broadcast(profiles), "bg")
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(sum(col("weight")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("p_lang"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("p_lang").as("lang_pred"),
+        round(col("score"), 6).as("lang_score"))
+  }
+
   def languageId(docs: DataFrame): DataFrame = {
     val padded = concat(lit(" "), col("text"), lit(" "))
     val scores = LangMarkers.map { case (lang, markers) =>

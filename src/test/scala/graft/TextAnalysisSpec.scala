@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.operators.{Multimodal, TextAnalysis}
 
 class TextAnalysisSpec extends GraftSpecBase {
@@ -48,6 +49,26 @@ class TextAnalysisSpec extends GraftSpecBase {
     // doc 0 is English-marked ("the" twice)
     assert(out.find(_.getAs[Long]("doc_id") == 0L).get
       .getAs[String]("lang_pred") == "en")
+  }
+
+  test("trained n-gram langid recovers distinctive languages") {
+    initLog()
+    // synthetic corpora with genuinely distinct character statistics
+    def mk(lang: String, words: Seq[String], n: Int) =
+      (0 until n).map(i => (lang + i, lang,
+        Seq.tabulate(30)(j => words((i + j) % words.size)).mkString(" ")))
+    val train = (
+      mk("en", Seq("the", "quick", "brown", "fox", "jumps", "with"), 8) ++
+      mk("de", Seq("über", "schnell", "zeitung", "straße", "mädchen", "größe"), 8) ++
+      mk("fr", Seq("être", "déjà", "français", "où", "château", "élève"), 8))
+      .map { case (id, lang, text) => (id.hashCode.toLong, text, lang) }
+      .toDF("doc_id", "text", "lang")
+    val profiles = TextAnalysis.trainLangProfiles(train, topM = 120)
+    val pred = TextAnalysis.classifyLang(train, profiles)
+      .join(train.select(col("doc_id"), col("lang")), "doc_id")
+    val acc = pred.filter(col("lang_pred") === col("lang")).count().toDouble /
+      pred.count()
+    assert(acc >= 0.9, s"accuracy $acc")
   }
 
   test("multimodal: frame offsets and decode stub batch shape") {
