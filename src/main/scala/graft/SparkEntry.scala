@@ -63,6 +63,8 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "ann_lsh" -> ((s, d) =>
       Similarity.annLshSearch(graft.sources.Tables.embeddings(s, d))),
+    "ann_ivf" -> ((s, d) =>
+      Similarity.annIvfSearch(graft.sources.Tables.embeddings(s, d))),
     "text_tokencount" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),

@@ -95,6 +95,89 @@ object Similarity {
       bucketCol(dims, planes, 0).as("bucket"))
   }
 
+  /** IVF (inverted-file) coarse quantizer: k-means centroids trained
+    * with a few distributed Lloyd iterations. Deterministic seeding —
+    * initial centroids are the vectors whose ids hash lowest (no RNG
+    * state). Assignment = argmin over the broadcast centroid set via
+    * native dot products; update = groupBy mean per dimension.
+    * At 100 TB the corpus is then partitioned/bucketed by `list` so a
+    * probe reads only nprobe lists.
+    */
+  def ivfTrain(e: DataFrame, nlist: Int = 16, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    var centroids: Array[(Int, Array[Double])] = e
+      .withColumn("__h", xxhash64(col("vec_id")))
+      .orderBy(col("__h")).limit(nlist)
+      .select(col("embedding").cast("array<double>")).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    var it = 0
+    while (it < iters) {
+      val cb = centroids
+      val assigned = assignToNearest(e, cb)
+      val dimCols = (0 until dims).map(d =>
+        avg(element_at(col("embedding").cast("array<double>"), d + 1))
+          .as(s"c_$d"))
+      centroids = assigned.groupBy(col("list"))
+        .agg(dimCols.head, dimCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), (0 until dims).map(d =>
+          r.getDouble(d + 1)).toArray))
+      it += 1
+    }
+    val rows = centroids.map { case (i, c) => (i, c.toSeq) }.toSeq
+    e.sparkSession.createDataFrame(rows).toDF("list", "centroid")
+  }
+
+  private def assignToNearest(e: DataFrame,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    // argmax cosine against each (constant) centroid via native dot;
+    // struct-max gives a deterministic argmin with id tie-break
+    val scored = centroids.map { case (i, c) =>
+      val cl = typedLit(c.toSeq)
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      struct((Vectors.dot(col("embedding"), cl) / norm).as("s"),
+        lit(i).as("list"))
+    }
+    e.withColumn("list", greatest(scored: _*).getField("list"))
+  }
+
+  /** IVF search: assign queries to their `nprobe` nearest lists, scan
+    * only those lists' vectors, exact top-k within. Approximate
+    * (recall < 1 when a true neighbor lives in an unprobed list) —
+    * spec-tested against brute force.
+    */
+  def annIvfSearch(e: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = ivfTrain(e, nlist).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val corpus = assignToNearest(e, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("list"))
+    // query probes: top-nprobe lists by centroid similarity
+    val probeSets = centroids.map { case (i, c) =>
+      val cl = typedLit(c.toSeq)
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      struct((Vectors.dot(col("embedding"), cl) / norm).as("s"),
+        lit(i).as("list"))
+    }
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(slice(reverse(array_sort(array(probeSets: _*))), 1, nprobe)
+          .getField("list")).as("list"))
+    val scored = broadcast(probes).join(corpus,
+        Seq("list")).filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Vectors.cosine(col("qe"), col("ce")), 6).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
   /** End-to-end approximate top-k: L independent hash tables of
     * `planes` sign bits each; a query probes its bucket and all
     * Hamming-1 neighbors in every table, unions the candidates,

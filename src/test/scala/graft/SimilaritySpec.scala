@@ -53,6 +53,18 @@ class SimilaritySpec extends GraftSpecBase {
     assert(buckets.values.toSet.size > 1, "distinct directions should spread")
   }
 
+  test("IVF search recall vs brute force on the test corpus") {
+    initLog()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = asSet(Similarity.annBruteForce(e, nQueries = 5, k = 3))
+    val approx = asSet(Similarity.annIvfSearch(e, nQueries = 5, k = 3,
+      nlist = 8, nprobe = 4))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@3 = $recall")
+  }
+
   test("LSH search recall vs brute force on the test corpus") {
     initLog()
     val e = graft.sources.Tables.embeddings(spark, sf)

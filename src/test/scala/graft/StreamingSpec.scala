@@ -212,6 +212,28 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    initLog()
+    val in = tmp("graft_dd")
+    def ev(id: Long, t: String) =
+      s"""{"event_id":$id,"ts":"$t","value":1.0}"""
+    Files.write(Paths.get(in, "b1.json"), String.join("\n",
+      ev(1, "2024-04-01T00:00:00Z"),
+      ev(1, "2024-04-01T00:00:05Z"),    // redelivery -> dropped
+      ev(2, "2024-04-01T00:00:10Z")).getBytes)
+    val events = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, value DOUBLE").json(in)
+    val q = graft.streaming.StreamDedup
+      .dropDupesWithin(events, Seq("event_id"), "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dd_out").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dd_out").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.toSeq == Seq(1L, 2L), ids.mkString(","))
+    } finally q.stop()
+  }
+
   test("synthetic rate source produces schema-complete edit events") {
     initLog()
     val df = EditStream.synthetic(spark, rowsPerSecond = 10)
