@@ -53,6 +53,9 @@ object SparkEntry {
     "q_outer_join" -> ((s, d) => BatchQueries.ordersPerCustomerOuter(s, d)),
     "q_exists_sql" -> ((s, d) => BatchQueries.latePriorityOrders(s, d)),
     "q_set_ops" -> ((s, d) => BatchQueries.userSetOps(s, d)),
+    "q_funnel" -> ((s, d) => BatchQueries.signupPurchaseFunnel(s, d)),
+    "q_lag_delta" -> ((s, d) => BatchQueries.dailyDeltas(s, d)),
+    "q_histogram" -> ((s, d) => BatchQueries.valueHistogram(s, d)),
     // §2.3 LLM-pipeline operators
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -263,6 +266,35 @@ object SparkEntry {
          ROUND(SUM(COALESCE(o_totalprice, 0.0)), 2) AS spent
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey""",
+    "q_funnel" ->
+      """WITH fs AS (SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+                     FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+               WHERE event_type = 'purchase'),
+         per_user AS (
+           SELECT fs.user_id, fs.signup_us,
+             CAST(SUM(CASE WHEN p.p_us > fs.signup_us THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_after
+           FROM fs LEFT JOIN p ON fs.user_id = p.user_id
+           GROUP BY fs.user_id, fs.signup_us)
+         SELECT CAST(floor(signup_us / 86400000000) AS BIGINT) AS cohort_day,
+           COUNT(*) AS n_signups,
+           CAST(SUM(CASE WHEN n_after > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted
+         FROM per_user GROUP BY 1""",
+    "q_lag_delta" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             ROUND(SUM(value), 2) AS total
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, total,
+           ROUND(total - COALESCE(lag(total) OVER (PARTITION BY event_type
+             ORDER BY day), 0.0), 2) AS delta
+         FROM daily""",
+    "q_histogram" ->
+      """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+         COUNT(*) AS n FROM events GROUP BY 1, 2""",
     "q_exists_sql" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
          FROM orders

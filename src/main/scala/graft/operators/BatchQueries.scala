@@ -308,6 +308,48 @@ object BatchQueries {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** Funnel / conversion: users whose first signup precedes a later
+    * purchase, per cohort day — self-correlation of the event stream
+    * (one shuffle on user_id; the cohort agg reuses it).
+    */
+  def signupPurchaseFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val firstSignup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("signup_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    firstSignup.join(purchases, Seq("user_id"), "left_outer")
+      .groupBy(col("user_id"), col("signup_us"))
+      .agg(sum(when(col("p_us") > col("signup_us"), 1L).otherwise(0L))
+        .as("n_after"))
+      .groupBy(floor(col("signup_us") / lit(86400000000L)).cast("long").as("cohort_day"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(when(col("n_after") > 0, 1L).otherwise(0L)).as("n_converted"))
+  }
+
+  /** Time-series delta: day-over-day change in summed value per event
+    * type via lag over an ordered daily aggregate.
+    */
+  def dailyDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .agg(round(sum(col("value")), 2).as("total"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.withColumn("prev_total", lag(col("total"), 1).over(w))
+      .withColumn("delta", round(col("total") - coalesce(col("prev_total"),
+        lit(0.0)), 2))
+      .select(col("event_type"), col("day"), col("total"), col("delta"))
+  }
+
+  /** Histogram: fixed-width value buckets per event type. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / 25.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Global (no-group) scalar aggregate over the fact table. */
   def lineitemStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
