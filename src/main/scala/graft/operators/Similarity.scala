@@ -77,7 +77,7 @@ object Similarity {
   private def bucketCol(dims: Int, planes: Int, table: Int): org.apache.spark.sql.Column = {
     def coeff(p: Int, d: Int): Double =
       (Math.floorMod(scala.util.hashing.MurmurHash3
-        .productHash((table, p, d)), 2000001) / 1000000.0) - 1.0
+        .caseClassHash((table, p, d)), 2000001) / 1000000.0) - 1.0
     // each plane projection = native dot(embedding, constant vector):
     // one tight codegen'd loop per plane instead of a dims-term scalar
     // expression tree (which falls out of codegen and runs interpreted)
@@ -90,7 +90,7 @@ object Similarity {
 
   def annLshBuckets(e: DataFrame,
       planes: Int = 8): DataFrame = {
-    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
     e.select(col("vec_id"), col("label"), col("embedding"),
       bucketCol(dims, planes, 0).as("bucket"))
   }
@@ -105,7 +105,7 @@ object Similarity {
     */
   def ivfTrain(e: DataFrame, nlist: Int = 16, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
     var centroids: Array[(Int, Array[Double])] = e
       .withColumn("__h", xxhash64(col("vec_id")))
       .orderBy(col("__h")).limit(nlist)
@@ -140,7 +140,7 @@ object Similarity {
       struct((Vectors.dot(col("embedding"), cl) / norm).as("s"),
         lit(i).as("list"))
     }
-    e.withColumn("list", greatest(scored: _*).getField("list"))
+    e.withColumn("list", greatest(scored.toIndexedSeq: _*).getField("list"))
   }
 
   /** IVF search: assign queries to their `nprobe` nearest lists, scan
@@ -164,7 +164,7 @@ object Similarity {
     }
     val probes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(slice(reverse(array_sort(array(probeSets: _*))), 1, nprobe)
+        explode(slice(reverse(array_sort(array(probeSets.toIndexedSeq: _*))), 1, nprobe)
           .getField("list")).as("list"))
     val scored = broadcast(probes).join(corpus,
         Seq("list")).filter(col("neighbor_id") =!= col("query_id"))
@@ -189,7 +189,7 @@ object Similarity {
     */
   def annLshSearch(e: DataFrame, nQueries: Int = 10, k: Int = 5,
       planes: Int = 6, tables: Int = 4): DataFrame = {
-    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
     val buckets = (0 until tables).map(t => bucketCol(dims, planes, t))
     val all = e.select(col("vec_id"), col("embedding"),
       posexplode(array(buckets: _*)))

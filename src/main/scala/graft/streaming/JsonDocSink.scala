@@ -21,7 +21,7 @@ object JsonDocSink {
     * the `Document.toJson` step (DataStreamJob.java:101-106).
     */
   def toJsonDocs(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   def startFileSink(df: DataFrame, path: String,
       checkpoint: String): StreamingQuery =
