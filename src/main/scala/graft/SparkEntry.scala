@@ -56,6 +56,8 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => BatchQueries.signupPurchaseFunnel(s, d)),
     "q_lag_delta" -> ((s, d) => BatchQueries.dailyDeltas(s, d)),
     "q_histogram" -> ((s, d) => BatchQueries.valueHistogram(s, d)),
+    "q_range_frame" -> ((s, d) => BatchQueries.trailing30dQuantity(s, d)),
+    "q_rank_stats" -> ((s, d) => BatchQueries.orderRankStats(s, d)),
     // §2.3 LLM-pipeline operators
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -295,6 +297,20 @@ object SparkEntry {
     "q_histogram" ->
       """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket,
          COUNT(*) AS n FROM events GROUP BY 1, 2""",
+    "q_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         ROUND(SUM(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY epoch_us(l_shipdate)
+           RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW), 1)
+           AS qty_30d
+         FROM lineitem""",
+    "q_rank_stats" ->
+      """SELECT o_orderpriority, o_orderkey,
+         ROUND(percent_rank() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+         ROUND(cume_dist() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey), 6) AS cume
+         FROM orders""",
     "q_exists_sql" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
          FROM orders

@@ -350,6 +350,33 @@ object BatchQueries {
         floor(col("value") / 25.0).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"))
 
+  /** RANGE-framed trailing window: 30-day running quantity per
+    * supplier — the frame is defined by the time VALUE, not row
+    * position, so ties and gaps behave correctly.
+    */
+  def trailing30dQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("t_us"))
+      .rangeBetween(-30L * 86400000000L, 0L)
+    Tables.lineitem(spark, dir)
+      .withColumn("t_us", unix_micros(col("l_shipdate")))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_quantity")).over(w), 1).as("qty_30d"))
+  }
+
+  /** Rank statistics: percent_rank / cume_dist over a unique ordering
+    * (tie-broken on the key so both are exact single-division
+    * fractions, FP-identical across engines).
+    */
+  def orderRankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
   /** Global (no-group) scalar aggregate over the fact table. */
   def lineitemStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
