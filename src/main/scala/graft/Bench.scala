@@ -22,18 +22,29 @@ object Bench {
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
     // min of 2 runs per query: the shared host shows multi-second
     // scheduling noise; the minimum is the reproducible cost.
+    // A failed query must NOT masquerade as a fast success: record it
+    // as -1 and list it in "failed" (the total also carries a large
+    // penalty per failure so breakage can't improve the headline).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case t: Throwable =>
+          failed = true
+          System.err.println(s"[bench] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum +
+      failed.size * 1000.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,9 +15,13 @@ object Dedup {
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), size(toks) - n),
-      i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    // Guard short texts: sequence(0, negative) is a DESCENDING sequence
+    // in Spark, which would emit bogus slices for texts with < n tokens.
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
   }
 
   private def shingled(docs: DataFrame, n: Int): DataFrame =
@@ -41,15 +45,24 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
     * explode shingles, join on shingle, count common per pair, J = |∩| /
     * (|A|+|B|-|∩|). Shuffles on the shingle hash — pairwise work is
-    * bounded by shared-shingle pairs, not n². At extreme scale a
-    * document-frequency cap on hot shingles bounds skew (not applied
-    * here: the oracle is the uncapped exact computation).
+    * bounded by shared-shingle pairs, not n².
+    *
+    * `maxDf` is the hot-shingle cap: shingles appearing in more than
+    * `maxDf` documents are dropped BEFORE the pair join, so one
+    * stopword shingle at 100 TB cannot produce an unbounded
+    * O(df²) pair bucket. Recall contract: the result is EXACT as
+    * long as every qualifying pair (J >= tau) still shares at least
+    * one shingle with df <= maxDf — true whenever near-dup overlap
+    * isn't composed *entirely* of corpus-hot shingles (boilerplate);
+    * a pair whose every common shingle is hotter than maxDf is
+    * missed. The default (no cap) is the exact oracle twin.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir))
 
   def ngramJaccardPairs(docs: DataFrame,
-      n: Int = 4, tau: Double = 0.5): DataFrame = {
+      n: Int = 4, tau: Double = 0.5,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     val s = shingled(docs, n)
     val ex = s.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
     // EXACT pruning before the self-join:
@@ -57,14 +70,22 @@ object Dedup {
     //    (most shingles, in any diverse corpus);
     //  - a pair can only reach J >= tau if sizes are within a tau
     //    ratio (|∩| <= min ⟹ J <= min/max) — enforce in the join.
+    // One shuffle on g for the df annotation (unordered window frame —
+    // no sort), reused by the join's own hash partitioning on g.
     val shared = ex.withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("g"))))
-      .filter(col("df") > 1).drop("df")
-    val a = shared.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("g"))
-    val b = shared.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("g"))
-    a.join(b, a("g") === b("g") && col("id_a") < col("id_b") &&
-        col("sz_a") >= col("sz_b") * tau && col("sz_b") >= col("sz_a") * tau)
+      .filter(col("df") > 1 && col("df") <= maxDf).drop("df")
+    // Alias BOTH sides of the self-join (like minhashLshPairs below):
+    // a.join(b, a("g") === b("g")) on same-parent frames resolves both
+    // columns to one attribute ("trivially true equals predicate") and
+    // only works via legacy disambiguation — one version bump from a
+    // cross join.
+    shared.as("x").join(shared.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+        col("x.sz") >= col("y.sz") * tau && col("y.sz") >= col("x.sz") * tau)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard", round(col("common").cast("double") /
@@ -196,8 +217,12 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir))
 
-  def simhashPairs(docs: DataFrame,
-      maxDist: Int = 3): DataFrame = {
+  /** (doc_id, sig): the 64-bit SimHash per document, explode +
+    * codegen'd aggregate formulation — the fast path that
+    * `simhashPairs` uses. `simhash64` is the single-Column HOF twin;
+    * DedupSpec asserts the two agree.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
     // Same rationale as minhash: explode + codegen'd aggregates beat
     // interpreted nested HOF lambdas on the tokens×64 hot loop.
     val ex = docs
@@ -206,10 +231,15 @@ object Dedup {
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"s_$i"))
-    val d = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(i => when(col(s"s_$i") > 0L, lit(1L << i))
           .otherwise(0L)).reduce(_ + _).as("sig"))
+  }
+
+  def simhashPairs(docs: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    val d = simhashSignatures(docs)
     val blocks = d.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))

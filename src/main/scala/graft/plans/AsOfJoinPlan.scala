@@ -84,28 +84,42 @@ case class AsOfJoinExec(
         } else {
           val k = lk.asInstanceOf[Long]
           val lt = lTime.eval(lRow)
-          val t = if (lt == null) Long.MinValue else lt.asInstanceOf[Long]
-          var advance = true
-          while (advance && rBuf.hasNext) {
-            val head = rBuf.head
-            val hkAny = rKey.eval(head)
-            if (hkAny == null) { rBuf.next() }          // unmatched key
-            else {
-              val hk = hkAny.asInstanceOf[Long]
-              val htAny = rTime.eval(head)
-              val ht = if (htAny == null) Long.MaxValue else htAny.asInstanceOf[Long]
-              if (hk < k || (hk == k && ht <= t)) {
-                val consumed = rBuf.next()
-                if (hk == k) {
-                  lastRight = consumed.copy()
-                  lastRightKey = k
-                  haveLast = true
+          if (lt == null) {
+            // null <= anything is not true: a null-time left row
+            // matches nothing (SQL three-valued semantics).
+            project(joined(lRow, nullRight))
+          } else {
+            val t = lt.asInstanceOf[Long]
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val head = rBuf.head
+              val hkAny = rKey.eval(head)
+              if (hkAny == null) { rBuf.next() }        // unmatched key
+              else {
+                val hk = hkAny.asInstanceOf[Long]
+                val htAny = rTime.eval(head)
+                // Null-time right rows sort FIRST (Ascending = nulls
+                // first) and can never satisfy ht <= t — consume and
+                // skip, never buffer. (A MaxValue sentinel here would
+                // wedge the merge at the head of each key group and
+                // silently null out every match for that key.)
+                if (htAny == null) { rBuf.next() }
+                else {
+                  val ht = htAny.asInstanceOf[Long]
+                  if (hk < k || (hk == k && ht <= t)) {
+                    val consumed = rBuf.next()
+                    if (hk == k) {
+                      lastRight = consumed.copy()
+                      lastRightKey = k
+                      haveLast = true
+                    }
+                  } else advance = false
                 }
-              } else advance = false
+              }
             }
+            if (haveLast && lastRightKey == k) project(joined(lRow, lastRight))
+            else project(joined(lRow, nullRight))
           }
-          if (haveLast && lastRightKey == k) project(joined(lRow, lastRight))
-          else project(joined(lRow, nullRight))
         }
       }
     }
@@ -138,17 +152,26 @@ object AsOfJoinPlan {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
     val spark = leftDf.sparkSession
-    // self-register the planner strategy (idempotent) so the operator
-    // also works in sessions built without GraftExtensions
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // self-register the planner strategy so the operator also works in
+    // sessions built without GraftExtensions; synchronized because the
+    // contains-then-append on the session's mutable list is not atomic
+    // (concurrent callers would append duplicates)
+    AsOfJoinPlan.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val lp = ColumnBridge.logicalPlan(leftDf)
     val rp = ColumnBridge.logicalPlan(rightDf)
     def attr(p: LogicalPlan, n: String): Expression =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in [${p.output.map(_.name).mkString(",")}]"))
+      p.output.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in [${p.output.map(_.name).mkString(",")}]")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: ${many.size} attributes match " +
+            s"in [${p.output.map(_.name).mkString(",")}]")
+      }
     ColumnBridge.ofRows(spark, AsOfJoinNode(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey),
       attr(lp, leftTime), attr(rp, rightTime)))

@@ -29,6 +29,44 @@ class AsOfJoinPlanSpec extends GraftSpecBase {
       (1L, 99L, 102.0), (2L, 16L, 200.0), (3L, 50L, null)))
   }
 
+  test("custom exec: null-time right rows are skipped, not merge-wedging") {
+    initLog()
+    // Null right times sort FIRST within the key group (Ascending =
+    // nulls first). A sentinel of MaxValue would park the merge on the
+    // null row and drop every real match for the key; the exec must
+    // consume-and-skip them instead.
+    val quotes = Seq(
+      (1L, Option.empty[Long], -1.0),      // null time, head of group
+      (1L, Some(10L), 100.0), (1L, Some(20L), 101.0),
+      (2L, Option.empty[Long], -2.0))      // key with ONLY null times
+      .toDF("qk", "qt", "px")
+    val trades = Seq(
+      (1L, Some(15L)),                     // -> 100.0
+      (1L, Some(25L)),                     // -> 101.0
+      (1L, Option.empty[Long]),            // null left time -> no match
+      (2L, Some(50L)))                     // only-null-time key -> null
+      .toDF("tk", "tt")
+    val out = AsOfJoinPlan.asof(trades, quotes, "tk", "qk", "tt", "qt")
+      .select(col("tk"), col("tt"), col("px"))
+      .collect().map(r => ((r.getLong(0),
+        if (r.isNullAt(1)) -99L else r.getLong(1)),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(out == Map(
+      (1L, 15L) -> 100.0, (1L, 25L) -> 101.0,
+      (1L, -99L) -> null, (2L, 50L) -> null))
+  }
+
+  test("asof rejects ambiguous column names instead of picking the first") {
+    initLog()
+    val l = Seq((1L, 2L)).toDF("k", "t")
+    val amb = Seq((1L, 2L, 3L)).toDF("k", "t", "t2")
+      .select(col("k"), col("t"), col("t2").as("t"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asof(l, amb, "k", "k", "t", "t")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("custom exec agrees with the composed union+window as-of join") {
     initLog()
     val e = Tables.events(spark, sf)

@@ -48,6 +48,42 @@ class DedupSpec extends GraftSpecBase {
     assert(lsh == exact)
   }
 
+  test("shingles: texts with fewer than n tokens yield an empty set, not bogus slices") {
+    initLog()
+    val out = Seq("only three tokens", "two tokens", "one", "")
+      .toDF("text")
+      .select(Dedup.shingles(col("text"), 4).as("sh"), size(col("sh")).as("n"))
+      .collect()
+    assert(out.forall(_.getAs[Int]("n") == 0))
+    // and boundary: exactly n tokens -> one shingle
+    val one = Seq("a b c d").toDF("text")
+      .select(Dedup.shingles(col("text"), 4).as("sh")).head().getSeq[String](0)
+    assert(one == Seq("a b c d"))
+  }
+
+  test("ngram jaccard: df cap is a no-op below the cap, prunes everything at df<=1") {
+    initLog()
+    val d = graft.sources.Tables.documents(spark, sf)
+    val uncapped = Dedup.ngramJaccardPairs(d, n = 4, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // corpus max shingle-df is tiny at sf0.001; a generous cap is exact
+    val capped = Dedup.ngramJaccardPairs(d, n = 4, tau = 0.5, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped)
+    // maxDf = 1 contradicts the df > 1 shared-shingle floor: no pairs
+    assert(Dedup.ngramJaccardPairs(d, n = 4, tau = 0.5, maxDf = 1).isEmpty)
+  }
+
+  test("simhash64 HOF twin equals the explode+aggregate signatures") {
+    initLog()
+    val viaHof = docs.select(col("doc_id"),
+      Dedup.simhash64(split(col("text"), " ")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = Dedup.simhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaHof == viaAgg)
+  }
+
   test("simhash: exact dup pair at hamming 0") {
     initLog()
     val out = Dedup.simhashPairs(docs).collect()
