@@ -74,6 +74,17 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(ns.contains("WindowGroupLimit"), "per-partition top-k pruning expected")
   }
 
+  test("blocked near-dup joins on the cell key — no nested-loop/cartesian") {
+    initLog()
+    val df = Similarity.embeddingNearDupPairs(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(n => n.startsWith("BroadcastNestedLoopJoin") ||
+      n.startsWith("CartesianProduct")), ns.mkString(","))
+    assert(ns.exists(n => n.startsWith("SortMergeJoin") ||
+      n.startsWith("ShuffledHashJoin") || n.startsWith("BroadcastHashJoin")),
+      ns.mkString(","))
+  }
+
   test("flagship window agg: single shuffle, pruned scan") {
     initLog()
     val df = EditAnalytics.editSizeByWindow(spark, sf)

@@ -42,6 +42,53 @@ class SimilaritySpec extends GraftSpecBase {
       pairs.head.getAs[Long]("id_b") == 1L)
   }
 
+  test("blocked near-dup equals the direct all-pairs form on the corpus") {
+    initLog()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.norm2(col("embedding")).as("nrm"))
+    // reference formulation: the plain non-equi all-pairs join
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val direct = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        round(Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.45)
+      .select("id_a", "id_b", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (blocks <- Seq(1, 3, 8)) {
+      val blocked = Similarity.embeddingNearDupPairs(
+          graft.sources.Tables.embeddings(spark, sf), tau = 0.45, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(blocked.length == blocked.toSet.size, s"dup pairs at B=$blocks")
+      assert(blocked.toSet == direct, s"mismatch at B=$blocks")
+    }
+  }
+
+  test("LSH near-dup variant equals exact at high tau on planted clusters") {
+    initLog()
+    // 3 clusters of 4 near-identical vectors (cos >= ~0.99 within,
+    // ~orthogonal across) in 16 dims, plus noise directions
+    val rows = for {
+      c <- 0 until 3; m <- 0 until 4
+    } yield {
+      val base = Array.fill(16)(0.0f)
+      base(c * 5) = 1.0f
+      base((c * 5 + m + 1) % 16) = 0.05f * (m + 1) // small perturbation
+      ((c * 4 + m).toLong, base, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.embeddingNearDupPairs(df, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.embeddingNearDupPairsLsh(df, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain high-cos pairs")
+    assert(lsh == exact,
+      s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+  }
+
   test("LSH buckets: near-identical vectors collide, orthogonal don't all") {
     initLog()
     val buckets = Similarity.annLshBuckets(emb, planes = 8).collect()
