@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{DocStoreSink, EditStream, KafkaEditSource, WikiEditPipeline}
+import graft.streaming.DocStoreSink.{DirDocStore, DocStore}
+
+/** Kafka source surface (offline: the option map + decode path) and the
+  * concrete batched external-store sink (batch size / flush interval /
+  * retry / idempotence semantics) — reference
+  * DataStreamJob.java:114-120 and 125-135.
+  */
+class SinkSourceSpec extends GraftSpecBase {
+
+  // ---- KafkaEditSource -------------------------------------------------
+
+  test("kafka source builder produces the exact readStream option map") {
+    val src = KafkaEditSource(
+      brokers = "broker1:9092,broker2:9092",
+      topic = "wikipedia-events",
+      groupId = Some("consumer-group-1"),
+      startingOffsets = "latest",
+      maxOffsetsPerTrigger = Some(50000L))
+    assert(src.options == Map(
+      "kafka.bootstrap.servers" -> "broker1:9092,broker2:9092",
+      "subscribe" -> "wikipedia-events",
+      "startingOffsets" -> "latest",
+      "failOnDataLoss" -> "true",
+      "kafka.group.id" -> "consumer-group-1",
+      "maxOffsetsPerTrigger" -> "50000"))
+  }
+
+  test("kafka source defaults mirror the reference job; extras pass through") {
+    val src = KafkaEditSource(brokers = "b:9092",
+      extra = Map("kafka.security.protocol" -> "SASL_SSL"))
+    val o = src.options
+    assert(o("subscribe") == "wikipedia-events")      // reference topic
+    assert(o("startingOffsets") == "latest")          // OffsetsInitializer.latest()
+    assert(!o.contains("kafka.group.id"))
+    assert(o("kafka.security.protocol") == "SASL_SSL")
+  }
+
+  test("kafka load() fails fast offline; decode works on kafka-shaped frames") {
+    initLog()
+    // the connector jar is deliberately absent from this build
+    assert(!KafkaEditSource.isAvailable)
+    val err = intercept[IllegalArgumentException] {
+      KafkaEditSource(brokers = "b:9092").load(spark)
+    }
+    assert(err.getMessage.contains("spark-sql-kafka"))
+    // decode() is the same path proven e2e in StreamingSpec's
+    // kafka-shaped test; here: schema contract only
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val decoded = KafkaEditSource(brokers = "b:9092")
+      .decode(mem.toDF().withColumnRenamed("value", "ignored")
+        .withColumn("value", col("ignored").cast("binary")))
+    assert(decoded.columns.contains("domain") &&
+      decoded.columns.contains("new_length"))
+  }
+
+  // ---- DocStoreSink ----------------------------------------------------
+
+  private def docsDf(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"title_$i")).toDF("id", "title")
+  }
+
+  private def readStore(dir: String): Seq[String] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".jsonl")).toSeq
+      .flatMap(p => Files.readAllLines(p).asScala)
+
+  test("batched sink chunks by batchSize and stores every doc exactly once") {
+    initLog()
+    val dir = Files.createTempDirectory("graft_store").toString
+    val df = docsDf(250).repartition(3)
+    DocStoreSink.writeBatch(df, epochId = 7L, DirDocStore(dir), batchSize = 40)
+    val lines = readStore(dir)
+    assert(lines.length == 250)
+    assert(lines.distinct.length == 250)
+    val files = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".jsonl")).toSeq
+    assert(files.forall(_.startsWith("e7-p")))
+    // 250 rows over 3 partitions at batchSize 40 → ceil per partition
+    assert(files.size >= 7 && files.size <= 9, files.mkString(","))
+  }
+
+  test("epoch replay (at-least-once redelivery) leaves one copy per doc") {
+    initLog()
+    val dir = Files.createTempDirectory("graft_store2").toString
+    val df = docsDf(100).repartition(2)
+    DocStoreSink.writeBatch(df, 3L, DirDocStore(dir), batchSize = 30)
+    DocStoreSink.writeBatch(df, 3L, DirDocStore(dir), batchSize = 30) // replay
+    val lines = readStore(dir)
+    assert(lines.length == 100 && lines.distinct.length == 100)
+  }
+
+  test("transient insert failures are retried up to maxRetries (Mongo setMaxRetries analog)") {
+    initLog()
+    val dir = Files.createTempDirectory("graft_store3").toString
+    SinkSourceSpec.reset()
+    val flaky = SinkSourceSpec.FlakyStore(DirDocStore(dir), failuresPerKey = 2)
+    DocStoreSink.writeBatch(docsDf(50).repartition(2), 1L, flaky,
+      batchSize = 20, maxRetries = 3)
+    assert(readStore(dir).length == 50)
+    assert(SinkSourceSpec.totalFailures.get() > 0, "retry path never exercised")
+  }
+
+  test("insert failing beyond maxRetries fails the task (no silent loss)") {
+    initLog()
+    val dir = Files.createTempDirectory("graft_store4").toString
+    SinkSourceSpec.reset()
+    val broken = SinkSourceSpec.FlakyStore(DirDocStore(dir), failuresPerKey = 99)
+    intercept[org.apache.spark.SparkException] {
+      DocStoreSink.writeBatch(docsDf(10).coalesce(1), 1L, broken,
+        batchSize = 10, maxRetries = 2)
+    }
+  }
+
+  test("streaming e2e: windowed docs land in the store via the batched sink") {
+    initLog()
+    val in = Files.createTempDirectory("graft_sink_in").toString
+    val dir = Files.createTempDirectory("graft_store5").toString
+    val ck = Files.createTempDirectory("graft_sink_ck").toString
+    Files.write(Paths.get(in, "b1.json"),
+      ("""{"id":"1","domain":"fr.wikipedia.org","namespace":"main namespace",""" +
+        """"title":"T","timestamp":"2023-11-27T10:00:10Z","user_name":"u",""" +
+        """"user_type":"human","old_length":10,"new_length":30}""").getBytes)
+    val stream = WikiEditPipeline.windowedEditSize(
+      EditStream.readJsonFiles(spark, in))
+    val q = DocStoreSink.start(stream, DirDocStore(dir), ck,
+      batchSize = 1000, flushInterval = "1 second", outputMode = "complete")
+    try {
+      q.processAllAvailable()
+      val lines = readStore(dir)
+      assert(lines.exists(d => d.contains("\"fr.wikipedia.org\"") &&
+        d.contains("\"edit_size\":20")), lines.mkString("|"))
+    } finally q.stop()
+  }
+}
+
+object SinkSourceSpec {
+  /** Store that fails the first `failuresPerKey` attempts of each key —
+    * shared JVM state works because local-mode executors are in-process.
+    */
+  private val attempts = new ConcurrentHashMap[String, AtomicInteger]()
+  val totalFailures = new AtomicInteger(0)
+  def reset(): Unit = { attempts.clear(); totalFailures.set(0) }
+
+  final case class FlakyStore(inner: DocStore, failuresPerKey: Int)
+      extends DocStore {
+    override def insertMany(key: String, docs: Seq[String]): Unit = {
+      val n = attempts.computeIfAbsent(key, _ => new AtomicInteger(0))
+        .incrementAndGet()
+      if (n <= failuresPerKey) {
+        totalFailures.incrementAndGet()
+        throw new RuntimeException(s"transient store failure #$n for $key")
+      }
+      inner.insertMany(key, docs)
+    }
+  }
+}
