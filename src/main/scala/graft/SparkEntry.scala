@@ -58,6 +58,7 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => BatchQueries.valueHistogram(s, d)),
     "q_range_frame" -> ((s, d) => BatchQueries.trailing30dQuantity(s, d)),
     "q_rank_stats" -> ((s, d) => BatchQueries.orderRankStats(s, d)),
+    "q_promo_share" -> ((s, d) => BatchQueries.promoRevenueShare(s, d)),
     // §2.3 LLM-pipeline operators
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -311,6 +312,20 @@ object SparkEntry {
          ROUND(cume_dist() OVER (PARTITION BY o_orderpriority
            ORDER BY o_totalprice, o_orderkey), 6) AS cume
          FROM orders""",
+    "q_promo_share" ->
+      """SELECT ship_month, promo_revenue, total_revenue,
+         ROUND(promo_revenue * 100.0 / total_revenue, 4) AS promo_share
+         FROM (
+           SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             ROUND(SUM(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 4)
+               AS promo_revenue,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4)
+               AS total_revenue
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1)""",
     "q_exists_sql" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
          FROM orders

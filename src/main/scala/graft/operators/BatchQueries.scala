@@ -385,4 +385,28 @@ object BatchQueries {
         round(min(col("l_extendedprice")), 2).as("min_price"),
         round(max(col("l_extendedprice")), 2).as("max_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"))
+
+  /** TPC-H Q14 shape: monthly promo revenue share. `part` is the
+    * broadcast dim (star-schema ratio); lineitem shuffles ONCE on the
+    * month key carrying two partial sums — the conditional numerator
+    * rides the same aggregate pass as the denominator, not a second
+    * scan. Share = ratio of the ROUNDED sums (both engines divide
+    * identical doubles — FP-deterministic).
+    */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("ship_month"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)), 4)
+          .as("promo_revenue"),
+        round(sum(rev), 4).as("total_revenue"))
+      .withColumn("promo_share",
+        round(col("promo_revenue") * 100.0 / col("total_revenue"), 4))
+  }
 }

@@ -158,29 +158,39 @@ object Dedup {
     * propagation). Each iteration is one distributed join + agg;
     * convergence needs O(component diameter) rounds — near-dup
     * clusters are shallow, and the loop stops at fixpoint. Lineage is
-    * truncated per round (localCheckpoint) so plans stay bounded.
+    * truncated per round so plans stay bounded.
+    *
+    * Durability: `reliable = false` (default) truncates with
+    * `localCheckpoint` — executor-local blocks, cheapest, but an
+    * executor loss forces recomputing the WHOLE iteration lineage. At
+    * 100 TB / 1000 executors over a multi-round job, losses are
+    * expected, not exceptional: pass `reliable = true` (with
+    * `spark.sparkContext.setCheckpointDir` on durable storage, e.g.
+    * HDFS/S3) so each round's labels survive executor loss and a
+    * failure re-runs at most one round.
     *
     * A user deduplicates a corpus with:
     *   docs.join(canonicalIds(docs, pairs).filter($"doc_id" === $"canonical_id"), "doc_id")
     */
   def canonicalIds(docs: DataFrame, pairs: DataFrame,
-      maxIters: Int = 15): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id").as("u"),
-      col("doc_id").as("canonical_id")).localCheckpoint()
+      maxIters: Int = 15, reliable: Boolean = false): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = truncate(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+    var labels = truncate(docs.select(col("doc_id").as("u"),
+      col("doc_id").as("canonical_id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("u").as("v"), col("canonical_id").as("vl")), "v")
         .groupBy(col("u")).agg(min(col("vl")).as("nl"))
-      val next = labels.join(nbrMin, Seq("u"), "left")
+      val next = truncate(labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"),
           least(col("canonical_id"), coalesce(col("nl"), col("canonical_id")))
-            .as("canonical_id"))
-        .localCheckpoint()
+            .as("canonical_id")))
       changed = next.join(labels.withColumnRenamed("canonical_id", "old"), "u")
         .filter(col("canonical_id") =!= col("old")).count()
       labels = next

@@ -36,6 +36,21 @@ class DedupSpec extends GraftSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("reliable-checkpoint components equal the localCheckpoint form") {
+    initLog()
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val nodes = Seq(0L, 1L, 2L, 3L, 5L, 6L).toDF("doc_id")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = toMap(Dedup.canonicalIds(nodes, pairs))
+    val durable = toMap(Dedup.canonicalIds(nodes, pairs, reliable = true))
+    assert(local == durable)
+    assert(durable == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("minhash LSH pairs == exact jaccard pairs on the test corpus") {
     initLog()
     val d = graft.sources.Tables.documents(spark, sf)
