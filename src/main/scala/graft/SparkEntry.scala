@@ -59,6 +59,9 @@ object SparkEntry {
     "q_range_frame" -> ((s, d) => BatchQueries.trailing30dQuantity(s, d)),
     "q_rank_stats" -> ((s, d) => BatchQueries.orderRankStats(s, d)),
     "q_promo_share" -> ((s, d) => BatchQueries.promoRevenueShare(s, d)),
+    "q_heavy_hitters" -> ((s, d) => BatchQueries.heavyHitterUsers(s, d)),
+    "q_grouping_sets" -> ((s, d) => BatchQueries.quantityGroupingSets(s, d)),
+    "q_range_join" -> ((s, d) => RangeJoin.errorNeighborhood(s, d)),
     // §2.3 LLM-pipeline operators
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -77,6 +80,7 @@ object SparkEntry {
     "text_fingerprint_fast" -> ((s, d) =>
       TextAnalysis.fingerprintsFast(graft.sources.Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
+    "text_top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(s, d)),
     "curate_corpus" -> ((s, d) => Curation.curateCorpus(s, d)),
     "sample_hash" -> ((s, d) => Sampling.sampleDocuments(s, d)),
     "sample_split" -> ((s, d) => Sampling.splitCounts(s, d)),
@@ -326,6 +330,39 @@ object SparkEntry {
            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              AND l_shipdate < TIMESTAMP '1997-01-01'
            GROUP BY 1)""",
+    "q_heavy_hitters" ->
+      """SELECT user_id, n_rows,
+         ROUND(n_rows * 100.0 / (SELECT COUNT(*) FROM events), 4) AS share_pct
+         FROM (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1)
+         ORDER BY n_rows DESC, user_id LIMIT 15""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         COUNT(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())""",
+    "q_range_join" ->
+      """SELECT e.event_id AS err_id,
+         COUNT(*) AS n_nearby,
+         ROUND(SUM(p.value), 2) AS sum_value
+         FROM events e JOIN events p
+           ON p.user_id = e.user_id
+          AND epoch_us(p.ts) >= epoch_us(e.ts) - 600000000
+          AND epoch_us(p.ts) <  epoch_us(e.ts) + 600000000
+         WHERE lower(e.event_type) = 'error'
+           AND lower(p.event_type) <> 'error'
+         GROUP BY 1""",
+    "text_top_ngrams" ->
+      """SELECT gram, COUNT(*) AS df FROM (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(t) - 2),
+             i -> array_to_string(t[i:i+3], ' ')))) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 4) d)
+         GROUP BY 1 ORDER BY df DESC, gram LIMIT 20""",
     "q_exists_sql" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
          FROM orders

@@ -386,6 +386,41 @@ object BatchQueries {
         round(max(col("l_extendedprice")), 2).as("max_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"))
 
+  /** Hot-key profiler: the top-k keys by row count plus their share of
+    * the table — the query you run BEFORE a big join to decide whether
+    * [[Skew]] salting is needed. Two-phase agg (map-side combine) →
+    * TakeOrdered top-k; the global count is a broadcast one-row cross
+    * join (no driver-side action, no second shuffle of the data).
+    */
+  def heavyHitterUsers(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val totals = ev.agg(count(lit(1)).as("__total"))
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(totals))
+      .withColumn("share_pct",
+        round(col("n_rows") * 100.0 / col("__total"), 4))
+      .drop("__total")
+      .orderBy(col("n_rows").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** Explicit GROUPING SETS through the SQL surface (finer control
+    * than rollup/cube: exactly the named sets, nothing else). Same
+    * single-shuffle expand-aggregate plan as rollup.
+    */
+  def quantityGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("gs_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_rows
+         FROM gs_lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())""")
+  }
+
   /** TPC-H Q14 shape: monthly promo revenue share. `part` is the
     * broadcast dim (star-schema ratio); lineitem shuffles ONCE on the
     * month key carrying two partial sums — the conditional numerator

@@ -76,6 +76,26 @@ object TextAnalysis {
         expression(split(col("text"), " ")), n)).as("fingerprint64"))
   }
 
+  /** Corpus-level boilerplate detection: the top-k word n-grams by
+    * DOCUMENT frequency (distinct-per-doc shingles, so a gram repeated
+    * inside one doc counts once — df, not tf). The standard first look
+    * at a crawled corpus: headers/footers/licence blurbs surface as
+    * grams with df near the doc count. Scale shape: shingle explode →
+    * map-side-combined count per gram (one shuffle) → TakeOrdered
+    * top-k; no distinct-agg needed because shingle sets are already
+    * per-doc distinct.
+    */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame =
+    topNgrams(Tables.documents(spark, dir))
+
+  def topNgrams(docs: DataFrame, n: Int = 4, k: Int = 20): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(k)
+
   /** Character-bigram language-ID heuristic: score each language by
     * marker-substring frequency, pick the argmax (deterministic
     * tie-break by profile order). The test corpus' text is synthetic
