@@ -25,7 +25,12 @@ object Bench {
     // A failed query must NOT masquerade as a fast success: record it
     // as -1 and list it in "failed" (the total also carries a large
     // penalty per failure so breakage can't improve the headline).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter for single-query iteration.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -64,17 +64,25 @@ object Dedup {
       n: Int = 4, tau: Double = 0.5,
       maxDf: Int = Int.MaxValue): DataFrame = {
     val s = shingled(docs, n)
+    // The inverted index keys on a 128-bit shingle hash (two
+    // independent xxhash64 lanes), not the shingle STRING: the shuffle
+    // ships 16 fixed bytes instead of ~n words and the sort-merge
+    // compares longs instead of strings. Same exactness basis as
+    // `exact`'s md5 keying — a cross-doc 128-bit double collision is
+    // ~2^-128 per candidate pair, far below any hardware error rate.
     val ex = s.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("sz"),
+        xxhash64(col("g")).as("h1"), xxhash64(col("g"), lit(42L)).as("h2"))
     // EXACT pruning before the self-join:
     //  - shingles in a single document generate no pairs — drop them
     //    (most shingles, in any diverse corpus);
     //  - a pair can only reach J >= tau if sizes are within a tau
     //    ratio (|∩| <= min ⟹ J <= min/max) — enforce in the join.
-    // One shuffle on g for the df annotation (unordered window frame —
-    // no sort), reused by the join's own hash partitioning on g.
+    // One shuffle on the hash for the df annotation (unordered window
+    // frame — no sort), reused by the join's own hash partitioning.
     val shared = ex.withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("g"))))
+          .partitionBy(col("h1"), col("h2"))))
       .filter(col("df") > 1 && col("df") <= maxDf).drop("df")
     // Alias BOTH sides of the self-join (like minhashLshPairs below):
     // a.join(b, a("g") === b("g")) on same-parent frames resolves both
@@ -82,7 +90,8 @@ object Dedup {
     // only works via legacy disambiguation — one version bump from a
     // cross join.
     shared.as("x").join(shared.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+        col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2") &&
+        col("x.doc_id") < col("y.doc_id") &&
         col("x.sz") >= col("y.sz") * tau && col("y.sz") >= col("x.sz") * tau)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
