@@ -36,10 +36,14 @@ object RangeJoin {
       timeCol: String, startCol: String, endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0)
+    // exact integer floor-division (negative-safe): `/` on longs goes
+    // through double, whose quotient rounding is fragile near bin edges
+    def floorDiv(c: org.apache.spark.sql.Column) =
+      (c - pmod(c, lit(binWidth))) / binWidth
     val iv = intervals.withColumn("__bin",
-      explode(sequence(floor(col(startCol) / binWidth),
-        floor((col(endCol) - 1) / binWidth))))
-    val pr = probe.withColumn("__bin", floor(col(timeCol) / binWidth))
+      explode(sequence(floorDiv(col(startCol)).cast("long"),
+        floorDiv(col(endCol) - 1).cast("long"))))
+    val pr = probe.withColumn("__bin", floorDiv(col(timeCol)).cast("long"))
     pr.join(iv,
         pr(probeKey) === iv(intervalKey) && pr("__bin") === iv("__bin") &&
           pr(timeCol) >= iv(startCol) && pr(timeCol) < iv(endCol))
