@@ -31,6 +31,35 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom-prefiltered inner equi-join: build a bloom filter of the
+    * build side's keys (distributed treeAggregate via
+    * `df.stat.bloomFilter` — driver holds only the BITS, ~1.2 MB for
+    * 10^6 keys at 1% fpp), then drop probe rows that cannot match
+    * BEFORE the shuffle. With a selective build side this removes the
+    * bulk of the probe side's shuffle I/O — the classic sketch-pruned
+    * join for fact⋈filtered-dim at 100 TB when the dim is too big to
+    * broadcast but its KEY SET sketches small. Bloom false positives
+    * only let extra rows through to the exact join — results are
+    * identical to the plain join (equality spec).
+    *
+    * The probe predicate is the native codegen'd
+    * [[graft.functions.BloomMightContain]]; the filter bytes ride the
+    * plan like a scalar-subquery constant. For filters much larger
+    * than ~10 MB prefer a broadcast semi-join instead.
+    */
+  def bloomPrefilteredJoin(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    probe
+      .filter(column(graft.functions.BloomMightContain(
+        expression(col(probeKey)), bos.toByteArray)))
+      .join(build, col(probeKey) === col(buildKey))
+  }
+
   /** Two-phase (salted) aggregation: partial sums per (key, salt),
     * then final combine per key. Spark's map-side partial aggregation
     * already gives this for algebraic aggs; the explicit form matters
