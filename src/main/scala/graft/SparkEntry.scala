@@ -62,6 +62,9 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => BatchQueries.heavyHitterUsers(s, d)),
     "q_grouping_sets" -> ((s, d) => BatchQueries.quantityGroupingSets(s, d)),
     "q_range_join" -> ((s, d) => RangeJoin.errorNeighborhood(s, d)),
+    "q_array_agg" -> ((s, d) => BatchQueries.ordersPerCustomerArray(s, d)),
+    "q_ntile" -> ((s, d) => BatchQueries.priceQuartiles(s, d)),
+    "q_latest_per_key" -> ((s, d) => BatchQueries.latestEventPerUser(s, d)),
     // §2.3 LLM-pipeline operators
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -355,6 +358,24 @@ object SparkEntry {
          WHERE lower(e.event_type) = 'error'
            AND lower(p.event_type) <> 'error'
          GROUP BY 1""",
+    "q_array_agg" ->
+      """SELECT o_custkey,
+         array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+         COUNT(*) AS n_orders
+         FROM orders GROUP BY 1""",
+    "q_ntile" ->
+      """SELECT o_orderpriority, quartile,
+         COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+         FROM (SELECT o_orderpriority, o_totalprice,
+                 ntile(4) OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS quartile
+               FROM orders)
+         GROUP BY 1, 2""",
+    "q_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS t_us
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1""",
     "text_top_ngrams" ->
       """SELECT gram, COUNT(*) AS df FROM (
            SELECT doc_id, unnest(list_distinct(list_transform(

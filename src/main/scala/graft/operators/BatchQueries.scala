@@ -421,6 +421,50 @@ object BatchQueries {
                                  (l_returnflag), ())""")
   }
 
+  /** Array aggregation: per-customer sorted order-key list. Emitted as
+    * a joined STRING (deterministic, engine-portable compare); the
+    * in-engine form is the sorted array itself. collect_list is the
+    * one aggregate with no map-side combine shrinkage — its output is
+    * its input — so at 100 TB budget the shuffle for the full group
+    * payload, or pre-aggregate cardinality first.
+    */
+  def ordersPerCustomerArray(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+        .as("order_keys"),
+        count(lit(1)).as("n_orders"))
+
+  /** ntile quartiles per priority bucket → per-quartile totals.
+    * Unique (totalprice, orderkey) ordering makes tile assignment
+    * deterministic across engines.
+    */
+  def priceQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+  }
+
+  /** Latest-row-per-key compaction (the CDC/ingest dedup shape): keep
+    * each user's most recent event. row_number + rank-1 filter lets
+    * WindowGroupLimit prune to one row per key per partition BEFORE
+    * the shuffle — at 100 TB the shuffle carries |keys| rows, not
+    * |events|.
+    */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** TPC-H Q14 shape: monthly promo revenue share. `part` is the
     * broadcast dim (star-schema ratio); lineitem shuffles ONCE on the
     * month key carrying two partial sums — the conditional numerator
