@@ -11,8 +11,11 @@ import graft.functions.DotProduct
   * `spark.sql.extensions=graft.GraftExtensions`.
   *
   * SQL surface:
-  *   dot_product(a, b)        — native codegen'd array dot product
-  *   cosine_sim(a, b)         — dot / (||a||·||b||), composed
+  *   dot_product(a, b)          — native codegen'd array dot product
+  *   cosine_sim(a, b)           — dot / (||a||·||b||), composed
+  *   min_shingle_hash(toks, n)  — rolling-hash winnowing fingerprint
+  *   minhash_sig(toks, n, k)    — k-lane MinHash signature
+  * (n/k must be integer literals — they parameterize codegen.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -35,9 +38,22 @@ object GraftExtensions {
       Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
   }
 
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product" -> ((c: Seq[Expression]) => DotProduct(c(0), c(1))),
-    "cosine_sim" -> ((c: Seq[Expression]) => cosineExpr(c(0), c(1))))
+    "cosine_sim" -> ((c: Seq[Expression]) => cosineExpr(c(0), c(1))),
+    "min_shingle_hash" -> ((c: Seq[Expression]) =>
+      graft.functions.MinShingleHash(c(0),
+        litInt(c(1), "min_shingle_hash", "n"))),
+    "minhash_sig" -> ((c: Seq[Expression]) =>
+      graft.functions.MinHashSig(c(0),
+        litInt(c(1), "minhash_sig", "n"), litInt(c(2), "minhash_sig", "k"))))
 
   /** Register on an ALREADY-RUNNING session (temp functions) — for
     * notebooks/REPLs where the session predates the library.

@@ -47,6 +47,10 @@ object ScaleData {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep timestamp columns LTZ on the round-trip — the library
+      // sessions read with NTZ inference off, and a scaled copy that
+      // flips o_orderdate to TIMESTAMP_NTZ breaks unix_micros callers
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -97,4 +97,29 @@ class DotProductSpec extends GraftSpecBase {
     assert(prior.sql("SELECT dot_product(array(2.0D), array(3.0D))")
       .head().getDouble(0) == 6.0)
   }
+
+  test("SQL min_shingle_hash / minhash_sig equal their Column forms") {
+    initLog()
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val df = Seq("alpha bravo charlie delta echo foxtrot golf hotel india")
+      .toDF("text").select(split(col("text"), " ").as("toks"))
+    val viaSql = df.createOrReplaceTempView("fp_docs")
+    val sqlRow = spark.sql(
+      """SELECT min_shingle_hash(toks, 8) AS fp,
+         minhash_sig(toks, 4, 16) AS sig FROM fp_docs""").head()
+    val colRow = df.select(
+      column(graft.functions.MinShingleHash(expression(col("toks")), 8)).as("fp"),
+      column(graft.functions.MinHashSig(expression(col("toks")), 4, 16)).as("sig"))
+      .head()
+    assert(sqlRow.getLong(0) == colRow.getLong(0))
+    assert(sqlRow.getSeq[Long](1) == colRow.getSeq[Long](1))
+    // non-literal n must fail with a clear message
+    val err = intercept[Exception] {
+      spark.sql("SELECT min_shingle_hash(toks, CAST(rand()*4 AS INT)) FROM fp_docs")
+        .head()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
 }
