@@ -65,6 +65,7 @@ object SparkEntry {
     "q_array_agg" -> ((s, d) => BatchQueries.ordersPerCustomerArray(s, d)),
     "q_ntile" -> ((s, d) => BatchQueries.priceQuartiles(s, d)),
     "q_latest_per_key" -> ((s, d) => BatchQueries.latestEventPerUser(s, d)),
+    "q_stats_agg" -> ((s, d) => BatchQueries.priceStats(s, d)),
     // §2.3 LLM-pipeline operators
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -358,6 +359,13 @@ object SparkEntry {
          WHERE lower(e.event_type) = 'error'
            AND lower(p.event_type) <> 'error'
          GROUP BY 1""",
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+         ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+         ROUND(var_samp(l_quantity), 4) AS var_qty,
+         ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY 1""",
     "q_array_agg" ->
       """SELECT o_custkey,
          array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,

@@ -421,6 +421,22 @@ object BatchQueries {
                                  (l_returnflag), ())""")
   }
 
+  /** Statistical aggregates per group: sample stddev/variance and the
+    * quantity↔price correlation. All algebraic (sum/sum-of-squares
+    * decomposable) → map-side partials, one shuffle. Rounded to 4 on
+    * both engines: Spark and DuckDB accumulate in different orders and
+    * (for stddev) different formulations; agreement at 4 decimals is
+    * the contract.
+    */
+  def priceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        count(lit(1)).as("n_rows"))
+
   /** Array aggregation: per-customer sorted order-key list. Emitted as
     * a joined STRING (deterministic, engine-portable compare); the
     * in-engine form is the sorted array itself. collect_list is the

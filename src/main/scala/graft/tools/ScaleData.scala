@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -41,18 +41,10 @@ object ScaleData {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/sfscaled")
     val n = args.lift(2).map(_.toInt).getOrElse(10)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // keep timestamp columns LTZ on the round-trip — the library
-      // sessions read with NTZ inference off, and a scaled copy that
-      // flips o_orderdate to TIMESTAMP_NTZ breaks unix_micros callers
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    // GraftSession keeps timestamps LTZ on the round-trip — a scaled
+    // copy that flips o_orderdate to TIMESTAMP_NTZ breaks unix_micros
+    val spark = graft.GraftSession.local(cpus, "graft-scale-data")
     spark.sparkContext.setLogLevel("WARN")
 
     def write(df: DataFrame, name: String): Unit =
