@@ -74,9 +74,16 @@ object Similarity {
     // i <= p. Join on the full (i, j) key → an unordered vector pair
     // meets in exactly one cell; the diagonal (i == j) needs the id
     // tie-break to avoid self/double pairs.
+    // Repartition the probe side BY CELL: without it, parallelism is
+    // whatever the parquet scan's split count happens to be (a small
+    // corpus = one file = ONE task doing the whole n² compare when the
+    // build side broadcasts). With it, each of the B(B+1)/2 cells is
+    // its own unit of parallelism regardless of input layout — this
+    // was a measured 80× wall-clock difference at 10× sf0.1.
     val left = e.withColumn("kj", explode(sequence(col("blk"), lit(blocks - 1))))
       .select(col("vec_id").as("id_a"), col("embedding").as("ea"),
         col("nrm").as("na"), col("blk").as("ki"), col("kj"))
+      .repartition(col("ki"), col("kj"))
     val right = e.withColumn("ki", explode(sequence(lit(0), col("blk"))))
       .select(col("vec_id").as("id_b"), col("embedding").as("eb"),
         col("nrm").as("nb"), col("ki"), col("blk").as("kj"))
