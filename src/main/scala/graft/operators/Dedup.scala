@@ -25,7 +25,7 @@ object Dedup {
   }
 
   private def shingled(docs: DataFrame, n: Int): DataFrame =
-    docs
+    Par.ensure(docs)
       .filter(size(split(col("text"), " ")) >= n)
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .withColumn("sz", size(col("sh")))
@@ -135,7 +135,7 @@ object Dedup {
     // (functions.MinHashSig): rolling shingle hashes + double-hashing
     // family, no explode, no wide k-column aggregate shuffle.
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val sig = docs
+    val sig = Par.ensure(docs)
       .filter(size(split(col("text"), " ")) >= n)
       .select(col("doc_id"),
         column(graft.functions.MinHashSig(
@@ -244,7 +244,7 @@ object Dedup {
   def simhashSignatures(docs: DataFrame): DataFrame = {
     // Same rationale as minhash: explode + codegen'd aggregates beat
     // interpreted nested HOF lambdas on the tokens×64 hot loop.
-    val ex = docs
+    val ex = Par.ensure(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val bitSums = (0 until 64).map(i =>

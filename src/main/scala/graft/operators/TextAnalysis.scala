@@ -60,7 +60,7 @@ object TextAnalysis {
     val toks = split(col("text"), " ")
     val sh = transform(sequence(lit(0), size(toks) - 8),
       i => md5(array_join(slice(toks, i + 1, lit(8)), " ")))
-    docs
+    Par.ensure(docs)
       .filter(size(split(col("text"), " ")) >= 8)
       .select(col("doc_id"), array_min(sh).as("fingerprint"))
   }
@@ -71,7 +71,7 @@ object TextAnalysis {
     */
   def fingerprintsFast(docs: DataFrame, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    docs.select(col("doc_id"),
+    Par.ensure(docs).select(col("doc_id"),
       column(graft.functions.MinShingleHash(
         expression(split(col("text"), " ")), n)).as("fingerprint64"))
   }
@@ -89,7 +89,7 @@ object TextAnalysis {
     topNgrams(Tables.documents(spark, dir))
 
   def topNgrams(docs: DataFrame, n: Int = 4, k: Int = 20): DataFrame =
-    docs
+    Par.ensure(docs)
       .filter(size(split(col("text"), " ")) >= n)
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
