@@ -85,9 +85,12 @@ object SparkEntry {
       TextAnalysis.fingerprintsFast(graft.sources.Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     "text_top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(s, d)),
+    "text_fluency" -> ((s, d) =>
+      TextAnalysis.fluencyScores(graft.sources.Tables.documents(s, d))),
     "curate_corpus" -> ((s, d) => Curation.curateCorpus(s, d)),
     "sample_hash" -> ((s, d) => Sampling.sampleDocuments(s, d)),
     "sample_split" -> ((s, d) => Sampling.splitCounts(s, d)),
+    "sample_stratified" -> ((s, d) => Sampling.stratifiedCounts(s, d)),
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)))
 
@@ -545,6 +548,13 @@ object SparkEntry {
     "sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')""",
+    "sample_stratified" ->
+      """SELECT lang, COUNT(*) AS n_docs FROM documents
+         WHERE strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+               < (CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 16
+                            WHEN 'es' THEN 8 ELSE 16 END)
+         GROUP BY 1""",
     "sample_split" ->
       """SELECT lang,
          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)

@@ -42,10 +42,45 @@ object Sampling {
       when(inHashSample(col(idCol), trainSixteenths), lit("train"))
         .otherwise(lit("val")))
 
+  /** Stratified deterministic sampling: a different keep-rate (in
+    * sixteenths) per stratum value — the "downsample dominant
+    * languages / upweight rare ones" knob of corpus curation, with the
+    * same stability contract as [[hashSample]] (pure function of id,
+    * per-stratum membership never reshuffles as other strata change;
+    * strata missing from `rates` keep `defaultSixteenths`). Pure
+    * column algebra: the rate map becomes a CASE chain — no join, no
+    * shuffle.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultSixteenths: Int = 16): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultSixteenths)) { case (acc, (k, v)) =>
+      require(v >= 0 && v <= 16, s"rate for $k out of [0,16]")
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    // nibble rank < rate  ⇔  member of the stratum's first rate/16
+    val nibble = substring(md5(col(idCol).cast("string")), 1, 1)
+    val rank = locate0(nibble)
+    df.filter(rank < rate)
+  }
+
+  /** 0-based position of a hex nibble in "0123456789abcdef" (codegen'd
+    * arithmetic on the char, no lookup join).
+    */
+  private def locate0(nibble: Column): Column = {
+    val c = ascii(nibble)
+    when(c >= ascii(lit("a")), c - ascii(lit("a")) + 10)
+      .otherwise(c - ascii(lit("0")))
+  }
+
   /** Driver-contract queries. */
   def sampleDocuments(spark: SparkSession, dir: String): DataFrame =
     hashSample(Tables.documents(spark, dir), "doc_id", 4)
       .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  def stratifiedCounts(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir), "doc_id", "lang",
+      Map("en" -> 4, "zh" -> 16, "es" -> 8))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
 
   def splitCounts(spark: SparkSession, dir: String): DataFrame =
     trainValSplit(Tables.documents(spark, dir), "doc_id")

@@ -144,7 +144,7 @@ object TextAnalysis {
 
   def classifyLang(docs: DataFrame, profiles: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = docs
+    val scored = Par.ensure(docs)
       .select(col("doc_id"), explode(charBigrams(col("text"))).as("bg"))
       .join(broadcast(profiles), "bg")
       .groupBy(col("doc_id"), col("p_lang"))
@@ -155,6 +155,33 @@ object TextAnalysis {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("p_lang").as("lang_pred"),
         round(col("score"), 6).as("lang_score"))
+  }
+
+  /** Corpus-fluency score (perplexity-like gibberish detector): the
+    * mean log-probability of a doc's character bigrams under the
+    * corpus-wide bigram distribution. Natural text reuses the corpus'
+    * common bigrams → score near the corpus mode; random noise / wrong
+    * encoding / binary-in-text outliers sit far below. Bigrams outside
+    * the top-`topM` profile get a fixed 1e-9 floor instead of -inf
+    * (scores are RELATIVE quality ranks, not calibrated perplexity).
+    * Distinct bigrams per doc (boundedness over fidelity). Shapes: one
+    * agg builds the profile (dimension-sized, broadcast); scoring is
+    * explode → broadcast-join → per-doc mean — one shuffle on doc_id.
+    */
+  def fluencyScores(docs: DataFrame, topM: Int = 2000): DataFrame = {
+    val d = Par.ensure(docs)
+    val bg = d.select(col("doc_id"), explode(charBigrams(col("text"))).as("bg"))
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    val profile = counts
+      .orderBy(col("n").desc, col("bg")).limit(topM)
+      .crossJoin(broadcast(total))
+      .select(col("bg"), (col("n") / col("__total")).as("p"))
+    bg.join(broadcast(profile), Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(round(avg(
+        log(coalesce(col("p"), lit(1e-9)))), 6).as("fluency"),
+        count(lit(1)).as("n_bigrams"))
   }
 
   def languageId(docs: DataFrame): DataFrame = {

@@ -21,6 +21,42 @@ class SamplingSpec extends GraftSpecBase {
     assert(sampledHalf == sampledFull.filter(_ < 250))
   }
 
+  test("stratified sample: per-stratum rates, stable membership, default rate") {
+    initLog()
+    val docs = Tables.documents(spark, sf)
+    val rates = Map("en" -> 4, "zh" -> 16, "es" -> 8)
+    val s = Sampling.stratifiedSample(docs, "doc_id", "lang", rates)
+    val kept = s.select("doc_id").collect().map(_.getLong(0)).toSet
+    // rate-16 stratum keeps everything
+    val zhAll = docs.filter(col("lang") === "zh")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(zhAll.subsetOf(kept))
+    // per-stratum membership == plain hashSample at that stratum's rate
+    val enHash = Sampling.hashSample(
+        docs.filter(col("lang") === "en"), "doc_id", 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val enKept = s.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(enKept == enHash)
+    // strata not in the map keep the default (16 = all)
+    val frAll = docs.filter(!col("lang").isin("en", "zh", "es"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(frAll.subsetOf(kept))
+  }
+
+  test("fluency score ranks planted gibberish below natural docs") {
+    initLog()
+    val natural = (0 until 30).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val gibberish = Seq((100L, "qxzj wvkq zzxq jqxv kzwq xqzj vqkx zjqw"))
+    val docs = (natural ++ gibberish).toDF("doc_id", "text")
+    val scores = graft.operators.TextAnalysis.fluencyScores(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val naturalMin = natural.map(n => scores(n._1)).min
+    assert(scores(100L) < naturalMin,
+      s"gibberish ${scores(100L)} not below natural min $naturalMin")
+  }
+
   test("train/val split partitions every row, rates roughly honored") {
     initLog()
     val split = Sampling.trainValSplit(Tables.documents(spark, sf), "doc_id")
