@@ -36,6 +36,28 @@ class DedupSpec extends GraftSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("null and empty text survive the whole dedup family") {
+    initLog()
+    val weird = Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      (1L, null.asInstanceOf[String], "en", "s", 0L),
+      (2L, "", "en", "s", 0L),
+      (3L, base, "en", "s", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // exact: null and empty are each their own group; (0,3) collapse
+    val ex = Dedup.exact(weird).collect()
+    assert(ex.map(_.getAs[Long]("n_copies")).sum == 4L)
+    // pairwise ops: no crash, only the planted (0,3) pair appears
+    val ng = Dedup.ngramJaccardPairs(weird, n = 4, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ng == Set((0L, 3L)))
+    val mh = Dedup.minhashLshPairs(weird, tau = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((0L, 3L)))
+    assert(Dedup.simhashPairs(weird).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 3L)))
+  }
+
   test("reliable-checkpoint components equal the localCheckpoint form") {
     initLog()
     val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString

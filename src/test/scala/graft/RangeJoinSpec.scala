@@ -42,6 +42,49 @@ class RangeJoinSpec extends GraftSpecBase {
     assert(!naive.contains((13L, 100L)) && !naive.contains((15L, 101L)))
   }
 
+  test("property: binned == naive for random intervals, keys, and widths") {
+    initLog()
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import org.scalacheck.Test.{Result => ScResult}
+    val genCase = for {
+      nIv <- Gen.choose(0, 30)
+      nPr <- Gen.choose(0, 60)
+      ivs <- Gen.listOfN(nIv, for {
+        k <- Gen.choose(0L, 4L)
+        s <- Gen.choose(-500L, 500L)
+        len <- Gen.choose(0L, 400L)
+      } yield (k, s, s + len))
+      prs <- Gen.listOfN(nPr, for {
+        k <- Gen.choose(0L, 4L)
+        t <- Gen.choose(-600L, 900L)
+      } yield (k, t))
+      width <- Gen.oneOf(1L, 7L, 64L, 100L, 1000L)
+    } yield (ivs, prs, width)
+
+    val prop = Prop.forAllNoShrink(genCase) { case (ivs, prs, width) =>
+      val intervals = ivs.zipWithIndex
+        .map { case ((k, s, e), i) => (k, i.toLong, s, e) }
+        .toDF("ikey", "interval_id", "w_start", "w_end")
+      val probe = prs.zipWithIndex
+        .map { case ((k, t), i) => (k, i.toLong, t) }
+        .toDF("pkey", "row_id", "t")
+      val naive = probe.join(intervals,
+          col("pkey") === col("ikey") &&
+            col("t") >= col("w_start") && col("t") < col("w_end"))
+        .select("row_id", "interval_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val binned = RangeJoin.binnedIntervalJoin(probe, intervals,
+          "pkey", "ikey", "t", "w_start", "w_end", width)
+        .select("row_id", "interval_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      binned.toSet == naive && binned.length == naive.size
+    }
+    val res: ScResult =
+      check(Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("range join plans as an equi-join on (key, bin), not nested-loop") {
     initLog()
     val df = RangeJoin.errorNeighborhood(spark, sf)
