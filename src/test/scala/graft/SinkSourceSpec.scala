@@ -125,6 +125,32 @@ class SinkSourceSpec extends GraftSpecBase {
     }
   }
 
+  test("streaming quality-gated ingest: low-quality docs never reach the store") {
+    initLog()
+    // The batch quality transform applied 1:1 to a stream — ingest-time
+    // corpus gating, the streaming face of the curation pipeline.
+    val in = Files.createTempDirectory("graft_gate_in").toString
+    val dir = Files.createTempDirectory("graft_gate_store").toString
+    val ck = Files.createTempDirectory("graft_gate_ck").toString
+    val good = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo"
+    val junk = "the the the the the the the the the the the the"
+    Files.write(Paths.get(in, "b1.json"),
+      (s"""{"doc_id":1,"text":"$good"}""" + "\n" +
+        s"""{"doc_id":2,"text":"$junk"}""").getBytes)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").json(in)
+    val gated = graft.operators.TextAnalysis.qualityScores(stream)
+      .filter(col("quality_score") >= 0.5)
+    val q = DocStoreSink.start(gated, DirDocStore(dir), ck,
+      batchSize = 100, outputMode = "append")
+    try {
+      q.processAllAvailable()
+      val lines = readStore(dir)
+      assert(lines.exists(_.contains("\"doc_id\":1")), lines.mkString("|"))
+      assert(!lines.exists(_.contains("\"doc_id\":2")), lines.mkString("|"))
+    } finally q.stop()
+  }
+
   test("streaming e2e: windowed docs land in the store via the batched sink") {
     initLog()
     val in = Files.createTempDirectory("graft_sink_in").toString
