@@ -226,6 +226,50 @@ object Similarity {
     e.withColumn("list", greatest(scored.toIndexedSeq: _*).getField("list"))
   }
 
+  /** Persist an IVF index: the corpus PARTITIONED BY coarse-quantizer
+    * list (each vector in exactly ONE list — 1× storage, vs the LSH
+    * index's L×), plus the centroid table alongside. A probe then
+    * reads only its `nprobe` list directories. The complementary
+    * trade to [[writeLshIndex]]: IVF = cheaper storage + data-adaptive
+    * cells; LSH = no training + multi-table recall control.
+    */
+  def writeIvfIndex(e: DataFrame, path: String,
+      nlist: Int = 16, iters: Int = 3): Unit = {
+    val cents = ivfTrain(e, nlist, iters)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cArr = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    assignToNearest(e, cArr)
+      .write.mode("overwrite").partitionBy("list").parquet(s"$path/corpus")
+  }
+
+  /** Top-k probe against a persisted [[writeIvfIndex]] index: rank the
+    * (bounded, nlist-row) centroid table driver-side, scan ONLY the
+    * top-`nprobe` list partitions (literal `isin` filter → static
+    * pruning; plan-spec asserted), exact cosine top-k within.
+    */
+  def ivfIndexProbe(spark: SparkSession, path: String, query: Seq[Double],
+      k: Int = 5, nprobe: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val lists = spark.read.parquet(s"$path/centroids").collect()
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        val cNorm = math.sqrt(c.map(x => x * x).sum)
+        val cos = c.indices.map(d => c(d) * query(d)).sum / (cNorm * qNorm)
+        (r.getInt(0), cos)
+      }
+      .sortBy { case (list, cos) => (-cos, list) }
+      .take(nprobe).map(_._1)
+    val q = typedLit(query)
+    val base = spark.read.parquet(s"$path/corpus")
+      .filter(col("list").isin(lists.toIndexedSeq: _*))
+    excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
+      .select(col("vec_id").as("neighbor_id"),
+        round(Vectors.cosine(col("embedding"), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id")).limit(k)
+  }
+
   /** IVF search: assign queries to their `nprobe` nearest lists, scan
     * only those lists' vectors, exact top-k within. Approximate
     * (recall < 1 when a true neighbor lives in an unprobed list) —

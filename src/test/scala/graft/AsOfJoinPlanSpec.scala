@@ -98,6 +98,50 @@ class AsOfJoinPlanSpec extends GraftSpecBase {
     assert(diffs.isEmpty, s"${diffs.take(5)} differ")
   }
 
+  test("property: custom exec matches a plain-Scala as-of reference") {
+    initLog()
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters, Result => ScResult}
+    val genKey = Gen.frequency(9 -> Gen.choose(0L, 5L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]))
+    val genTime = Gen.frequency(9 -> Gen.choose(0L, 50L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]))
+    val genCase = for {
+      nl <- Gen.choose(0, 40)
+      nr <- Gen.choose(0, 40)
+      ls <- Gen.listOfN(nl, Gen.zip(genKey, genTime))
+      rs <- Gen.listOfN(nr, Gen.zip(genKey, genTime))
+    } yield (ls, rs)
+
+    val prop = Prop.forAllNoShrink(genCase) { case (ls, rs) =>
+      // unique (key, time) on the right — the exec's documented
+      // contract for deterministic tie resolution
+      val right = rs.distinctBy(r => (r._1, r._2)).zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+      val lDf = left.toDF("lk", "lt", "lid")
+      val rDf = right.toDF("rk", "rt", "payload")
+      val got = AsOfJoinPlan.asof(lDf, rDf, "lk", "rk", "lt", "rt")
+        .select(col("lid"), col("payload"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val want = left.map { case (k, t, lid) =>
+        val m = (k, t) match {
+          case (Some(kk), Some(tt)) => right
+            .filter(r => r._1.contains(kk) && r._2.exists(_ <= tt))
+            .sortBy(_._2.get).lastOption.map(_._3).getOrElse(-1L)
+          case _ => -1L   // null key or null time matches nothing
+        }
+        lid -> m
+      }.toMap
+      got == want
+    }
+    val res: ScResult =
+      check(Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("custom exec plan: one exchange per side, merge has no extra state") {
     initLog()
     val e = Tables.events(spark, sf)

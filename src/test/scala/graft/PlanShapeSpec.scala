@@ -114,6 +114,25 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(got.nonEmpty && !got.contains(0L))
   }
 
+  test("persisted IVF index probe scans only its nprobe list partitions") {
+    initLog()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    Similarity.writeIvfIndex(emb, dir, nlist = 8)
+    val query = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 1L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    val probe = Similarity.ivfIndexProbe(spark, dir, query,
+      k = 5, nprobe = 3, excludeId = Some(1L))
+    val scans = allNodes(plan(probe)).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, names(probe).mkString(","))
+    assert(scans.head.partitionFilters.nonEmpty, "list filter must prune")
+    assert(scans.head.selectedPartitions.partitionCount <= 3,
+      s"scanned ${scans.head.selectedPartitions.partitionCount} of 8 lists")
+    val got = probe.collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) != 1L))
+  }
+
   test("flagship window agg: single shuffle, pruned scan") {
     initLog()
     val df = EditAnalytics.editSizeByWindow(spark, sf)
