@@ -92,7 +92,8 @@ object SparkEntry {
     "sample_split" -> ((s, d) => Sampling.splitCounts(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.stratifiedCounts(s, d)),
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
-    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)))
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "mm_audio_window" -> ((s, d) => Multimodal.audioWindows(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, langid heuristic, simhash) get rows-only checks — their
@@ -548,6 +549,13 @@ object SparkEntry {
     "sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')""",
+    "mm_audio_window" ->
+      """SELECT doc_id, n_samples, win_idx,
+         win_idx * 40 AS start_sample, win_idx * 10 AS start_ms
+         FROM (SELECT doc_id, n_samples, unnest(range(0, nw)) AS win_idx
+               FROM (SELECT doc_id, strlen(text) // 2 AS n_samples,
+                       (strlen(text) // 2 - 100) // 40 + 1 AS nw
+                     FROM documents WHERE strlen(text) // 2 >= 100) a) b""",
     "sample_stratified" ->
       """SELECT lang, COUNT(*) AS n_docs FROM documents
          WHERE strpos('0123456789abcdef',

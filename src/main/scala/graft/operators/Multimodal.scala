@@ -67,6 +67,36 @@ object Multimodal {
       floor(col("height") * scale).cast("long").as("out_h"))
   }
 
+  /** Audio windowing over a (stubbed) PCM payload: 25 ms windows with
+    * a 10 ms hop (the standard ASR/feature framing — defaults sized to
+    * a 4 kHz rate so the small test payloads produce windows; at a
+    * real 16 kHz deployment pass 400/160), with real sample-offset
+    * arithmetic from byte-length metadata (16-bit mono ⇒ n_samples =
+    * bytes/2). Map-side explode, no shuffle — the audio twin of
+    * [[frameSample]]; windows feed the same batched decode/feature
+    * stubs.
+    */
+  def audioWindows(spark: SparkSession, dir: String): DataFrame =
+    audioWindows(Tables.documents(spark, dir))
+
+  def audioWindows(docs: DataFrame,
+      winSamples: Int = 100, hopSamples: Int = 40,
+      sampleRate: Int = 4000): DataFrame = {
+    val msPerHop = hopSamples * 1000 / sampleRate
+    docs
+      .select(col("doc_id"),
+        (length(encode(col("text"), "UTF-8")).cast("long") / 2)
+          .cast("long").as("n_samples"))
+      .filter(col("n_samples") >= winSamples)
+      .withColumn("n_windows",
+        expr(s"(n_samples - $winSamples) div $hopSamples") + 1L)
+      .select(col("doc_id"), col("n_samples"),
+        explode(sequence(lit(0L), col("n_windows") - 1L)).as("win_idx"))
+      .select(col("doc_id"), col("n_samples"), col("win_idx"),
+        (col("win_idx") * hopSamples).as("start_sample"),
+        (col("win_idx") * msPerHop).as("start_ms"))
+  }
+
   /** Feature-extraction record produced by the stubbed encoder. */
   final case class FrameFeatures(doc_id: Long, frame_idx: Long,
       features: Array[Float])
