@@ -67,6 +67,28 @@ object WikiEditPipeline {
         unix_micros(col("session_window.end")).as("session_end"),
         col("n_events"), col("session_value"))
 
+  /** Streaming top-k materialized view: per micro-batch, rank the
+    * windowed aggregate and keep the k busiest domains per window.
+    * Rank-over-stream isn't expressible inside a streaming plan
+    * (non-monotonic), so the standard shape is foreachBatch: the
+    * windowed agg stays incremental (complete mode), the rank runs on
+    * each batch's (small, aggregated) output, and `sink` receives the
+    * refreshed view keyed by epoch. At scale the ranked input is
+    * |windows × domains| aggregate rows, not raw events.
+    */
+  def startTopDomainsView(windowed: DataFrame, k: Int)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    windowed.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val w = Window.partitionBy(col("start"))
+          .orderBy(col("edit_size").desc, col("domain"))
+        sink(batch.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k).drop("rk"), epochId)
+      }
+      .start()
+  }
+
   /** Full job: JSON-lines source dir → windowed edit sizes → JSON doc
     * sink (the reference's Kafka→Mongo wiring, re-pointed at
     * swappable endpoints).

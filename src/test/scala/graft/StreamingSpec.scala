@@ -69,6 +69,29 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("streaming top-k view keeps only the k busiest domains per window") {
+    initLog()
+    val in = tmp("graft_topk")
+    val t = "2023-11-27T12:01:00Z"
+    Files.write(Paths.get(in, "b1.json"), String.join("\n",
+      editJson(1, "aa.org", "human", "main namespace", t, 0, 500),
+      editJson(2, "bb.org", "human", "main namespace", t, 0, 300),
+      editJson(3, "cc.org", "human", "main namespace", t, 0, 100),
+      editJson(4, "dd.org", "human", "main namespace", t, 0, 50)).getBytes)
+    val views = scala.collection.mutable.Map.empty[Long, Set[(String, Long)]]
+    val stream = WikiEditPipeline.windowedEditSize(
+      EditStream.readJsonFiles(spark, in))
+    val q = WikiEditPipeline.startTopDomainsView(stream, k = 2) { (b, epoch) =>
+      views(epoch) = b.select("domain", "edit_size").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    try {
+      q.processAllAvailable()
+      val last = views(views.keys.max)
+      assert(last == Set(("aa.org", 500L), ("bb.org", 300L)), views.toString)
+    } finally q.stop()
+  }
+
   test("stateful session tracker closes sessions across micro-batches") {
     initLog()
     val in = tmp("graft_sess")
