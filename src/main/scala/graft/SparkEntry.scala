@@ -88,6 +88,7 @@ object SparkEntry {
     "text_fluency" -> ((s, d) =>
       TextAnalysis.fluencyScores(graft.sources.Tables.documents(s, d))),
     "curate_corpus" -> ((s, d) => Curation.curateCorpus(s, d)),
+    "curate_corpus_v2" -> ((s, d) => Curation.curateCorpusV2(s, d)),
     "sample_hash" -> ((s, d) => Sampling.sampleDocuments(s, d)),
     "sample_split" -> ((s, d) => Sampling.splitCounts(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.stratifiedCounts(s, d)),
@@ -546,6 +547,52 @@ object SparkEntry {
                 THEN 'train' ELSE 'val' END AS split,
            CAST(n_tokens AS BIGINT) AS n_tokens
          FROM q WHERE uniq_ratio >= 0.2 AND n_tokens >= 20""",
+    "curate_corpus_v2" ->
+      """WITH RECURSIVE
+         exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                        GROUP BY md5(text)),
+         d AS (SELECT doc_id, text, lang FROM documents
+               WHERE doc_id IN (SELECT doc_id FROM exact_keep)),
+         s AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 2),
+             i -> array_to_string(t[i:i+3], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM d
+                 WHERE len(string_split(text, ' ')) >= 4) dd),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         canon AS (SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS canonical
+           FROM d LEFT JOIN reach r ON d.doc_id = r.u
+           GROUP BY d.doc_id),
+         q AS (SELECT d.doc_id, d.lang,
+             len(string_split(d.text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE) /
+               len(string_split(d.text, ' ')) AS uniq_ratio
+           FROM d JOIN canon c ON d.doc_id = c.doc_id
+           WHERE c.doc_id = c.canonical),
+         curated AS (
+           SELECT doc_id, lang,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7','8','9','a','b','c','d')
+                  THEN 'train' ELSE 'val' END AS split,
+             n_tokens
+           FROM q WHERE uniq_ratio >= 0.2 AND n_tokens >= 20)
+         SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         FROM curated
+         WHERE strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+               < (CASE lang WHEN 'en' THEN 8 WHEN 'es' THEN 12 ELSE 16 END)
+         GROUP BY 1, 2""",
     "sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')""",

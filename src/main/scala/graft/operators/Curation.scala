@@ -51,4 +51,27 @@ object Curation {
 
   def curateCorpus(spark: SparkSession, dir: String): DataFrame =
     curate(Tables.documents(spark, dir))
+
+  /** v2: the full pipeline plus language rebalancing — after dedup +
+    * quality, dominant languages are hash-downsampled per
+    * [[Sampling.stratifiedSample]] before the split. Same bounded-
+    * shuffle stages, still ONE composed DuckDB oracle
+    * (`curate_corpus_v2`) hash-checking the whole five-stage flow.
+    */
+  def curateRebalanced(docs: DataFrame,
+      rates: Map[String, Int] = Map("en" -> 8, "es" -> 12),
+      nearDupTau: Double = 0.8,
+      minUniqRatio: Double = 0.2,
+      minTokens: Int = 20,
+      trainSixteenths: Int = 14): DataFrame = {
+    val curated = curate(docs, nearDupTau, minUniqRatio, minTokens,
+      trainSixteenths)
+    Sampling.stratifiedSample(curated, "doc_id", "lang", rates)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  def curateCorpusV2(spark: SparkSession, dir: String): DataFrame =
+    curateRebalanced(Tables.documents(spark, dir))
 }
