@@ -7,6 +7,14 @@ import graft.sources.Tables
 /** Deduplication operators for LLM training-data pipelines:
   * exact, n-gram Jaccard (exact near-dup), MinHash+LSH (scalable
   * near-dup), SimHash. All pure column algebra — no UDFs.
+  *
+  * Algorithms follow the public literature: MinHash resemblance
+  * sketches (Broder, "On the resemblance and containment of
+  * documents", 1997) with banded LSH (Indyk & Motwani 1998; the
+  * bands/rows S-curve analysis as popularized in Mining of Massive
+  * Datasets ch. 3); SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002) with the
+  * Hamming-block trick of Manku et al., WWW 2007.
   */
 object Dedup {
 

@@ -13,6 +13,13 @@ import graft.sources.Tables
   * the pattern holds at 100 TB (queries broadcast, corpus scanned
   * once, per-partition top-k before the final shuffle). Scale path:
   * random-hyperplane LSH bucketing bounds the candidate set.
+  *
+  * Public lineage: random-hyperplane sign sketches are Charikar's
+  * rounding-based similarity estimation (STOC 2002); the multi-table
+  * + multiprobe layout follows Lv et al., "Multi-probe LSH" (VLDB
+  * 2007); the IVF coarse-quantizer design is the inverted-file
+  * approach of Sivic & Zisserman ("Video Google", ICCV 2003) as used
+  * by modern ANN libraries.
   */
 object Similarity {
 

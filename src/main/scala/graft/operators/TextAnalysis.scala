@@ -51,7 +51,10 @@ object TextAnalysis {
   }
 
   /** Winnowing-lite document fingerprint: the minimum md5 over all
-    * 8-token shingles (content-shift tolerant, order sensitive).
+    * 8-token shingles (content-shift tolerant, order sensitive) — the
+    * min-hash selection step of Schleimer, Wilkerson & Aiken,
+    * "Winnowing: local algorithms for document fingerprinting"
+    * (SIGMOD 2003), applied whole-document.
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     fingerprints(Tables.documents(spark, dir))
