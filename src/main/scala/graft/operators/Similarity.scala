@@ -344,6 +344,24 @@ object Similarity {
       .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
   }
 
+  /** Incremental maintenance for a [[writeLshIndex]] index: sketch the
+    * NEW vectors with the same deterministic plane coefficients and
+    * append their rows into the existing (tbl, bucket) dirs — no
+    * rebuild, no read of the existing index (coefficients are pure
+    * functions of (table, plane, dim), so old and new rows bucket
+    * identically). Dedup/compaction of re-ingested ids is the reader's
+    * concern (or a periodic rewrite), as with any append-only index.
+    */
+  def appendToLshIndex(newVectors: DataFrame, path: String,
+      planes: Int = 6, tables: Int = 4, dims0: Int = -1): Unit = {
+    val dims = dimsOf(newVectors, dims0)
+    val buckets = (0 until tables).map(t => bucketCol(dims, planes, t))
+    newVectors
+      .select(col("vec_id"), col("embedding"), posexplode(array(buckets: _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .write.mode("append").partitionBy("tbl", "bucket").parquet(path)
+  }
+
   /** Top-k probe against a persisted [[writeLshIndex]] index. The
     * query's bucket per table (+ Hamming-1 multiprobe) is computed
     * driver-side from the same deterministic coefficients, so the scan

@@ -89,6 +89,26 @@ class SimilaritySpec extends GraftSpecBase {
       s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
   }
 
+  test("LSH index append: new vectors become findable without a rebuild") {
+    initLog()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshapp").toString
+    val base = graft.sources.Tables.embeddings(spark, sf)
+    Similarity.writeLshIndex(base, dir, planes = 5, tables = 3)
+    // a brand-new vector: near-identical to vec 0 (guaranteed close)
+    val v0 = base.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val nv = v0.clone(); nv(0) = nv(0) + 0.01f
+    val newDf = Seq((999999L, nv.toSeq)).toDF("vec_id", "embedding")
+    Similarity.appendToLshIndex(newDf, dir, planes = 5, tables = 3)
+    // probing with vec 0's embedding must now surface the appended id
+    val got = Similarity.lshIndexProbe(spark, dir,
+        v0.map(_.toDouble).toSeq, k = 3, planes = 5, tables = 3,
+        excludeId = Some(0L))
+      .collect().map(_.getLong(0))
+    assert(got.contains(999999L), got.mkString(","))
+  }
+
   test("LSH buckets: near-identical vectors collide, orthogonal don't all") {
     initLog()
     val buckets = Similarity.annLshBuckets(emb, planes = 8).collect()
