@@ -125,6 +125,54 @@ class SinkSourceSpec extends GraftSpecBase {
     }
   }
 
+  test("sink restart from checkpoint: no loss, no duplicates across stop/start") {
+    initLog()
+    val in = Files.createTempDirectory("graft_rs_in").toString
+    val dir = Files.createTempDirectory("graft_rs_store").toString
+    val ck = Files.createTempDirectory("graft_rs_ck").toString
+    def doc(i: Int) = s"""{"doc_id":$i,"text":"doc number $i"}"""
+    def startQ() = DocStoreSink.start(
+      spark.readStream.schema("doc_id LONG, text STRING").json(in),
+      DirDocStore(dir), ck, batchSize = 10, outputMode = "append")
+    Files.write(Paths.get(in, "b1.json"), (1 to 5).map(doc).mkString("\n").getBytes)
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    Files.write(Paths.get(in, "b2.json"), (6 to 9).map(doc).mkString("\n").getBytes)
+    val q2 = startQ()                       // same checkpoint: resumes
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = readStore(dir).flatMap(l =>
+      "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).map(_.group(1).toInt))
+    assert(ids.sorted == (1 to 9).toList, ids.sorted.mkString(","))
+  }
+
+  test("store outage: failed epoch replays on restart, converging exactly-once") {
+    initLog()
+    val in = Files.createTempDirectory("graft_cr_in").toString
+    val dir = Files.createTempDirectory("graft_cr_store").toString
+    val ck = Files.createTempDirectory("graft_cr_ck").toString
+    Files.write(Paths.get(in, "b1.json"),
+      (1 to 6).map(i => s"""{"doc_id":$i,"text":"d$i"}""").mkString("\n").getBytes)
+    def startQ(store: DocStore) = DocStoreSink.start(
+      spark.readStream.schema("doc_id LONG, text STRING").json(in),
+      store, ck, batchSize = 10, maxRetries = 1, outputMode = "append")
+    // outage: every insert fails -> retries exhaust -> the QUERY fails,
+    // the epoch is NOT committed to the checkpoint
+    SinkSourceSpec.reset()
+    val down = SinkSourceSpec.FlakyStore(DirDocStore(dir), failuresPerKey = 99)
+    val q1 = startQ(down)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(readStore(dir).isEmpty, "no partial batch should be visible")
+    // store heals; restart from the same checkpoint replays the epoch
+    val q2 = startQ(DirDocStore(dir))
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = readStore(dir).flatMap(l =>
+      "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).map(_.group(1).toInt))
+    assert(ids.sorted == (1 to 6).toList, ids.sorted.mkString(","))
+  }
+
   test("streaming quality-gated ingest: low-quality docs never reach the store") {
     initLog()
     // The batch quality transform applied 1:1 to a stream — ingest-time
