@@ -92,6 +92,55 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream as-of join matches the batch answer under out-of-order arrival") {
+    initLog()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lefts = MemoryStream[(Long, Long, Long)]   // (k, sec, left_id)
+    val rights = MemoryStream[(Long, Long, Double)] // (k, sec, right_val)
+    val leftDf = lefts.toDF().select(col("_1").as("k"),
+      timestamp_seconds(col("_2")).as("ts"), col("_3").as("left_id"))
+    val rightDf = rights.toDF().select(col("_1").as("k"),
+      timestamp_seconds(col("_2")).as("ts"), col("_3").as("right_val"))
+    val q = graft.streaming.StreamAsOf.join(leftDf, rightDf, "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_out").start()
+    try {
+      // batch 1: a right at 10 and lefts at 5 and 15
+      rights.addData((1L, 10L, 1.0))
+      lefts.addData((1L, 5L, 50L), (1L, 15L, 51L))
+      q.processAllAvailable()
+      // batch 2: an OUT-OF-ORDER right at 12 (within the 10s bound) —
+      // the true latest-prior for the left at 15 — plus later data
+      rights.addData((1L, 12L, 1.2), (1L, 40L, 4.0))
+      lefts.addData((1L, 30L, 52L))
+      q.processAllAvailable()
+      // advance BOTH sides' watermarks (the global watermark is their
+      // min — an idle left stream would hold every pending left back
+      // forever); the sentinel left at t=1000 is never asserted on
+      rights.addData((1L, 100L, 9.0))
+      lefts.addData((1L, 1000L, 99L))
+      q.processAllAvailable()
+      rights.addData((1L, 200L, 9.9))
+      lefts.addData((1L, 2000L, 98L))
+      q.processAllAvailable()
+      val got = spark.table("asof_out")
+        .select("left_id", "matched_t", "matched_val").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+          else Some((r.getLong(1), r.getDouble(2))))).toMap
+        .removedAll(Seq(99L, 98L))
+      // the batch as-of answer, hand-computed: left@5 has no prior
+      // right; left@15 matches the out-of-order right@12 (NOT the
+      // first-arrived right@10); left@30 still matches right@12
+      assert(got == Map(
+        50L -> None,
+        51L -> Some((12000000L, 1.2)),
+        52L -> Some((12000000L, 1.2))), got.toString)
+    } finally q.stop()
+  }
+
   test("stateful session tracker closes sessions across micro-batches") {
     initLog()
     val in = tmp("graft_sess")
