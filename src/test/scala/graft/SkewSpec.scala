@@ -65,6 +65,47 @@ class SkewSpec extends GraftSpecBase {
     assert(Set("alpha", "charlie").subsetOf(got))  // no false negatives
   }
 
+  test("AQE splits a skewed join at runtime (documented 100TB fallback)") {
+    initLog()
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.SparkPlan
+    // one mega-key (0) holding ~90% of rows + a uniform tail
+    val skewed = spark.range(300000)
+      .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(5000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100KB",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (key, _) => key -> spark.conf.getOption(key) }
+    conf.foreach { case (key, v) => spark.conf.set(key, v) }
+    try {
+      val joined = skewed.join(dim, Seq("k"))
+      // collect() drives THIS queryExecution so AQE finalizes the very
+      // plan we inspect (count() would plan and adapt a separate one)
+      // 270001 rows carry the mega-key 0; 499 tail keys land in the dim
+      assert(joined.collect().length == 270500)
+      def find(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: QueryStageExec => find(q.plan)
+        case other => other.children.flatMap(find)
+      })
+      val smjs = find(joined.queryExecution.executedPlan)
+        .collect { case j: SortMergeJoinExec => j }
+      assert(smjs.exists(_.isSkewJoin),
+        joined.queryExecution.executedPlan.toString.take(800))
+    } finally saved.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
+  }
+
   test("salted distinct count equals exact distinct count") {
     initLog()
     val e = Tables.events(spark, sf)
