@@ -20,6 +20,9 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Par {
   def ensure(df: DataFrame): DataFrame = {
+    // Streaming plans can't be asked for an RDD (and micro-batch
+    // sources size their own partitions) — pass them through.
+    if (df.isStreaming) return df
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
