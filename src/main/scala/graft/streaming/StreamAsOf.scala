@@ -24,6 +24,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * advances, and of the rights at-or-below the watermark only the
   * LATEST is retained (older ones can never win an argmax for any
   * future left, whose t must be >= watermark).
+  *
+  * Tie contract (same as [[graft.plans.AsOfJoinPlan]]): give the right
+  * side unique (key, time) — among equal-time right rows the retained
+  * one follows arrival order, which is not a data property.
   */
 object StreamAsOf {
 
