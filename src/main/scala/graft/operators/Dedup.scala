@@ -78,9 +78,14 @@ object Dedup {
     // compares longs instead of strings. Same exactness basis as
     // `exact`'s md5 keying — a cross-doc 128-bit double collision is
     // ~2^-128 per candidate pair, far below any hardware error rate.
+    // Lane independence: XxHash64 folds children left-to-right using
+    // the running hash as seed, so the salt must come FIRST —
+    // xxhash64(42L, g) hashes g under effective seed H(42L), whereas
+    // xxhash64(g, 42L) would make h2 a pure function of h1 (every h1
+    // collision an automatic double collision, degrading to 64 bits).
     val ex = s.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
       .select(col("doc_id"), col("sz"),
-        xxhash64(col("g")).as("h1"), xxhash64(col("g"), lit(42L)).as("h2"))
+        xxhash64(col("g")).as("h1"), xxhash64(lit(42L), col("g")).as("h2"))
     // EXACT pruning before the self-join:
     //  - shingles in a single document generate no pairs — drop them
     //    (most shingles, in any diverse corpus);

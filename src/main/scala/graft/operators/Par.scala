@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Input-parallelism guard for map-heavy operators.
   *
@@ -14,16 +16,38 @@ import org.apache.spark.sql.DataFrame
   * for the affected operators.
   *
   * `ensure` round-robins the input up to the session's shuffle
-  * parallelism only when the current partition count is lower — the
+  * parallelism only when the estimated input width is lower — the
   * added shuffle ships raw rows once and is strictly cheaper than
   * serializing the downstream compute.
+  *
+  * The width estimate reads the ANALYZED logical plan's leaves (file
+  * bytes ÷ maxPartitionBytes for file scans, driver-local for
+  * LocalRelation) instead of probing `df.rdd.getNumPartitions`: the
+  * rdd probe forces a full second physical planning of the input per
+  * invocation — pure overhead that grows with plan width and defeats
+  * lazy composition when operators chain. Leaves of unknown kinds
+  * (Range, external RDDs, views over them) are assumed wide enough,
+  * so the guard stays a no-op unless it can SEE a narrow input.
   */
 private[graft] object Par {
   def ensure(df: DataFrame): DataFrame = {
     // Streaming plans can't be asked for an RDD (and micro-batch
     // sources size their own partitions) — pass them through.
     if (df.isStreaming) return df
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val maxSplit = math.max(1L, conf.filesMaxPartitionBytes)
+    val estimated = df.queryExecution.analyzed.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          // ceil(bytes / maxPartitionBytes): how many splits the scan
+          // yields at most (actual can be fewer after coalescing)
+          ((fs.location.sizeInBytes + maxSplit - 1) / maxSplit).toInt
+        case _ => target // non-file relation: assume ample
+      }
+      case _: LocalRelation => 1 // driver-local test data
+      case _ => target // unknown leaf: assume ample, stay lazy
+    }.sum
+    if (estimated < target) df.repartition(target) else df
   }
 }

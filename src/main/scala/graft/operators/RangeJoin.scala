@@ -36,14 +36,17 @@ object RangeJoin {
       timeCol: String, startCol: String, endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0)
-    // exact integer floor-division (negative-safe): `/` on longs goes
-    // through double, whose quotient rounding is fragile near bin edges
+    // exact integer floor-division (negative-safe): subtracting the
+    // positive mod lands on the floor multiple, then `div` (Spark's
+    // IntegralDivide) divides in LONG arithmetic — `/` on longs goes
+    // through double and is only exact below 2^53, not over the full
+    // LongType domain this API accepts
     def floorDiv(c: org.apache.spark.sql.Column) =
-      (c - pmod(c, lit(binWidth))) / binWidth
+      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
     val iv = intervals.withColumn("__bin",
-      explode(sequence(floorDiv(col(startCol)).cast("long"),
-        floorDiv(col(endCol) - 1).cast("long"))))
-    val pr = probe.withColumn("__bin", floorDiv(col(timeCol)).cast("long"))
+      explode(sequence(floorDiv(col(startCol)),
+        floorDiv(col(endCol) - 1))))
+    val pr = probe.withColumn("__bin", floorDiv(col(timeCol)))
     pr.join(iv,
         pr(probeKey) === iv(intervalKey) && pr("__bin") === iv("__bin") &&
           pr(timeCol) >= iv(startCol) && pr(timeCol) < iv(endCol))

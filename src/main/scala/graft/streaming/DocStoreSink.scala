@@ -57,15 +57,25 @@ object DocStoreSink {
     * per partition in `batchSize` chunks, each chunk keyed
     * `e<epoch>-p<partition>-c<chunk>` and retried up to `maxRetries`
     * times. Replays of the same epoch (foreachBatch redelivery, task
-    * retry) regenerate the same keys in the same order — partition
-    * contents are deterministic for a given epoch — so the store
-    * converges to exactly one copy per chunk.
+    * retry) regenerate the same keys with the same contents, so the
+    * store converges to exactly one copy per chunk.
+    *
+    * Chunk membership must be DETERMINISTIC for that to hold, and a
+    * batch plan containing a shuffle/aggregation is not: reduce-side
+    * iteration order depends on nondeterministic shuffle-fetch order,
+    * so a replay could compose the same rows into different chunks
+    * (old and new chunk keys would then coexist → duplicates). We
+    * therefore sort each partition by the serialized doc before
+    * chunking — partition MEMBERSHIP is already deterministic (hash
+    * partitioning is a pure function of the keys), and the local sort
+    * pins the intra-partition order without any extra shuffle.
     */
   def writeBatch(batch: DataFrame, epochId: Long, store: DocStore,
       batchSize: Int = 1000, maxRetries: Int = 3,
       retryDelayMs: Long = 0L): Unit = {
     require(batchSize > 0 && maxRetries >= 0)
     JsonDocSink.toJsonDocs(batch).select("value").as(Encoders.STRING)
+      .sortWithinPartitions("value")
       .foreachPartition { (it: Iterator[String]) =>
         val pid = TaskContext.getPartitionId()
         it.grouped(batchSize).zipWithIndex.foreach { case (chunk, ci) =>
