@@ -66,6 +66,9 @@ object SparkEntry {
     "q_ntile" -> ((s, d) => BatchQueries.priceQuartiles(s, d)),
     "q_latest_per_key" -> ((s, d) => BatchQueries.latestEventPerUser(s, d)),
     "q_stats_agg" -> ((s, d) => BatchQueries.priceStats(s, d)),
+    "q_lateral" -> ((s, d) => BatchQueries.topOrdersLateral(s, d)),
+    "q_explode_lateral" -> ((s, d) => BatchQueries.tokenLengthHistogram(s, d)),
+    "q_sequence_fill" -> ((s, d) => BatchQueries.denseDailySeries(s, d)),
     // §2.3 LLM-pipeline operators
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -87,6 +90,10 @@ object SparkEntry {
     "text_top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(s, d)),
     "text_fluency" -> ((s, d) =>
       TextAnalysis.fluencyScores(graft.sources.Tables.documents(s, d))),
+    "text_chunk" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionScores(s, d)),
+    "decontaminate" -> ((s, d) => TextAnalysis.contamination(s, d)),
+    "embed_norms" -> ((s, d) => Similarity.embeddingNorms(s, d)),
     "curate_corpus" -> ((s, d) => Curation.curateCorpus(s, d)),
     "curate_corpus_v2" -> ((s, d) => Curation.curateCorpusV2(s, d)),
     "sample_hash" -> ((s, d) => Sampling.sampleDocuments(s, d)),
@@ -389,6 +396,69 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1""",
+    "q_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         WHERE c.c_mktsegment = 'BUILDING'""",
+    "q_explode_lateral" ->
+      """SELECT lang, CAST(length(tok) AS BIGINT) AS tok_len, COUNT(*) AS n
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+               FROM documents) u
+         GROUP BY 1, 2""",
+    "q_sequence_fill" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             ROUND(SUM(value), 2) AS total, COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         spans AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+                   FROM daily GROUP BY 1),
+         cal AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+                 FROM spans)
+         SELECT c.event_type, c.day, COALESCE(d.total, 0.0) AS total,
+           COALESCE(d.n_events, 0) AS n_events
+         FROM cal c LEFT JOIN daily d
+           ON c.event_type = d.event_type AND c.day = d.day""",
+    "text_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+         p AS (SELECT doc_id, t,
+             CASE WHEN len(t) > 32 THEN (len(t) - 32 + 23) // 24
+                  ELSE 0 END AS n_extra FROM d),
+         u AS (SELECT doc_id, t, unnest(range(0, n_extra + 1)) AS s FROM p)
+         SELECT doc_id, CAST(s AS BIGINT) AS chunk_id,
+           CAST(len(t[s*24+1 : s*24+32]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(t[s*24+1 : s*24+32], ' ')) AS chunk_md5
+         FROM u""",
+    "text_repetition" ->
+      """WITH g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> array_to_string(t[i:i+1], ' '))) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2) d),
+         c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+           CAST(MAX(c) AS BIGINT) AS top_count,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_share
+         FROM c GROUP BY 1""",
+    "decontaminate" ->
+      """WITH s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' ')))) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 4) d),
+         b AS (SELECT DISTINCT g FROM s WHERE doc_id % 20 = 0)
+         SELECT doc_id, COUNT(*) AS n_shared
+         FROM s JOIN b USING (g) WHERE doc_id % 20 <> 0 GROUP BY 1""",
+    "embed_norms" ->
+      """SELECT vec_id,
+         ROUND(sqrt(list_inner_product(embedding::DOUBLE[],
+           embedding::DOUBLE[])), 4) AS l2_norm,
+         ROUND(GREATEST(list_max(embedding::DOUBLE[]),
+           -list_min(embedding::DOUBLE[])), 6) AS max_abs,
+         CAST(len(embedding) AS BIGINT) AS dims
+         FROM embeddings""",
     "text_top_ngrams" ->
       """SELECT gram, COUNT(*) AS df FROM (
            SELECT doc_id, unnest(list_distinct(list_transform(

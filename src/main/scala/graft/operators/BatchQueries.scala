@@ -504,4 +504,64 @@ object BatchQueries {
       .withColumn("promo_share",
         round(col("promo_revenue") * 100.0 / col("total_revenue"), 4))
   }
+
+  /** LATERAL correlated subquery through the SQL surface: each
+    * BUILDING-segment customer joined to its top-2 orders by price.
+    * Catalyst decorrelates the ORDER BY + LIMIT inner query into a
+    * window-rank over a single join — the same plan the DataFrame
+    * row_number form produces, so the per-customer probe never runs
+    * row-at-a-time.
+    */
+  def topOrdersLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("lat_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("lat_orders")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM lat_customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM lat_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
+  }
+
+  /** Set-returning function through the SQL surface (LATERAL VIEW
+    * explode): token-length histogram per language. The generator runs
+    * map-side (no shuffle until the aggregate), so at 100 TB the
+    * explode adds zero exchange — only the (lang, len) aggregate
+    * shuffles, and that is histogram-sized.
+    */
+  def tokenLengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("lv_documents")
+    spark.sql(
+      """SELECT lang, CAST(length(tok) AS BIGINT) AS tok_len, COUNT(*) AS n
+        |FROM lv_documents
+        |LATERAL VIEW explode(split(text, ' ')) t AS tok
+        |GROUP BY lang, length(tok)""".stripMargin)
+  }
+
+  /** Time-series gap filling: densify each event type's daily series
+    * over its own [min, max] day span (calendar rows generated with
+    * `sequence` + explode), zero-filling silent days. The calendar side
+    * is aggregate-sized (types × days), so the final join broadcasts
+    * it against the daily aggregate — no extra fact shuffle beyond the
+    * daily groupBy.
+    */
+  def denseDailySeries(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000").as("day")
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), day, col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(round(sum(col("value")), 2).as("total"),
+        count(lit(1)).as("n_events"))
+    val cal = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    cal.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("total"), lit(0.0)).as("total"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
 }

@@ -424,4 +424,24 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
   }
+
+  /** Per-vector hygiene stats — the sanity pass run before any
+    * similarity work on an embedding column: L2 norm (un-normalized
+    * vectors silently break cosine-as-dot shortcuts), max |component|
+    * (the int8 quantization scale is max_abs/127), and dims (ragged
+    * arrays break everything). Norm via the native DotProduct
+    * expression (codegen'd, deterministic left-to-right fold — matches
+    * a sequential oracle bit-for-bit before rounding); max/min are
+    * builtin codegen'd array ops, NOT interpreted HOF lambdas. Pure
+    * map, zero shuffle.
+    */
+  def embeddingNorms(spark: SparkSession, dir: String): DataFrame =
+    embeddingNorms(Tables.embeddings(spark, dir))
+
+  def embeddingNorms(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      round(Vectors.norm2(col("embedding")), 4).as("l2_norm"),
+      round(greatest(array_max(col("embedding")).cast("double"),
+        -array_min(col("embedding")).cast("double")), 6).as("max_abs"),
+      size(col("embedding")).cast("long").as("dims"))
 }

@@ -197,4 +197,96 @@ object TextAnalysis {
       col("doc_id"), col("lang").as("lang_label"),
       greatest(scores: _*).getField("lang").as("lang_pred"))
   }
+
+  /** Token-window document chunking — the context-length prep step of
+    * every LLM training pipeline: split each document into `window`-
+    * token chunks advancing by `stride` (stride < window ⇒ overlap;
+    * the final chunk keeps the tail even when shorter). Pure map-side
+    * generate (sequence + explode), zero shuffle: at 100 TB this is
+    * scan-bound and embarrassingly parallel. Chunk text is emitted as
+    * md5 so the oracle compare ships 32 bytes, not the text.
+    */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.documents(spark, dir))
+
+  def chunkDocs(docs: DataFrame, window: Int = 32, stride: Int = 24)
+      : DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window)
+    val toks = split(col("text"), " ")
+    val n = size(toks).cast("long")
+    // number of chunk starts past the first: ceil((n - window) / stride)
+    // in pure long arithmetic (div = IntegralDivide, no double rounding)
+    val nExtra = when(n > window,
+      call_function("div", n - window + (stride - 1), lit(stride.toLong)))
+      .otherwise(lit(0L))
+    Par.ensure(docs)
+      .select(col("doc_id"), toks.as("t"), nExtra.as("n_extra"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), col("n_extra"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("t"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(window)).as("c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("c")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("c"), " ")).as("chunk_md5"))
+  }
+
+  /** Benchmark decontamination — the overlap check run before training:
+    * for every corpus document, the number of distinct word `n`-grams
+    * it shares with a held-out benchmark set (docs whose id ≡ 0 mod 20
+    * here; any predicate works). Emits only contaminated docs
+    * (n_shared ≥ 1) — the caller anti-joins them away.
+    *
+    * Shape: both sides explode to per-doc DISTINCT shingles keyed by
+    * the same 128-bit double-xxhash as [[Dedup.ngramJaccardPairs]]
+    * (16-byte shuffle keys; collision odds ~2^-128 — same exactness
+    * basis as md5 keying), then one equi-join on the hash + one count
+    * per doc. The benchmark side is corpus-scale, NOT broadcast — at
+    * 100 TB both sides shuffle on the shingle hash and the join is
+    * sort-merge; a dimension-sized benchmark would broadcast instead.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contamination(Tables.documents(spark, dir))
+
+  def contamination(docs: DataFrame, n: Int = 4): DataFrame = {
+    val sh = Par.ensure(docs)
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"),
+        xxhash64(col("g")).as("h1"), xxhash64(lit(42L), col("g")).as("h2"))
+    val bench = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("h1"), col("h2")).distinct()
+    sh.filter(col("doc_id") % 20 =!= 0)
+      .join(bench, Seq("h1", "h2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Gopher-style repetition signal: the share of a document's word
+    * bigrams taken by its single most-frequent bigram (Rae et al.,
+    * "Scaling Language Models: ... Gopher", 2021, §A1.2 uses exactly
+    * this family of duplicate-n-gram fractions as quality filters).
+    * Boilerplate/spam/keyword-stuffed docs score near 1. Bigrams are
+    * counted WITH multiplicity (tf, not df). One shuffle on
+    * (doc, gram) then a doc-level reduce; both aggregates combine
+    * map-side.
+    */
+  def repetitionScores(spark: SparkSession, dir: String): DataFrame =
+    repetitionScores(Tables.documents(spark, dir))
+
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = transform(sequence(lit(0), size(toks) - 2),
+      i => array_join(slice(toks, i + 1, lit(2)), " "))
+    Par.ensure(docs)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_2grams"), max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_2grams"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_2grams"), 6)
+          .as("top_share"))
+  }
 }

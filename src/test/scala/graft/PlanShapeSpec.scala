@@ -133,6 +133,22 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(got.nonEmpty && got.forall(_.getLong(0) != 1L))
   }
 
+  test("lateral top-2 decorrelates to a window rank, not a per-row probe") {
+    initLog()
+    val ns = names(BatchQueries.topOrdersLateral(spark, sf))
+    assert(!ns.exists(n => n.startsWith("BroadcastNestedLoopJoin") ||
+      n.startsWith("CartesianProduct")), ns.mkString(","))
+    assert(ns.exists(n => n.contains("Window")),
+      s"expected the LIMIT 2 inner query to become a window rank: ${ns.mkString(",")}")
+  }
+
+  test("gap-fill calendar join is equi, not nested-loop") {
+    initLog()
+    val ns = names(BatchQueries.denseDailySeries(spark, sf))
+    assert(!ns.exists(n => n.startsWith("BroadcastNestedLoopJoin") ||
+      n.startsWith("CartesianProduct")), ns.mkString(","))
+  }
+
   test("flagship window agg: single shuffle, pruned scan") {
     initLog()
     val df = EditAnalytics.editSizeByWindow(spark, sf)

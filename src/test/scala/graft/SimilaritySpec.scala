@@ -142,4 +142,16 @@ class SimilaritySpec extends GraftSpecBase {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall@5 = $recall")  // 8 planes + multiprobe-1
   }
+
+  test("embedding norms: known vector, negative-dominant max_abs") {
+    initLog()
+    val d = Seq((0L, vec(3, 4), 0), (1L, vec(-7, 2), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingNorms(d).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x).toMap
+    assert(math.abs(r(0L).getAs[Double]("l2_norm") - 5.0) < 1e-9)
+    assert(math.abs(r(0L).getAs[Double]("max_abs") - 4.0) < 1e-9)
+    assert(r(0L).getAs[Long]("dims") == 2L)
+    assert(math.abs(r(1L).getAs[Double]("max_abs") - 7.0) < 1e-9)
+  }
 }

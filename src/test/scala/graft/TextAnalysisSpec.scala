@@ -71,6 +71,56 @@ class TextAnalysisSpec extends GraftSpecBase {
     assert(acc >= 0.9, s"accuracy $acc")
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("chunking: stride windows cover the doc, tail kept, md5 stable") {
+    initLog()
+    val toks80 = (0 until 80).map(i => s"t$i")
+    val d = Seq(
+      (0L, toks80.mkString(" "), "en", "s", 0L),
+      (1L, "alpha bravo charlie", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.chunkDocs(d, window = 32, stride = 24).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) -> r).toMap
+    // 80 tokens, window 32, stride 24: starts 0/24/48, all full-width
+    assert(out.keys.count(_._1 == 0L) == 3)
+    assert(Seq(0L, 1L, 2L).forall(c =>
+      out((0L, c)).getAs[Long]("n_chunk_tokens") == 32L))
+    assert(out((0L, 1L)).getAs[String]("chunk_md5") ==
+      md5hex(toks80.slice(24, 56).mkString(" ")))
+    // short doc: one chunk, whole doc
+    assert(out.keys.count(_._1 == 1L) == 1)
+    assert(out((1L, 0L)).getAs[Long]("n_chunk_tokens") == 3L)
+    assert(out((1L, 0L)).getAs[String]("chunk_md5") ==
+      md5hex("alpha bravo charlie"))
+  }
+
+  test("contamination counts shared benchmark shingles, excludes benchmark") {
+    initLog()
+    val d = Seq(
+      (20L, "a b c d e f g h", "en", "s", 0L), // benchmark (20 % 20 == 0)
+      (1L, "a b c d x y z w", "en", "s", 0L), // shares exactly "a b c d"
+      (2L, "p q r s t u v w2", "en", "s", 0L)) // shares nothing
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.contamination(d, n = 4).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    assert(out.head.getAs[Long]("n_shared") == 1L)
+  }
+
+  test("repetition: top-bigram share on a hand-computed doc") {
+    initLog()
+    val d = Seq((0L, "a b a b a b", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.repetitionScores(d).collect().head
+    // bigrams: "a b","b a","a b","b a","a b" -> 5 total, top 3
+    assert(r.getAs[Long]("n_2grams") == 5L)
+    assert(r.getAs[Long]("top_count") == 3L)
+    assert(math.abs(r.getAs[Double]("top_share") - 0.6) < 1e-9)
+  }
+
   test("multimodal: frame offsets and decode stub batch shape") {
     initLog()
     val text300 = ("x" * 299) + "y"
