@@ -92,8 +92,11 @@ object SparkEntry {
       TextAnalysis.fluencyScores(graft.sources.Tables.documents(s, d))),
     "text_chunk" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionScores(s, d)),
+    "text_normalize" -> ((s, d) => TextAnalysis.normalizeDocs(s, d)),
+    "text_pii" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "decontaminate" -> ((s, d) => TextAnalysis.contamination(s, d)),
     "embed_norms" -> ((s, d) => Similarity.embeddingNorms(s, d)),
+    "embed_quantize" -> ((s, d) => Similarity.quantizationError(s, d)),
     "curate_corpus" -> ((s, d) => Curation.curateCorpus(s, d)),
     "curate_corpus_v2" -> ((s, d) => Curation.curateCorpusV2(s, d)),
     "sample_hash" -> ((s, d) => Sampling.sampleDocuments(s, d)),
@@ -451,6 +454,39 @@ object SparkEntry {
          b AS (SELECT DISTINCT g FROM s WHERE doc_id % 20 = 0)
          SELECT doc_id, COUNT(*) AS n_shared
          FROM s JOIN b USING (g) WHERE doc_id % 20 <> 0 GROUP BY 1""",
+    "text_normalize" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+         CAST(len(string_split(trim(regexp_replace(regexp_replace(
+           lower(text), '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g')),
+           ' ')) AS BIGINT) AS n_norm_tokens
+         FROM documents""",
+    "text_pii" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(text,
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+         CAST(len(regexp_extract_all(text,
+           '\+?\d[\d()\- ]{7,}\d')) AS BIGINT) AS n_phones,
+         md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d[\d()\- ]{7,}\d', '<PHONE>', 'g')) AS scrubbed_md5
+         FROM documents""",
+    "embed_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+           GREATEST(list_max(embedding::DOUBLE[]),
+             -list_min(embedding::DOUBLE[])) / 127.0 AS scale
+           FROM embeddings)
+         SELECT vec_id, ROUND(scale, 6) AS q_scale,
+           CASE WHEN scale = 0 THEN 0.0 ELSE
+             ROUND(list_aggregate(list_transform(e,
+               v -> abs(v - round(v/scale)*scale)), 'sum') / len(e), 6)
+           END AS mean_abs_err
+         FROM s""",
     "embed_norms" ->
       """SELECT vec_id,
          ROUND(sqrt(list_inner_product(embedding::DOUBLE[],

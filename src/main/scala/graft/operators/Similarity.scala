@@ -444,4 +444,32 @@ object Similarity {
       round(greatest(array_max(col("embedding")).cast("double"),
         -array_min(col("embedding")).cast("double")), 6).as("max_abs"),
       size(col("embedding")).cast("long").as("dims"))
+
+  /** Symmetric int8 quantization calibration: per-vector scale
+    * (max|x|/127) and the round-trip mean absolute error — the numbers
+    * that decide whether an ANN index can store int8 instead of
+    * float32 (4× memory). No clamp needed: |x|/scale ≤ 127 by
+    * construction. A CALIBRATION-stage operator (run on a sample, not
+    * the corpus), so the single interpreted-HOF pass per row is
+    * acceptable; quantizing the full corpus would use a native
+    * expression like [[graft.functions.DotProduct]]. Fold order is
+    * sequential left-to-right on both engines ⇒ oracle-exact before
+    * rounding.
+    */
+  def quantizationError(spark: SparkSession, dir: String): DataFrame =
+    quantizationError(Tables.embeddings(spark, dir))
+
+  def quantizationError(e: DataFrame): DataFrame = {
+    val ed = col("embedding").cast("array<double>")
+    e.withColumn("__scale",
+        greatest(array_max(ed), -array_min(ed)) / 127.0)
+      .select(col("vec_id"),
+        round(col("__scale"), 6).as("q_scale"),
+        when(col("__scale") === 0.0, 0.0)
+          .otherwise(round(
+            aggregate(ed, lit(0.0), (acc, v) =>
+              acc + abs(v - round(v / col("__scale")) * col("__scale")))
+              / size(ed), 6))
+          .as("mean_abs_err"))
+  }
 }

@@ -262,6 +262,55 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** C4-style text normalization (Raffel et al. 2020 §2.2 family):
+    * lowercase, strip everything but letters/digits/spaces (unicode
+    * classes, so CJK and accented text survive), collapse runs of
+    * whitespace, trim. Pure codegen'd column algebra — zero shuffle,
+    * scan-bound at any scale. The test corpus is already normalized
+    * (so the driver check is rows-only); NormalizeSpec asserts the
+    * transform on planted messy text.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N} ]", " "), " +", " "))
+
+  def normalizeDocs(spark: SparkSession, dir: String): DataFrame =
+    normalizeDocs(Tables.documents(spark, dir))
+
+  def normalizeDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(normalized(col("text"))).as("norm_md5"),
+      size(split(normalized(col("text")), " ")).cast("long")
+        .as("n_norm_tokens"))
+
+  /** PII scrubbing — the redaction pass every published web-scale
+    * pipeline runs (emails / IPv4 / phone-shaped digit runs →
+    * placeholder tokens) plus per-doc match counts for audit. Patterns
+    * are deliberately conservative RE2-compatible shapes; swap in
+    * jurisdiction-specific ones at deploy time. Pure map, zero
+    * shuffle. Spec-tested on planted PII (the synthetic corpus
+    * contains none — counts are the audit trail proving that).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d()\\- ]{7,}\\d"
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrub(Tables.documents(spark, dir))
+
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      md5(scrubbed).as("scrubbed_md5"))
+  }
+
   /** Gopher-style repetition signal: the share of a document's word
     * bigrams taken by its single most-frequent bigram (Rae et al.,
     * "Scaling Language Models: ... Gopher", 2021, §A1.2 uses exactly

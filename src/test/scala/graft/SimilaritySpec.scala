@@ -154,4 +154,17 @@ class SimilaritySpec extends GraftSpecBase {
     assert(r(0L).getAs[Long]("dims") == 2L)
     assert(math.abs(r(1L).getAs[Double]("max_abs") - 7.0) < 1e-9)
   }
+
+  test("int8 quantization: exact-representable vector has zero error") {
+    initLog()
+    // components are exact multiples of scale = 127/127 = 1.0
+    val d = Seq((0L, vec(127, -64, 1, 0), 0), (1L, vec(0, 0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.quantizationError(d).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x).toMap
+    assert(math.abs(r(0L).getAs[Double]("q_scale") - 1.0) < 1e-9)
+    assert(r(0L).getAs[Double]("mean_abs_err") == 0.0)
+    // zero vector: scale 0 guard, no NaN
+    assert(r(1L).getAs[Double]("mean_abs_err") == 0.0)
+  }
 }

@@ -121,6 +121,41 @@ class TextAnalysisSpec extends GraftSpecBase {
     assert(math.abs(r.getAs[Double]("top_share") - 0.6) < 1e-9)
   }
 
+  test("normalization lowercases, strips punctuation, collapses spaces") {
+    initLog()
+    val d = Seq(
+      (0L, "  Hello,   WORLD!! Café #42 中文。 ", "en", "s", 0L),
+      (1L, "already clean text", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val norm = d.select(col("doc_id"),
+      TextAnalysis.normalized(col("text")).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("n")).toMap
+    assert(norm(0L) == "hello world café 42 中文")
+    assert(norm(1L) == "already clean text")
+    val out = TextAnalysis.normalizeDocs(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_norm_tokens") == 5L)
+    assert(out(0L).getAs[String]("norm_md5") == md5hex(norm(0L)))
+  }
+
+  test("pii scrub counts and redacts planted emails/ips/phones") {
+    initLog()
+    val d = Seq(
+      (0L, "mail a@b.com and c.d+x@e.org ip 10.0.0.1 tel +1 (555) 123-4567 end",
+        "en", "s", 0L),
+      (1L, "no pii here", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.piiScrub(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_emails") == 2L)
+    assert(out(0L).getAs[Long]("n_ips") == 1L)
+    assert(out(0L).getAs[Long]("n_phones") == 1L)
+    assert(out(0L).getAs[String]("scrubbed_md5") ==
+      md5hex("mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE> end"))
+    assert(out(1L).getAs[Long]("n_emails") == 0L)
+    assert(out(1L).getAs[String]("scrubbed_md5") == md5hex("no pii here"))
+  }
+
   test("multimodal: frame offsets and decode stub batch shape") {
     initLog()
     val text300 = ("x" * 299) + "y"
