@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_components" -> ((s, d) => Dedup.nearDupComponents(s, d)),
+    "q_recursive_cte" -> ((s, d) => Dedup.recursiveCanonicalIds(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(s, d)),
@@ -572,6 +573,30 @@ object SparkEntry {
              AS canonical_id
          FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
          GROUP BY d.doc_id""",
+    "q_recursive_cte" ->
+      """WITH RECURSIVE
+         s AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 2),
+             i -> array_to_string(t[i:i+3], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 4) d),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(u, v, d) AS (
+           SELECT u, v, 1 FROM edges
+           UNION ALL
+           SELECT r.u, e.v, r.d + 1 FROM reach r JOIN edges e ON r.v = e.u
+           WHERE r.d < 6),
+         canon AS (SELECT u, MIN(v) AS mn FROM reach GROUP BY u)
+         SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(c.mn, d.doc_id)) AS BIGINT)
+             AS canonical_id
+         FROM documents d LEFT JOIN canon c ON d.doc_id = c.u""",
     "dedup_embedding" ->
       """SELECT id_a, id_b, cos_sim FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -230,6 +230,37 @@ object Dedup {
     canonicalIds(docs, minhashLshPairs(docs))
   }
 
+  /** Near-dup canonical ids through Spark 4's RECURSIVE CTE SQL
+    * surface — the same answer as [[canonicalIds]] expressed
+    * declaratively. Spark supports only UNION ALL recursion (no
+    * cycle-absorbing UNION), so the walk carries a depth counter and
+    * stops at `maxDepth`: EXACT whenever every component's diameter is
+    * ≤ maxDepth (near-dup clusters are shallow; the DuckDB oracle runs
+    * the identical bounded walk, so the compare is semantics-equal at
+    * any scale, not just result-equal on shallow data). The iterative
+    * [[canonicalIds]] remains the 100 TB path — per-round truncation
+    * beats materializing every ≤k-step walk.
+    */
+  def recursiveCanonicalIds(spark: SparkSession, dir: String,
+      maxDepth: Int = 6): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    minhashLshPairs(docs).createOrReplaceTempView("rc_pairs")
+    docs.createOrReplaceTempView("rc_docs")
+    spark.sql(
+      s"""WITH RECURSIVE
+         |edges AS (SELECT id_a AS u, id_b AS v FROM rc_pairs
+         |          UNION ALL SELECT id_b, id_a FROM rc_pairs),
+         |reach(u, v, d) AS (
+         |  SELECT u, v, 1 FROM edges
+         |  UNION ALL
+         |  SELECT r.u, e.v, r.d + 1 FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE r.d < $maxDepth),
+         |canon AS (SELECT u, MIN(v) AS mn FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |  LEAST(d.doc_id, COALESCE(c.mn, d.doc_id)) AS canonical_id
+         |FROM rc_docs d LEFT JOIN canon c ON d.doc_id = c.u""".stripMargin)
+  }
+
   /** 64-bit SimHash per document: bit i of the hash is the sign of the
     * sum over tokens of ±1 according to bit i of xxhash64(token).
     */

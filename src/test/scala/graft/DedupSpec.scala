@@ -73,6 +73,16 @@ class DedupSpec extends GraftSpecBase {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("recursive-CTE canonical ids equal the iterative components") {
+    initLog()
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rec = toMap(Dedup.recursiveCanonicalIds(spark, sf))
+    val iter = toMap(Dedup.nearDupComponents(spark, sf))
+    assert(rec == iter)
+    assert(rec.exists { case (d, c) => d != c }, "corpus has planted near-dups")
+  }
+
   test("minhash LSH pairs == exact jaccard pairs on the test corpus") {
     initLog()
     val d = graft.sources.Tables.documents(spark, sf)

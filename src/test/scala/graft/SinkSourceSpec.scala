@@ -103,6 +103,32 @@ class SinkSourceSpec extends GraftSpecBase {
     assert(lines.length == 100 && lines.distinct.length == 100)
   }
 
+  test("replay of a SHUFFLED batch regenerates byte-identical chunks") {
+    initLog()
+    // An aggregation's reduce-side row order depends on shuffle-fetch
+    // order; the sink's per-partition sort must make chunk contents a
+    // pure function of the data so replays overwrite instead of
+    // duplicating. Compare full store snapshots (file name -> bytes)
+    // across two independent executions of the same aggregated plan.
+    import org.apache.spark.sql.functions._
+    val agg = docsDf(500)
+      .groupBy((col("id") % 97).as("k"))
+      .agg(count(lit(1)).as("n"), max(col("title")).as("top_title"))
+    def snapshot(): Map[String, String] = {
+      val dir = Files.createTempDirectory("graft_store_det").toString
+      DocStoreSink.writeBatch(agg, 11L, DirDocStore(dir), batchSize = 13)
+      Files.list(Paths.get(dir)).iterator().asScala
+        .filter(_.toString.endsWith(".jsonl"))
+        .map(p => p.getFileName.toString ->
+          new String(Files.readAllBytes(p), "UTF-8")).toMap
+    }
+    val a = snapshot()
+    val b = snapshot()
+    assert(a.keySet == b.keySet)
+    assert(a == b, "chunk contents must be deterministic under replay")
+    assert(a.size > 1, "expect multiple chunks so the test is non-trivial")
+  }
+
   test("transient insert failures are retried up to maxRetries (Mongo setMaxRetries analog)") {
     initLog()
     val dir = Files.createTempDirectory("graft_store3").toString
