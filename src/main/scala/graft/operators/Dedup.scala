@@ -71,21 +71,30 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame,
       n: Int = 4, tau: Double = 0.5,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    val s = shingled(docs, n)
     // The inverted index keys on a 128-bit shingle hash (two
-    // independent xxhash64 lanes), not the shingle STRING: the shuffle
-    // ships 16 fixed bytes instead of ~n words and the sort-merge
-    // compares longs instead of strings. Same exactness basis as
-    // `exact`'s md5 keying — a cross-doc 128-bit double collision is
-    // ~2^-128 per candidate pair, far below any hardware error rate.
-    // Lane independence: XxHash64 folds children left-to-right using
-    // the running hash as seed, so the salt must come FIRST —
-    // xxhash64(42L, g) hashes g under effective seed H(42L), whereas
-    // xxhash64(g, 42L) would make h2 a pure function of h1 (every h1
-    // collision an automatic double collision, degrading to 64 bits).
-    val ex = s.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+    // structurally independent rolling-hash lanes), not the shingle
+    // STRING: the shuffle ships 16 fixed bytes instead of ~n words and
+    // the sort-merge compares longs instead of strings. Same exactness
+    // basis as `exact`'s md5 keying — a cross-doc 128-bit double
+    // collision is ~2^-128 per candidate pair. The hashes come from
+    // the native ShingleHashes expression (each token's bytes hashed
+    // once per lane + one multiply-add per window) instead of
+    // materializing shingle strings through an interpreted transform
+    // lambda and re-reading every byte n times — the map stage that
+    // dominated this operator's 10× profile. Per-doc distinct is taken
+    // over the (h1,h2) PAIR, preserving the 128-bit basis.
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val toks = split(col("text"), " ")
+    val ex = Par.ensure(docs)
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), array_distinct(arrays_zip(
+        column(graft.functions.ShingleHashes(expression(toks), n, 0)).as("h1"),
+        column(graft.functions.ShingleHashes(expression(toks), n, 1)).as("h2")))
+        .as("hp"))
+      .select(col("doc_id"), size(col("hp")).as("sz"),
+        explode(col("hp")).as("p"))
       .select(col("doc_id"), col("sz"),
-        xxhash64(col("g")).as("h1"), xxhash64(lit(42L), col("g")).as("h2"))
+        col("p.h1").as("h1"), col("p.h2").as("h2"))
     // EXACT pruning before the self-join:
     //  - shingles in a single document generate no pairs — drop them
     //    (most shingles, in any diverse corpus);

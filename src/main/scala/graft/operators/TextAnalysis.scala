@@ -238,22 +238,28 @@ object TextAnalysis {
     * (n_shared ≥ 1) — the caller anti-joins them away.
     *
     * Shape: both sides explode to per-doc DISTINCT shingles keyed by
-    * the same 128-bit double-xxhash as [[Dedup.ngramJaccardPairs]]
-    * (16-byte shuffle keys; collision odds ~2^-128 — same exactness
-    * basis as md5 keying), then one equi-join on the hash + one count
-    * per doc. The benchmark side is corpus-scale, NOT broadcast — at
-    * 100 TB both sides shuffle on the shingle hash and the join is
-    * sort-merge; a dimension-sized benchmark would broadcast instead.
+    * the same 128-bit double-rolling-hash as
+    * [[Dedup.ngramJaccardPairs]] (native ShingleHashes lanes — 16-byte
+    * shuffle keys, no shingle strings; collision odds ~2^-128 — same
+    * exactness basis as md5 keying), then one equi-join on the hash +
+    * one count per doc. The benchmark side is corpus-scale, NOT
+    * broadcast — at 100 TB both sides shuffle on the shingle hash and
+    * the join is sort-merge; a dimension-sized benchmark would
+    * broadcast instead.
     */
   def contamination(spark: SparkSession, dir: String): DataFrame =
     contamination(Tables.documents(spark, dir))
 
   def contamination(docs: DataFrame, n: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val toks = split(col("text"), " ")
     val sh = Par.ensure(docs)
       .filter(size(split(col("text"), " ")) >= n)
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("g"))
-      .select(col("doc_id"),
-        xxhash64(col("g")).as("h1"), xxhash64(lit(42L), col("g")).as("h2"))
+      .select(col("doc_id"), explode(array_distinct(arrays_zip(
+        column(graft.functions.ShingleHashes(expression(toks), n, 0)).as("h1"),
+        column(graft.functions.ShingleHashes(expression(toks), n, 1)).as("h2"))))
+        .as("p"))
+      .select(col("doc_id"), col("p.h1").as("h1"), col("p.h2").as("h2"))
     val bench = sh.filter(col("doc_id") % 20 === 0)
       .select(col("h1"), col("h2")).distinct()
     sh.filter(col("doc_id") % 20 =!= 0)

@@ -73,6 +73,30 @@ class DedupSpec extends GraftSpecBase {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("native shingle hashes: window count, per-doc distinct parity, lane independence") {
+    initLog()
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.functions.ShingleHashes
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 4).limit(200)
+    val toks = split(col("text"), " ")
+    val r = docs.select(
+      (size(toks) - 3).as("expect_windows"),
+      column(ShingleHashes(expression(toks), 4, 0)).as("l0"),
+      column(ShingleHashes(expression(toks), 4, 1)).as("l1"),
+      size(array_distinct(Dedup.shingles(col("text"), 4))).as("distinct_strings"),
+      size(array_distinct(arrays_zip(
+        column(ShingleHashes(expression(toks), 4, 0)).as("h1"),
+        column(ShingleHashes(expression(toks), 4, 1)).as("h2"))))
+        .as("distinct_pairs")).collect()
+    r.foreach { row =>
+      assert(row.getAs[Int]("expect_windows") == row.getSeq[Long](1).size)
+      assert(row.getSeq[Long](1) != row.getSeq[Long](2), "lanes must differ")
+      // 128-bit pair-distinct equals string-distinct on real docs
+      assert(row.getAs[Int]("distinct_strings") == row.getAs[Int]("distinct_pairs"))
+    }
+  }
+
   test("recursive-CTE canonical ids equal the iterative components") {
     initLog()
     def toMap(df: org.apache.spark.sql.DataFrame) =
