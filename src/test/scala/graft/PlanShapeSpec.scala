@@ -149,6 +149,27 @@ class PlanShapeSpec extends GraftSpecBase {
       n.startsWith("CartesianProduct")), ns.mkString(","))
   }
 
+  test("co-bucketed join: zero exchanges, results equal the plain join") {
+    initLog()
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Bucketing.writeBucketed(orders, "bk_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(lineitem, "bk_lineitem", "o_orderkey", 8)
+    try {
+      val joined = Bucketing.cobucketedJoin(spark, "bk_orders", "bk_lineitem",
+        "o_orderkey")
+      assert(shuffles(joined) == 0,
+        s"bucketed join must not exchange: ${names(joined).mkString(",")}")
+      assert(joined.count() == orders.join(lineitem, "o_orderkey").count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    }
+  }
+
   test("flagship window agg: single shuffle, pruned scan") {
     initLog()
     val df = EditAnalytics.editSizeByWindow(spark, sf)

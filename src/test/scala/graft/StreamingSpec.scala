@@ -199,6 +199,29 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("stateless pipeline ops run unchanged on a stream: chunking parity") {
+    initLog()
+    import graft.operators.TextAnalysis
+    val docsPath = s"$sf/documents.parquet"
+    val batch = TextAnalysis.chunkDocs(
+      spark.read.parquet(docsPath)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val dir = tmp("graft_chunk_stream")
+    Files.createSymbolicLink(Paths.get(dir, "documents.parquet"),
+      Paths.get(docsPath))
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(docsPath).schema).parquet(dir)
+    val q = TextAnalysis.chunkDocs(streamed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("chunk_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("kafka-shaped binary frames decode to typed edit events") {
     initLog()
     import graft.sources.EditEvents
