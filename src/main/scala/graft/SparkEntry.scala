@@ -69,6 +69,9 @@ object SparkEntry {
     "q_lateral" -> ((s, d) => BatchQueries.topOrdersLateral(s, d)),
     "q_explode_lateral" -> ((s, d) => BatchQueries.tokenLengthHistogram(s, d)),
     "q_sequence_fill" -> ((s, d) => BatchQueries.denseDailySeries(s, d)),
+    "q_unpivot" -> ((s, d) => BatchQueries.unpivotQuantities(s, d)),
+    "q_multiset_ops" -> ((s, d) => BatchQueries.userMultisetOps(s, d)),
+    "q_snapshot_diff" -> ((s, d) => BatchQueries.snapshotDiff(s, d)),
     // §2.3 LLM-pipeline operators
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -98,6 +101,7 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => TextAnalysis.contamination(s, d)),
     "embed_norms" -> ((s, d) => Similarity.embeddingNorms(s, d)),
     "embed_quantize" -> ((s, d) => Similarity.quantizationError(s, d)),
+    "embed_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "curate_corpus" -> ((s, d) => Curation.curateCorpus(s, d)),
     "curate_corpus_v2" -> ((s, d) => Curation.curateCorpusV2(s, d)),
     "sample_hash" -> ((s, d) => Sampling.sampleDocuments(s, d)),
@@ -455,6 +459,51 @@ object SparkEntry {
          b AS (SELECT DISTINCT g FROM s WHERE doc_id % 20 = 0)
          SELECT doc_id, COUNT(*) AS n_shared
          FROM s JOIN b USING (g) WHERE doc_id % 20 <> 0 GROUP BY 1""",
+    "q_unpivot" ->
+      """WITH a AS (SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+         UNION ALL
+         SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a""",
+    "q_multiset_ops" ->
+      """SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n FROM (
+           SELECT user_id FROM events WHERE event_type = 'click'
+           INTERSECT ALL
+           SELECT user_id FROM events WHERE event_type = 'purchase') t
+         GROUP BY 2
+         UNION ALL
+         SELECT 'except_all' AS op, user_id, COUNT(*) AS n FROM (
+           SELECT user_id FROM events WHERE event_type = 'click'
+           EXCEPT ALL
+           SELECT user_id FROM events WHERE event_type = 'purchase') t2
+         GROUP BY 2""",
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT o_orderkey AS k,
+           md5(CAST(o_orderpriority AS VARCHAR) ||
+               CAST(o_totalprice AS VARCHAR)) AS sig
+           FROM orders WHERE o_orderkey % 10 <> 0),
+         b0 AS (SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN ROUND(o_totalprice + 1.0, 2)
+                ELSE o_totalprice END AS o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 10 <> 1),
+         b AS (SELECT o_orderkey AS k,
+           md5(CAST(o_orderpriority AS VARCHAR) ||
+               CAST(o_totalprice AS VARCHAR)) AS sig FROM b0)
+         SELECT o_orderkey, status FROM (
+           SELECT COALESCE(a.k, b.k) AS o_orderkey,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.sig <> b.sig THEN 'changed' END AS status
+           FROM a FULL OUTER JOIN b ON a.k = b.k) d
+         WHERE status IS NOT NULL""",
+    "embed_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(r - 1 AS BIGINT) AS dim,
+         ROUND(AVG(embedding[r]::DOUBLE), 6) AS mean_v, COUNT(*) AS n
+         FROM (SELECT label, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS r
+               FROM embeddings) t
+         GROUP BY 1, 2""",
     "text_normalize" ->
       """SELECT doc_id,
          md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -505,6 +505,73 @@ object BatchQueries {
         round(col("promo_revenue") * 100.0 / col("total_revenue"), 4))
   }
 
+  /** Unpivot (melt): wide per-group aggregate columns back to tall
+    * (group, metric, value) rows — the inverse of [[pivotUserActivity]].
+    * Map-side row expansion over an aggregate-sized input; no extra
+    * shuffle beyond the aggregate itself.
+    */
+  def unpivotQuantities(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "metric", "value")
+
+  /** Multiset set-ops: INTERSECT ALL / EXCEPT ALL preserve
+    * multiplicities (the bag semantics ANSI defines and most engines
+    * implement as a count-tracking aggregate, not a dedup). Output is
+    * re-aggregated per user so the compare is deterministic.
+    */
+  def userMultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def ids(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"))
+    val both = ids("click").intersectAll(ids("purchase"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val only = ids("click").exceptAll(ids("purchase"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    both.unionByName(only).select(col("op"), col("user_id"), col("n"))
+  }
+
+  /** Snapshot diff (the CDC/reconciliation shape): given two versions
+    * of a keyed table, classify every key as added / removed / changed
+    * via ONE full outer join on the key with a value-hash compare —
+    * never a row-by-row driver loop. Snapshots are derived
+    * deterministically from `orders` here; any two keyed DataFrames
+    * work. At 100 TB both sides shuffle once on the key; if the
+    * snapshots are co-bucketed ([[Bucketing]]) the diff is
+    * exchange-free.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val snapA = o.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val snapB = o.filter(col("o_orderkey") % 10 =!= 1)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, round(col("o_totalprice") + 1.0, 2))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderpriority"))
+    diffSnapshots(snapA, snapB, "o_orderkey")
+  }
+
+  def diffSnapshots(old: DataFrame, cur: DataFrame, key: String): DataFrame = {
+    val valueCols = old.columns.filterNot(_ == key).sorted
+    def sig(df: DataFrame) = md5(concat_ws("",
+      valueCols.map(c => df(c).cast("string")): _*))
+    val a = old.select(old(key).as("k"), sig(old).as("sig_a"))
+    val b = cur.select(cur(key).as("k"), sig(cur).as("sig_b"))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("status",
+        when(col("sig_a").isNull, lit("added"))
+          .when(col("sig_b").isNull, lit("removed"))
+          .when(col("sig_a") =!= col("sig_b"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("k").as(key), col("status"))
+  }
+
   /** LATERAL correlated subquery through the SQL surface: each
     * BUILDING-segment customer joined to its top-2 orders by price.
     * Catalyst decorrelates the ORDER BY + LIMIT inner query into a

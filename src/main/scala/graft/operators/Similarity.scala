@@ -445,6 +445,24 @@ object Similarity {
         -array_min(col("embedding")).cast("double")), 6).as("max_abs"),
       size(col("embedding")).cast("long").as("dims"))
 
+  /** Per-label centroid, dimension-exploded: the distributed way to
+    * average vectors — posexplode to (label, dim, component) and let a
+    * plain hash aggregate combine map-side, instead of zipping arrays
+    * in an interpreted reduce. Output is (label, dim, mean) tall form;
+    * pivot back to arrays only at dimension-sized cardinality. One
+    * shuffle of labels×dims partial sums regardless of corpus size.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    labelCentroids(Tables.embeddings(spark, dir))
+
+  def labelCentroids(e: DataFrame): DataFrame =
+    Par.ensure(e)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("mean_v"), count(lit(1)).as("n"))
+      .select(col("label").cast("long").as("label"),
+        col("pos").cast("long").as("dim"), col("mean_v"), col("n"))
+
   /** Symmetric int8 quantization calibration: per-vector scale
     * (max|x|/127) and the round-trip mean absolute error — the numbers
     * that decide whether an ANN index can store int8 instead of

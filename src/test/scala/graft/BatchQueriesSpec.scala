@@ -74,4 +74,16 @@ class BatchQueriesSpec extends GraftSpecBase {
       assert(math.abs(approx(k) - v).toDouble / v < 0.1, s"$k: $v vs ${approx(k)}")
     }
   }
+
+  test("diffSnapshots classifies added/removed/changed, ignores identical") {
+    initLog()
+    import spark.implicits._
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v")
+    val cur = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "d", 40.0))
+      .toDF("k", "tag", "v")
+    val d = BatchQueries.diffSnapshots(old, cur, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
 }
