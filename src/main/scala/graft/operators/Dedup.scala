@@ -142,15 +142,27 @@ object Dedup {
     * (1 - 0.8^4)^32 ≈ 5e-8, so the verified output equals the exact
     * brute-force pairs at tau=0.8 (the DuckDB oracle) while doing
     * O(n·bands) candidate work instead of O(n²). Candidate generation
-    * shuffles on (band, bucket-hash); skewed mega-buckets would be
-    * salted/capped at extreme scale.
+    * shuffles on (band, bucket-hash).
+    *
+    * `maxBucket` is the mega-bucket guard for adversarial skew: a
+    * (band, bucket) cell with more than `maxBucket` members — a
+    * boilerplate cluster that exact-dedup didn't catch — contributes
+    * O(cell²) candidate pairs; with the cap, hot cells are dropped
+    * from candidate generation via a broadcast anti-join (the hot
+    * list is tiny by definition). Recall contract: a true pair is
+    * missed only if EVERY band where the two docs collide is hot; a
+    * J ≥ 0.8 pair collides in ≈ bands·τ^rows ≈ 13 of 32 bands in
+    * expectation, so misses require the pair itself to sit inside a
+    * mega-cluster. Default (no cap) keeps the exact-oracle plan
+    * unchanged; the capped branch costs one extra pass over the
+    * banded signatures (count + anti-join).
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairs(Tables.documents(spark, dir))
 
   def minhashLshPairs(docs: DataFrame,
       n: Int = 4, k: Int = 128, bands: Int = 32,
-      tau: Double = 0.8): DataFrame = {
+      tau: Double = 0.8, maxBucket: Int = Int.MaxValue): DataFrame = {
     val rows = k / bands
     val s = shingled(docs, n)
     // Whole signature in one native-expression pass per document
@@ -162,10 +174,16 @@ object Dedup {
       .select(col("doc_id"),
         column(graft.functions.MinHashSig(
           expression(split(col("text"), " ")), n, k)).as("mh"))
-    val banded = sig.select(col("doc_id"),
+    val bandedAll = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(j =>
         hash(slice(col("mh"), lit(j * rows + 1), lit(rows)))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = if (maxBucket == Int.MaxValue) bandedAll else {
+      val hot = bandedAll.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+        .select(col("band"), col("bucket"))
+      bandedAll.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    }
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&

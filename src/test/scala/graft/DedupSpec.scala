@@ -73,6 +73,32 @@ class DedupSpec extends GraftSpecBase {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("minhash bucket cap: no-op above cluster sizes, drops a planted mega-cluster") {
+    initLog()
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // generous cap: identical result on the real corpus
+    val uncapped = pairSet(Dedup.minhashLshPairs(docs))
+    assert(pairSet(Dedup.minhashLshPairs(docs, maxBucket = 64)) == uncapped)
+    // planted mega-cluster: 50 exact copies + one honest near-dup pair
+    val mega = (0 until 50).map(i =>
+      (1000L + i, "spam spam wonderful spam lovely spam egg and spam " +
+        "bacon sausage and spam spam spam spam"))
+    // 20 tokens, one tail token changed: J = 16/18 ≈ 0.889 >= 0.8
+    val stem = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra"
+    val honest = Seq((1L, s"$stem tango"), (2L, s"$stem uniform"))
+    val d = (mega ++ honest).toDF("doc_id", "text")
+    val capped = pairSet(Dedup.minhashLshPairs(d, maxBucket = 10))
+    assert(capped.contains((1L, 2L)), "honest pair must survive the cap")
+    assert(!capped.exists(p => p._1 >= 1000L && p._2 >= 1000L),
+      "mega-cluster pairs must be dropped by the cap")
+    val full = pairSet(Dedup.minhashLshPairs(d))
+    assert(full.count(p => p._1 >= 1000L) > 1000, "uncapped sees the blow-up")
+  }
+
   test("native shingle hashes: window count, per-doc distinct parity, lane independence") {
     initLog()
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
