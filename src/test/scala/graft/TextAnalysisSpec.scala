@@ -97,6 +97,58 @@ class TextAnalysisSpec extends GraftSpecBase {
       md5hex("alpha bravo charlie"))
   }
 
+  test("chunking invariants hold for every length 1..100 under three geometries") {
+    initLog()
+    for ((w, s) <- Seq((32, 24), (10, 10), (5, 3))) {
+      val d = (1 to 100).map(n =>
+        (n.toLong, (0 until n).map(i => s"t$i").mkString(" "), "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = TextAnalysis.chunkDocs(d, window = w, stride = s).collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+      (1 to 100).foreach { n =>
+        val chunks = got(n.toLong).sortBy(_.getAs[Long]("chunk_id"))
+        val expectChunks = 1 + math.ceil(math.max(0, n - w) / s.toDouble).toInt
+        assert(chunks.length == expectChunks, s"n=$n w=$w s=$s")
+        // sizes: full windows except a possibly-short tail; tail non-empty
+        chunks.dropRight(1).foreach(c =>
+          assert(c.getAs[Long]("n_chunk_tokens") == w.toLong))
+        val tail = chunks.last.getAs[Long]("n_chunk_tokens")
+        assert(tail >= 1 && tail <= w)
+        // coverage: last chunk reaches the final token
+        val lastStart = (chunks.length - 1).toLong * s
+        assert(lastStart + tail == n.toLong, s"n=$n w=$w s=$s tail=$tail")
+        // content: every chunk md5 matches a locally computed slice
+        chunks.foreach { c =>
+          val st = c.getAs[Long]("chunk_id").toInt * s
+          val expect = (st until math.min(st + w, n))
+            .map(i => s"t$i").mkString(" ")
+          assert(c.getAs[String]("chunk_md5") == md5hex(expect))
+        }
+      }
+    }
+  }
+
+  test("normalization is idempotent and canonical on nasty inputs") {
+    initLog()
+    val nasty = Seq(
+      "", "   ", "!!!", "a", "A  B\tC", "ÉÈê çà ÜSS", "日本語 テスト",
+      "mixed   CASE,with;punct!and2 numbers", "--=[]{}()<>--", "a" * 500,
+      "tab\tnewline mix  \t ", "ünïcödé wörds")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = nasty.select(col("doc_id"),
+      TextAnalysis.normalized(col("text")).as("n1"),
+      TextAnalysis.normalized(TextAnalysis.normalized(col("text"))).as("n2"))
+      .collect()
+    out.foreach { r =>
+      val n1 = r.getAs[String]("n1")
+      assert(n1 == r.getAs[String]("n2"), s"idempotence: '$n1'")
+      assert(!n1.contains("  "), "no double spaces")
+      assert(n1 == n1.trim, "trimmed")
+      assert(n1 == n1.toLowerCase, "lowercased")
+    }
+  }
+
   test("contamination counts shared benchmark shingles, excludes benchmark") {
     initLog()
     val d = Seq(
