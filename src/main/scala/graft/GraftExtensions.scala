@@ -15,7 +15,9 @@ import graft.functions.DotProduct
   *   cosine_sim(a, b)           — dot / (||a||·||b||), composed
   *   min_shingle_hash(toks, n)  — rolling-hash winnowing fingerprint
   *   minhash_sig(toks, n, k)    — k-lane MinHash signature
-  * (n/k must be integer literals — they parameterize codegen.)
+  *   shingle_hashes(toks, n, lane) — all n-window rolling hashes
+  *     (lane 0/1 select independent hash families for 128-bit keys)
+  * (n/k/lane must be integer literals — they parameterize codegen.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -53,7 +55,11 @@ object GraftExtensions {
         litInt(c(1), "min_shingle_hash", "n"))),
     "minhash_sig" -> ((c: Seq[Expression]) =>
       graft.functions.MinHashSig(c(0),
-        litInt(c(1), "minhash_sig", "n"), litInt(c(2), "minhash_sig", "k"))))
+        litInt(c(1), "minhash_sig", "n"), litInt(c(2), "minhash_sig", "k"))),
+    "shingle_hashes" -> ((c: Seq[Expression]) =>
+      graft.functions.ShingleHashes(c(0),
+        litInt(c(1), "shingle_hashes", "n"),
+        litInt(c(2), "shingle_hashes", "lane"))))
 
   /** Register on an ALREADY-RUNNING session (temp functions) — for
     * notebooks/REPLs where the session predates the library.
