@@ -73,4 +73,33 @@ object Skew {
       .agg(countDistinct(col(value)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("n_distinct"))
+
+  /** Count-min-sketch hot-key estimates (Cormode & Muthukrishnan
+    * 2005): candidates come from a cheap SAMPLE's top-k, their counts
+    * from a one-pass CMS over the FULL data (`df.stat.countMinSketch`
+    * tree-aggregates per-partition sketches; the driver holds only
+    * the eps×confidence-sized counter grid, never keys). The sketch
+    * never undercounts, so a hot key surfaced by the sample gets a
+    * certified-at-least estimate — the cheap pre-join skew probe when
+    * even [[graft.operators.BatchQueries.heavyHitterUsers]]'s exact
+    * two-phase aggregate is too much (its shuffle carries every
+    * distinct key; this carries a fixed-size grid per partition).
+    * Estimates are upper bounds within eps·N at the given confidence.
+    */
+  def cmsHotKeys(df: DataFrame, key: String, k: Int = 15,
+      sampleFraction: Double = 0.1, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cms = df.stat.countMinSketch(key, eps, confidence, seed)
+    val candidates = df.sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col(key))
+      .limit(k)
+      .select(col(key).cast("long")).as[Long].collect()
+    candidates.toSeq
+      .map(c => (c, cms.estimateCount(java.lang.Long.valueOf(c))))
+      .toDF(key, "est_count")
+      .orderBy(col("est_count").desc, col(key))
+  }
 }

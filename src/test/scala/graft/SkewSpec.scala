@@ -116,4 +116,25 @@ class SkewSpec extends GraftSpecBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(exact == salted)
   }
+
+  test("CMS hot keys: never undercounts, bounded overshoot, finds real hitters") {
+    initLog()
+    val e = Tables.events(spark, sf)
+    val n = e.count()
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Skew.cmsHotKeys(e, "user_id", k = 15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty && est.size <= 15)
+    est.foreach { case (u, c) =>
+      assert(c >= exact(u), s"CMS must never undercount (user $u)")
+      assert(c <= exact(u) + (3 * 0.001 * n).toLong + 1,
+        s"overshoot beyond 3·eps·N (user $u: $c vs ${exact(u)})")
+    }
+    // sampled candidates should substantially overlap the exact top-15
+    val top = exact.toSeq.sortBy { case (u, c) => (-c, u) }.take(15)
+      .map(_._1).toSet
+    assert((est.keySet & top).size >= 8,
+      s"only ${(est.keySet & top).size} of 15 true hitters surfaced")
+  }
 }
