@@ -43,6 +43,7 @@ object SparkEntry {
     "q_minmax_by" -> ((s, d) => BatchQueries.topEventPerType(s, d)),
     "q_conditional_agg" -> ((s, d) => BatchQueries.userActivity(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.eventsAsOfOrders(s, d)),
+    "q_asof_forward" -> ((s, d) => AsOf.eventsAsOfNextOrders(s, d)),
     "q_pivot" -> ((s, d) => BatchQueries.pivotUserActivity(s, d)),
     "q_percentile" -> ((s, d) => BatchQueries.pricePercentiles(s, d)),
     "q_cube" -> ((s, d) => BatchQueries.cubeQuantities(s, d)),
@@ -247,6 +248,14 @@ object SparkEntry {
                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
            FROM events e LEFT JOIN orders o
              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+         WHERE rn = 1""",
+    "q_asof_forward" ->
+      """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+           SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+           FROM events e LEFT JOIN orders o
+             ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts) t
          WHERE rn = 1""",
     "q_pivot" ->
       """SELECT user_id,

@@ -47,6 +47,11 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(shuffles(AsOf.eventsAsOfOrders(spark, sf)) == 1)
   }
 
+  test("forward as-of join costs exactly one shuffle too") {
+    initLog()
+    assert(shuffles(AsOf.eventsAsOfNextOrders(spark, sf)) == 1)
+  }
+
   test("windowed agg is two-phase (map-side partial before the shuffle)") {
     initLog()
     val df = BatchQueries.pricingSummary(spark, sf)
