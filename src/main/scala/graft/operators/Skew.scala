@@ -85,6 +85,9 @@ object Skew {
     * two-phase aggregate is too much (its shuffle carries every
     * distinct key; this carries a fixed-size grid per partition).
     * Estimates are upper bounds within eps·N at the given confidence.
+    * `key` must be an integral column (point queries go through the
+    * sketch's long hashing); string keys need only an estimateCount
+    * overload swap.
     */
   def cmsHotKeys(df: DataFrame, key: String, k: Int = 15,
       sampleFraction: Double = 0.1, eps: Double = 0.001,

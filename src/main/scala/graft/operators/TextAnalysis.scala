@@ -250,23 +250,41 @@ object TextAnalysis {
   def contamination(spark: SparkSession, dir: String): DataFrame =
     contamination(Tables.documents(spark, dir))
 
-  def contamination(docs: DataFrame, n: Int = 4): DataFrame = {
+  private def shingleHashPairs(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val toks = split(col("text"), " ")
-    val sh = Par.ensure(docs)
+    Par.ensure(docs)
       .filter(size(split(col("text"), " ")) >= n)
       .select(col("doc_id"), explode(array_distinct(arrays_zip(
         column(graft.functions.ShingleHashes(expression(toks), n, 0)).as("h1"),
         column(graft.functions.ShingleHashes(expression(toks), n, 1)).as("h2"))))
         .as("p"))
       .select(col("doc_id"), col("p.h1").as("h1"), col("p.h2").as("h2"))
-    val bench = sh.filter(col("doc_id") % 20 === 0)
-      .select(col("h1"), col("h2")).distinct()
-    sh.filter(col("doc_id") % 20 =!= 0)
-      .join(bench, Seq("h1", "h2"))
+  }
+
+  /** Driver-query form: benchmark = docs whose id ≡ 0 mod 20. */
+  def contamination(docs: DataFrame, n: Int = 4): DataFrame = {
+    val sh = shingleHashPairs(docs, n)
+    contaminationAgainst(
+      sh.filter(col("doc_id") % 20 =!= 0),
+      sh.filter(col("doc_id") % 20 === 0))
+  }
+
+  /** General form: corpus checked against a CALLER-SUPPLIED benchmark
+    * table (`doc_id`, `text`) — the real deployment shape, where the
+    * eval sets live in their own table.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame,
+      n: Int): DataFrame =
+    contaminationAgainst(shingleHashPairs(docs, n),
+      shingleHashPairs(benchmark, n))
+
+  private def contaminationAgainst(probe: DataFrame,
+      bench: DataFrame): DataFrame =
+    probe
+      .join(bench.select(col("h1"), col("h2")).distinct(), Seq("h1", "h2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
-  }
 
   /** C4-style text normalization (Raffel et al. 2020 §2.2 family):
     * lowercase, strip everything but letters/digits/spaces (unicode

@@ -160,6 +160,12 @@ class TextAnalysisSpec extends GraftSpecBase {
     assert(out.length == 1)
     assert(out.head.getAs[Long]("doc_id") == 1L)
     assert(out.head.getAs[Long]("n_shared") == 1L)
+    // general form: caller-supplied benchmark table, same answer
+    val probe = d.filter(col("doc_id") =!= 20L)
+    val bench = d.filter(col("doc_id") === 20L).select(col("doc_id"), col("text"))
+    val gen = TextAnalysis.contamination(probe, bench, n = 4).collect()
+    assert(gen.length == 1 && gen.head.getAs[Long]("doc_id") == 1L &&
+      gen.head.getAs[Long]("n_shared") == 1L)
   }
 
   test("repetition: top-bigram share on a hand-computed doc") {
