@@ -75,12 +75,19 @@ object ShingleHashes {
     h
   }
 
-  def compute(arr: ArrayData, n: Int, lane: Int): ArrayData = {
+  def compute(arr: ArrayData, n: Int, lane: Int): ArrayData =
+    new GenericArrayData(raw(arr, n, lane))
+
+  /** The window hashes as a primitive array (shared with
+    * [[ShingleWindows]], which needs both lanes without the ArrayData
+    * round-trip).
+    */
+  def raw(arr: ArrayData, n: Int, lane: Int): Array[Long] = {
     val off = if (lane == 0) Off0 else Off1
     val mul = if (lane == 0) Mul0 else Mul1
     val base = if (lane == 0) Base0 else Base1
     val m = arr.numElements()
-    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (m == 0) return Array.emptyLongArray
     val k = if (m < n) m else n
     val nw = m - k + 1
     val out = new Array[Long](nw)
@@ -101,6 +108,6 @@ object ShingleHashes {
       out(i - k + 1) = h
       i += 1
     }
-    new GenericArrayData(out)
+    out
   }
 }

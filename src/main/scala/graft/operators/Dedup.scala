@@ -76,21 +76,17 @@ object Dedup {
     // STRING: the shuffle ships 16 fixed bytes instead of ~n words and
     // the sort-merge compares longs instead of strings. Same exactness
     // basis as `exact`'s md5 keying — a cross-doc 128-bit double
-    // collision is ~2^-128 per candidate pair. The hashes come from
-    // the native ShingleHashes expression (each token's bytes hashed
-    // once per lane + one multiply-add per window) instead of
-    // materializing shingle strings through an interpreted transform
-    // lambda and re-reading every byte n times — the map stage that
-    // dominated this operator's 10× profile. Per-doc distinct is taken
-    // over the (h1,h2) PAIR, preserving the 128-bit basis.
+    // collision is ~2^-128 per candidate pair. The hash-pair sets come
+    // from the native ShingleWindows expression — both lanes AND the
+    // per-doc distinct in one compiled pass (the composed
+    // array_distinct(arrays_zip(...)) form paid an interpreted
+    // struct-compare per window on top of the lane hashing).
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val toks = split(col("text"), " ")
     val ex = Par.ensure(docs)
       .filter(size(split(col("text"), " ")) >= n)
-      .select(col("doc_id"), array_distinct(arrays_zip(
-        column(graft.functions.ShingleHashes(expression(toks), n, 0)).as("h1"),
-        column(graft.functions.ShingleHashes(expression(toks), n, 1)).as("h2")))
-        .as("hp"))
+      .select(col("doc_id"),
+        column(graft.functions.ShingleWindows(expression(toks), n)).as("hp"))
       .select(col("doc_id"), size(col("hp")).as("sz"),
         explode(col("hp")).as("p"))
       .select(col("doc_id"), col("sz"),

@@ -91,13 +91,58 @@ object TextAnalysis {
   def topNgrams(spark: SparkSession, dir: String): DataFrame =
     topNgrams(Tables.documents(spark, dir))
 
-  def topNgrams(docs: DataFrame, n: Int = 4, k: Int = 20): DataFrame =
-    Par.ensure(docs)
+  /** Counting happens on native 128-bit ShingleWindows keys (one
+    * compiled pass per doc: both hash lanes + open-addressed per-doc
+    * dedup — no gram STRINGS and no interpreted arrays_zip/
+    * array_distinct in the corpus-wide map stage); each count also
+    * carries the smallest (doc_id, pos) where the gram occurs, so text
+    * recovery for the bounded survivor set is a broadcast join back to
+    * the corpus + one token slice — no second hashing pass. Survivors
+    * = every hash whose df ties-or-beats the k-th largest df (computed
+    * declaratively via TakeOrdered + one-row broadcast, same pattern
+    * as q_above_avg), so the final (df desc, gram) tie-break is exact
+    * — identical output to the string-keyed form. The count exchange
+    * is planned once and reused across the threshold and candidate
+    * branches (ReusedExchange; asserted in PlanShapeSpec).
+    */
+  def topNgrams(docs: DataFrame, n: Int = 4, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val toks = split(col("text"), " ")
+    def windows = Par.ensure(docs)
       .filter(size(split(col("text"), " ")) >= n)
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .select(col("doc_id"),
+        explode(column(graft.functions.ShingleWindows(expression(toks), n)))
+          .as("p"))
+      .select(col("doc_id"), col("p.h1").as("h1"), col("p.h2").as("h2"),
+        col("p.pos").as("pos"))
+    // The count agg also keeps one deterministic representative
+    // location per gram — min doc_id plus that doc's window position.
+    // (doc_id, h1, h2) rows are unique (per-doc distinct windows), so
+    // min_by is deterministic, and all three agg buffers are plain
+    // longs — HashAggregate throughout (a min(struct) here would
+    // force SortAggregate).
+    val counts = windows
+      .groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("cand_doc"),
+        min_by(col("pos"), col("doc_id")).as("cand_pos"))
+    // The trailing sort keys are semantically inert ((h1,h2) is unique
+    // per counts row) — they exist so column pruning cannot strip the
+    // location aggs from this branch's copy of `counts`, which would
+    // de-duplicate the subtrees and lose the ReusedExchange.
+    val thresh = counts
+      .orderBy(col("df").desc, col("h1"), col("h2"),
+        col("cand_doc"), col("cand_pos")).limit(k)
+      .agg(min(col("df")).as("__t"))
+    val cand = counts.join(broadcast(thresh), col("df") >= col("__t"))
+      .select(col("df"), col("cand_doc"), col("cand_pos"))
+    docs.join(broadcast(cand), col("doc_id") === col("cand_doc"))
+      .select(
+        array_join(slice(split(col("text"), " "), col("cand_pos") + 1, lit(n)),
+          " ").as("gram"),
+        col("df"))
       .orderBy(col("df").desc, col("gram"))
       .limit(k)
+  }
 
   /** Character-bigram language-ID heuristic: score each language by
     * marker-substring frequency, pick the argmax (deterministic
@@ -255,10 +300,9 @@ object TextAnalysis {
     val toks = split(col("text"), " ")
     Par.ensure(docs)
       .filter(size(split(col("text"), " ")) >= n)
-      .select(col("doc_id"), explode(array_distinct(arrays_zip(
-        column(graft.functions.ShingleHashes(expression(toks), n, 0)).as("h1"),
-        column(graft.functions.ShingleHashes(expression(toks), n, 1)).as("h2"))))
-        .as("p"))
+      .select(col("doc_id"),
+        explode(column(graft.functions.ShingleWindows(expression(toks), n)))
+          .as("p"))
       .select(col("doc_id"), col("p.h1").as("h1"), col("p.h2").as("h2"))
   }
 
@@ -347,14 +391,25 @@ object TextAnalysis {
   def repetitionScores(spark: SparkSession, dir: String): DataFrame =
     repetitionScores(Tables.documents(spark, dir))
 
+  /** The output carries no gram text at all, so counting runs entirely
+    * on native 128-bit ShingleHashes window keys (tf — windows kept
+    * WITH multiplicity, no array_distinct): the interpreted
+    * gram-string transform is gone and the (doc, gram) shuffle key
+    * shrinks to doc_id + 16 bytes. Within-doc 128-bit collisions (the
+    * only event that could merge two different bigrams' counts) are
+    * ~2^-128 — the same exactness basis as the hash-keyed dedup
+    * family.
+    */
   def repetitionScores(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val toks = split(col("text"), " ")
-    val grams = transform(sequence(lit(0), size(toks) - 2),
-      i => array_join(slice(toks, i + 1, lit(2)), " "))
+    val pairs = arrays_zip(
+      column(graft.functions.ShingleHashes(expression(toks), 2, 0)).as("h1"),
+      column(graft.functions.ShingleHashes(expression(toks), 2, 1)).as("h2"))
     Par.ensure(docs)
       .filter(size(split(col("text"), " ")) >= 2)
-      .select(col("doc_id"), explode(grams).as("gram"))
-      .groupBy(col("doc_id"), col("gram"))
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .groupBy(col("doc_id"), col("p"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_2grams"), max(col("c")).as("top_count"))

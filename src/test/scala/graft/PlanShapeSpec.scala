@@ -183,4 +183,28 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(scans.forall(!_.toString.contains("props")),
       "untouched JSON column must be pruned")
   }
+
+  test("top-ngrams: native hash counting, no interpreted gram transform, reused count exchange") {
+    initLog()
+    val df = TextAnalysis.topNgrams(graft.sources.Tables.documents(spark, sf))
+    df.collect()
+    val s = plan(df).toString
+    assert(s.contains("shingle_windows"), "counting must run on native hash keys")
+    assert(!s.contains("transform("),
+      "no interpreted HOF may materialize gram strings corpus-wide")
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    assert(countNodes(plan(df), n => n.isInstanceOf[ReusedExchangeExec] ||
+      n.nodeName.contains("ReusedExchange")) >= 1,
+      "threshold and candidate branches must reuse one count exchange:\n" + s)
+  }
+
+  test("repetition: hash-keyed tf counting — no gram strings anywhere in the plan") {
+    initLog()
+    val df = TextAnalysis.repetitionScores(graft.sources.Tables.documents(spark, sf))
+    df.collect()
+    val s = plan(df).toString
+    assert(s.contains("shingle_hashes"))
+    assert(!s.contains("transform(") && !s.contains("array_join"),
+      "the output has no gram text, so none may be built")
+  }
 }

@@ -179,6 +179,28 @@ class TextAnalysisSpec extends GraftSpecBase {
     assert(math.abs(r.getAs[Double]("top_share") - 0.6) < 1e-9)
   }
 
+  test("top-ngrams: hash-keyed form equals string-keyed form incl. boundary ties") {
+    initLog()
+    // df: "x y"=2, "a b"=2, "c d"=2, rest 1. k=2 must keep the two
+    // lexicographically smallest of the three-way tie — the exact
+    // boundary case the threshold + string-recovery design exists for.
+    val d = Seq(
+      (0L, "x y x y a b", "en", "s", 0L),
+      (1L, "x y c d", "en", "s", 0L),
+      (2L, "a b c d", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ref = d
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(graft.operators.Dedup.shingles(col("text"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram")).limit(2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = TextAnalysis.topNgrams(d, n = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == ref)
+    assert(got == Seq(("a b", 2L), ("c d", 2L)))
+  }
+
   test("normalization lowercases, strips punctuation, collapses spaces") {
     initLog()
     val d = Seq(
