@@ -82,10 +82,14 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(s, d)),
+    // dims0 = 64 is the embeddings-table schema constant (TESTDATA.md):
+    // threading it through skips the per-call head() inference job.
     "ann_lsh" -> ((s, d) =>
-      Similarity.annLshSearch(graft.sources.Tables.embeddings(s, d))),
+      Similarity.annLshSearch(graft.sources.Tables.embeddings(s, d),
+        dims0 = 64)),
     "ann_ivf" -> ((s, d) =>
-      Similarity.annIvfSearch(graft.sources.Tables.embeddings(s, d))),
+      Similarity.annIvfSearch(graft.sources.Tables.embeddings(s, d),
+        dims0 = 64)),
     "text_tokencount" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
@@ -113,10 +117,42 @@ object SparkEntry {
     "mm_audio_window" -> ((s, d) => Multimodal.audioWindows(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
-    * buckets, langid heuristic, simhash) get rows-only checks — their
-    * semantics are engine-specific by design (see SURVEY §2 [s] rows).
+    * buckets, simhash) get rows-only checks — their semantics are
+    * engine-specific by design (see SURVEY §2 [s] rows).
     */
   def oracleSql: Map[String, String] = Map(
+    // countOcc is pure integer string-length algebra, so the marker
+    // heuristic has an exact cross-engine twin. Spark's
+    // greatest(struct(score, lang)) = max by (score, lang) ⟹
+    // ORDER BY score DESC, lang DESC picks the same winner.
+    "text_langid" ->
+      """WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS t
+                    FROM documents),
+         s AS (SELECT doc_id, lang AS lang_label, unnest([
+           {'score': CAST((length(t)-length(replace(t,' the ','')))/5 AS BIGINT)
+                   + CAST((length(t)-length(replace(t,' and ','')))/5 AS BIGINT)
+                   + CAST((length(t)-length(replace(t,' of ','')))/4 AS BIGINT),
+            'lang': 'en'},
+           {'score': CAST((length(t)-length(replace(t,' el ','')))/4 AS BIGINT)
+                   + CAST((length(t)-length(replace(t,' la ','')))/4 AS BIGINT)
+                   + CAST((length(t)-length(replace(t,' de ','')))/4 AS BIGINT),
+            'lang': 'es'},
+           {'score': CAST((length(t)-length(replace(t,' der ','')))/5 AS BIGINT)
+                   + CAST((length(t)-length(replace(t,' und ','')))/5 AS BIGINT)
+                   + CAST((length(t)-length(replace(t,' die ','')))/5 AS BIGINT),
+            'lang': 'de'},
+           {'score': CAST((length(t)-length(replace(t,' le ','')))/4 AS BIGINT)
+                   + CAST((length(t)-length(replace(t,' et ','')))/4 AS BIGINT)
+                   + CAST((length(t)-length(replace(t,' les ','')))/5 AS BIGINT),
+            'lang': 'fr'},
+           {'score': CAST((length(t)-length(replace(t,'的','')))/1 AS BIGINT)
+                   + CAST((length(t)-length(replace(t,'是','')))/1 AS BIGINT)
+                   + CAST((length(t)-length(replace(t,'了','')))/1 AS BIGINT),
+            'lang': 'zh'}]) AS sc FROM p),
+         r AS (SELECT doc_id, lang_label, sc.lang AS lang_pred,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY sc.score DESC, sc.lang DESC) AS rk FROM s)
+         SELECT doc_id, lang_label, lang_pred FROM r WHERE rk = 1""",
     "q_edit_window" ->
       """SELECT event_type,
          epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS win_start,

@@ -201,14 +201,15 @@ object Similarity {
     * At 100 TB the corpus is then partitioned/bucketed by `list` so a
     * probe reads only nprobe lists.
     */
-  def ivfTrain(e: DataFrame, nlist: Int = 16, iters: Int = 3): DataFrame = {
+  def ivfTrain(e: DataFrame, nlist: Int = 16, iters: Int = 3,
+      dims0: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Lloyd iterations re-scan the corpus iters+1 times: cache it for
     // the duration (MEMORY_AND_DISK — spills, never recomputes the
     // upstream lineage per iteration).
     val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dims = cached.select(size(col("embedding"))).head().getInt(0)
+      val dims = dimsOf(cached, dims0)
       var centroids: Array[(Int, Array[Double])] = cached
         .withColumn("__h", xxhash64(col("vec_id")))
         .orderBy(col("__h")).limit(nlist)
@@ -297,8 +298,8 @@ object Similarity {
     * spec-tested against brute force.
     */
   def annIvfSearch(e: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = ivfTrain(e, nlist).collect()
+      nlist: Int = 16, nprobe: Int = 4, dims0: Int = -1): DataFrame = {
+    val centroids = ivfTrain(e, nlist, dims0 = dims0).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     val corpus = assignToNearest(e, centroids)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),

@@ -167,4 +167,39 @@ class SimilaritySpec extends GraftSpecBase {
     // zero vector: scale 0 guard, no NaN
     assert(r(1L).getAs[Double]("mean_abs_err") == 0.0)
   }
+
+  test("dims0 threading: LSH plan construction fires zero driver jobs") {
+    initLog()
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // Building the query (no action) must not run dimsOf's head():
+      // the driver contract passes the schema-constant dims0.
+      val df = Similarity.annLshSearch(emb, nQueries = 2, k = 2, dims0 = 4)
+      df.queryExecution.executedPlan // force full planning too
+      Thread.sleep(300) // listener bus is async; drain
+      assert(jobs.get() == 0,
+        s"plan construction launched ${jobs.get()} job(s)")
+      // and dims0 must agree with the inferred path on results
+      val inferred = Similarity.annLshSearch(emb, nQueries = 2, k = 2)
+        .collect().map(_.toSeq).toSet
+      val threaded = df.collect().map(_.toSeq).toSet
+      assert(inferred == threaded)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("ivfTrain honors dims0: same centroids as the inferred path") {
+    initLog()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val a = Similarity.ivfTrain(e, nlist = 4, iters = 1)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.ivfTrain(e, nlist = 4, iters = 1, dims0 = 64)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
