@@ -7,7 +7,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
-import graft.streaming.{DocStoreSink, EditStream, KafkaEditSource, WikiEditPipeline}
+import graft.streaming.{DocStoreSink, EditStream, KafkaEditSource, MongoDocStore, WikiEditPipeline}
 import graft.streaming.DocStoreSink.{DirDocStore, DocStore}
 
 /** Kafka source surface (offline: the option map + decode path) and the
@@ -244,6 +244,28 @@ class SinkSourceSpec extends GraftSpecBase {
       assert(lines.exists(d => d.contains("\"fr.wikipedia.org\"") &&
         d.contains("\"edit_size\":20")), lines.mkString("|"))
     } finally q.stop()
+  }
+
+  test("mongo adapter: compiles jar-less, preflights, maps uri/db/collection") {
+    initLog()
+    val store = MongoDocStore("mongodb://host:27017", "wiki", "edits")
+    // connection mapping is plain data — the one-line swap target
+    assert(store.uri == "mongodb://host:27017")
+    assert(store.database == "wiki" && store.collection == "edits")
+    // the driver jar is absent in this sandbox: preflight says so and
+    // insertMany fails fast with the actionable message, not a CNFE
+    assert(!MongoDocStore.isAvailable)
+    val e = intercept[IllegalArgumentException] {
+      store.insertMany("e0-p0-c0", Seq("{}"))
+    }
+    assert(e.getMessage.contains("mongodb-driver-sync"))
+    // one instance ships to every executor — must survive JVM serialization
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(store)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).readObject()
+      .asInstanceOf[MongoDocStore]
+    assert(back == store)
   }
 }
 
