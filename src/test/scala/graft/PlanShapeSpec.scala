@@ -198,6 +198,22 @@ class PlanShapeSpec extends GraftSpecBase {
       "threshold and candidate branches must reuse one count exchange:\n" + s)
   }
 
+  test("incremental diff: bucketed state side joins with no exchange") {
+    initLog()
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_diff_state_plan")
+    Bucketing.writeBucketed(
+      (1L to 100L).map(i => (i, i * 1.5)).toDF("k", "v"),
+      "graft_diff_state_plan", "k", 4)
+    val cur = (3L to 103L).map(i => (i, i * 1.5 + (i % 7))).toDF("k", "v")
+    val d = BatchQueries.diffSnapshots(
+      spark.table("graft_diff_state_plan"), cur, "k")
+    d.collect()
+    // exactly ONE exchange: the incoming epoch shuffles to the state's
+    // bucketing; the (big) state side is read in place
+    assert(shuffles(d) == 1, names(d).mkString(","))
+  }
+
   test("repetition: hash-keyed tf counting — no gram strings anywhere in the plan") {
     initLog()
     val df = TextAnalysis.repetitionScores(graft.sources.Tables.documents(spark, sf))

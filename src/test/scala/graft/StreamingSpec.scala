@@ -336,4 +336,59 @@ class StreamingSpec extends GraftSpecBase {
     assert(Seq("domain", "namespace", "user_type", "old_length",
       "new_length", "ts").forall(df.columns.contains))
   }
+
+  test("incremental snapshot diff: per-epoch parity, state convergence, composition") {
+    initLog()
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val stateTable = "graft_incdiff_state_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $stateTable")
+    val diffDir = tmp("graft_incdiff")
+    val q = graft.streaming.IncrementalDiff.start(
+      mem.toDF().toDF("k", "v"), "k", stateTable, diffDir,
+      tmp("graft_incdiff_ck"), buckets = 4)
+    // three full snapshots, one per micro-batch; no value reverts
+    val s0 = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+    val s1 = Seq((1L, 1.0), (2L, 2.5), (4L, 4.0), (5L, 5.0)) // ~2, -3, +5
+    val s2 = Seq((1L, 1.0), (2L, 2.5), (4L, 4.5), (6L, 6.0)) // ~4, -5, +6
+    try {
+      Seq(s0, s1, s2).foreach { s =>
+        mem.addData(s: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def snap(s: Seq[(Long, Double)]) = s.toDF("k", "v")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byEpoch = (0 to 2).map(e =>
+      e -> asMap(spark.read.parquet(s"$diffDir/epoch=$e"))).toMap
+    // epoch 0: everything added; epochs 1..2: parity with the batch diff
+    assert(byEpoch(0) == s0.map(_._1 -> "added").toMap)
+    assert(byEpoch(1) ==
+      asMap(graft.operators.BatchQueries.diffSnapshots(snap(s0), snap(s1), "k")))
+    assert(byEpoch(2) ==
+      asMap(graft.operators.BatchQueries.diffSnapshots(snap(s1), snap(s2), "k")))
+    // the maintained state converged to the last snapshot
+    assert(spark.table(stateTable).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet == s2.toSet)
+    // epoch diffs COMPOSE to the one-shot batch diff s0 -> s2: chain
+    // each key's statuses chronologically (valid while values don't
+    // revert, as here)
+    val chains = (1 to 2).flatMap(e => byEpoch(e).toSeq.map {
+      case (k, st) => (k, e, st)
+    }).groupBy(_._1).map { case (k, sts) =>
+      k -> sts.sortBy(_._2).map(_._3)
+    }
+    val composed = chains.flatMap { case (k, sts) =>
+      (sts.head == "added", sts.last == "removed") match {
+        case (true, true) => None // added then removed: no net effect
+        case (true, false) => Some(k -> "added")
+        case (false, true) => Some(k -> "removed")
+        case (false, false) => Some(k -> "changed")
+      }
+    }.toMap
+    assert(composed ==
+      asMap(graft.operators.BatchQueries.diffSnapshots(snap(s0), snap(s2), "k")))
+  }
 }
