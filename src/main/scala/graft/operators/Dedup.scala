@@ -267,12 +267,18 @@ object Dedup {
   def recursiveCanonicalIds(spark: SparkSession, dir: String,
       maxDepth: Int = 6): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    minhashLshPairs(docs).createOrReplaceTempView("rc_pairs")
-    docs.createOrReplaceTempView("rc_docs")
-    spark.sql(
+    // Views exist only while the SQL text resolves (the returned
+    // DataFrame keeps its analyzed plan): unique names + drop, so a
+    // shared session never sees a collision with user views.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val pairsV = s"graft_rc_pairs_$tag"
+    val docsV = s"graft_rc_docs_$tag"
+    minhashLshPairs(docs).createOrReplaceTempView(pairsV)
+    docs.createOrReplaceTempView(docsV)
+    try spark.sql(
       s"""WITH RECURSIVE
-         |edges AS (SELECT id_a AS u, id_b AS v FROM rc_pairs
-         |          UNION ALL SELECT id_b, id_a FROM rc_pairs),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM $pairsV
+         |          UNION ALL SELECT id_b, id_a FROM $pairsV),
          |reach(u, v, d) AS (
          |  SELECT u, v, 1 FROM edges
          |  UNION ALL
@@ -281,7 +287,11 @@ object Dedup {
          |canon AS (SELECT u, MIN(v) AS mn FROM reach GROUP BY u)
          |SELECT d.doc_id,
          |  LEAST(d.doc_id, COALESCE(c.mn, d.doc_id)) AS canonical_id
-         |FROM rc_docs d LEFT JOIN canon c ON d.doc_id = c.u""".stripMargin)
+         |FROM $docsV d LEFT JOIN canon c ON d.doc_id = c.u""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(pairsV)
+      spark.catalog.dropTempView(docsV)
+    }
   }
 
   /** 64-bit SimHash per document: bit i of the hash is the sign of the
