@@ -1,5 +1,23 @@
 package graft
 object Bench {
+
+  /** The driver captures only the LAST ~2000 chars of sbt stdout; the
+    * full per-query map at 80+ queries overflows that and truncates
+    * the JSON head (r3-r5 artifacts arrived unparseable). So stdout
+    * carries a bounded HEADLINE subset — every LLM-pipeline family
+    * plus representative batch queries — while the complete 4-decimal
+    * map goes to bench_full.json (committed per round, the
+    * round-over-round comparison artifact).
+    */
+  private val headlinePrefixes = Seq("ann_", "dedup_", "curate_",
+    "decontaminate", "embed_", "mm_", "sample_", "text_", "seq_",
+    "profile_")
+  private val headlineBatch = Set("q_edit_window", "q_filter_project",
+    "q1_pricing_agg", "q_multijoin", "q_topn_join", "q_exists_sql",
+    "q_snapshot_diff", "q_asof_join", "q_range_join", "q_window_running")
+  private def isHeadline(name: String): Boolean =
+    headlineBatch(name) || headlinePrefixes.exists(name.startsWith)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -34,25 +52,30 @@ object Bench {
       }
       (name, if (failed) -1.0 else times.min)
     }
-    // 4-decimal seconds keep the whole line under the driver's stdout
-    // tail capture (full-precision doubles pushed the head — 16
-    // queries and the total — past it in r3/r4, leaving BENCH_r{N}
-    // .json unparseable). The identical line also goes to a file so
-    // the artifact survives any future truncation.
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def fmt(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    def queriesJson(rs: Seq[(String, Double)], dec: Int): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum +
       failed.size * 1000.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
+    def line(qs: String) =
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"full":"bench_full.json","sf":"$sfDir"}"""
+    // Full map (4-decimal) to the file artifact; headline map
+    // (3-decimal) to stdout, with a hard 1600-char guard: should
+    // the headline set ever outgrow the tail budget, drop precision
+    // rather than ship another unparseable round.
+    val fullLine = line(queriesJson(results, 4))
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    val headline = results.filter(r => isHeadline(r._1))
+    val stdoutLine = Seq(3, 2, 1).map(d => line(queriesJson(headline, d)))
+      .find(_.length <= 1600)
+      .getOrElse(line(queriesJson(headline.take(40), 1)))
+    println(stdoutLine)
     spark.stop()
   }
 }

@@ -114,7 +114,11 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Sampling.stratifiedCounts(s, d)),
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
-    "mm_audio_window" -> ((s, d) => Multimodal.audioWindows(s, d)))
+    "mm_audio_window" -> ((s, d) => Multimodal.audioWindows(s, d)),
+    "dedup_segment" -> ((s, d) => Segments.segmentDedup(s, d)),
+    "text_boilerplate" -> ((s, d) => Segments.boilerplateScrub(s, d)),
+    "seq_pack" -> ((s, d) => Packing.packDocs(s, d)),
+    "profile_table" -> ((s, d) => Profile.profileOrders(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -849,6 +853,84 @@ object SparkEntry {
          CAST((doc_id % 48 + 1) * 8 AS BIGINT) AS height,
          CAST((doc_id % 64 + 1) * 8 * ((doc_id % 48 + 1) * 8) AS BIGINT) AS n_pixels
          FROM documents""",
+    "dedup_segment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         segs AS (SELECT doc_id, g.i AS seg_idx,
+             array_to_string(t[(g.i*10+1):(g.i*10+10)], ' ') AS seg
+           FROM toks,
+             LATERAL (SELECT unnest(range((len(t)+9)//10)) AS i) g),
+         win AS (SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg
+               ORDER BY doc_id, seg_idx) AS rn
+           FROM segs)
+         SELECT doc_id, COUNT(*) AS n_segs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END,
+             ' ' ORDER BY seg_idx), '')) AS dedup_md5
+         FROM win GROUP BY doc_id""",
+    "text_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         segs AS (SELECT doc_id, g.i AS seg_idx,
+             array_to_string(t[(g.i*10+1):(g.i*10+10)], ' ') AS seg
+           FROM toks,
+             LATERAL (SELECT unnest(range((len(t)+9)//10)) AS i) g),
+         freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS seg_df
+                  FROM segs GROUP BY 1)
+         SELECT s.doc_id, COUNT(*) AS n_segs,
+           CAST(SUM(CASE WHEN f.seg_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           md5(COALESCE(string_agg(CASE WHEN f.seg_df < 2 THEN s.seg END,
+             ' ' ORDER BY s.seg_idx), '')) AS clean_md5
+         FROM segs s JOIN freq f ON s.seg = f.seg
+         GROUP BY s.doc_id""",
+    "seq_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_off
+           FROM t)
+         SELECT doc_id, shard, n_tokens, start_off,
+           start_off // 256 AS bin FROM o""",
+    "profile_table" ->
+      """SELECT 'o_orderkey' AS col_name,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM orders
+         UNION ALL
+         SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE),
+           CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderpriority), MAX(o_orderpriority) FROM orders""",
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
            CAST(floor(length(text) / 100) AS BIGINT) AS n_frames

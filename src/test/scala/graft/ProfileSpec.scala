@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Profile
+
+class ProfileSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private val planted = Seq(
+    (Some(1L), Some("bb"), Some(2.5), Some(Timestamp.valueOf("2020-01-01 00:00:00"))),
+    (Some(2L), Some("aa"), Some(2.5), Some(Timestamp.valueOf("2020-01-03 00:00:00"))),
+    (Some(2L), None, Some(-1.0), None),
+    (None, Some("cc"), None, Some(Timestamp.valueOf("2020-01-02 00:00:00"))))
+    .toDF("id", "name", "price", "ts")
+
+  test("profile: nulls, exact ndv, and type-routed min/max") {
+    initLog()
+    val out = Profile.profile(planted).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 4)
+    val id = out("id")
+    assert(id.getLong(1) == 1L && id.getLong(2) == 2L)
+    assert(id.getDouble(3) == 1.0 && id.getDouble(4) == 2.0)
+    assert(id.isNullAt(5) && id.isNullAt(6))
+    val name = out("name")
+    assert(name.getLong(1) == 1L && name.getLong(2) == 3L)
+    assert(name.isNullAt(3) && name.isNullAt(4))
+    assert(name.getString(5) == "aa" && name.getString(6) == "cc")
+    val price = out("price")
+    assert(price.getLong(1) == 1L && price.getLong(2) == 2L)
+    assert(price.getDouble(3) == -1.0 && price.getDouble(4) == 2.5)
+    val ts = out("ts")
+    assert(ts.getLong(1) == 1L && ts.getLong(2) == 3L)
+    // timestamps surface as epoch micros in the numeric lane
+    assert(ts.getDouble(3) == 1577836800000000.0)
+    assert(ts.getDouble(4) == 1578009600000000.0)
+  }
+
+  test("approx profile: ndv close, everything else identical") {
+    initLog()
+    val exact = Profile.profile(planted).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Profile.profile(planted, exact = false).collect()
+      .map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a.getLong(2) - e.getLong(2)) <= 1)
+      assert(a.getLong(1) == e.getLong(1))
+      Seq(3, 4).foreach(i => assert(a.isNullAt(i) == e.isNullAt(i) &&
+        (e.isNullAt(i) || a.getDouble(i) == e.getDouble(i))))
+      Seq(5, 6).foreach(i => assert(a.isNullAt(i) == e.isNullAt(i) &&
+        (e.isNullAt(i) || a.getString(i) == e.getString(i))))
+    }
+  }
+
+  test("profile on orders: key column is unique and null-free") {
+    initLog()
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val n = orders.count()
+    val out = Profile.profile(orders).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("o_orderkey").getLong(1) == 0L)
+    assert(out("o_orderkey").getLong(2) == n)
+    assert(out.values.forall(_.getLong(1) == 0L))
+  }
+}
