@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -40,6 +39,11 @@ object Segments {
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0L), col("n_segs") - 1)).as("seg_idx"))
       .select(col("doc_id"), col("seg_idx"),
+        // The int cast cannot wrap: seg_idx <= ceil(n/w)-1, so the 1-based
+        // start (seg_idx*w + 1) <= n, and n = size(t) is IntegerType by
+        // construction (a JVM array never holds 2^31 elements) — the
+        // long arithmetic above exists so the INTERMEDIATE product is
+        // exact before the bounded cast.
         array_join(slice(col("t"),
           (col("seg_idx") * window + 1).cast("int"), lit(window)), " ")
           .as("seg"))
@@ -73,14 +77,33 @@ object Segments {
     * seg_idx), so the winner is deterministic regardless of partition
     * layout. One row per input doc: total segments, kept count, md5
     * of the doc reassembled from surviving segments.
+    *
+    * First occurrence is resolved as an ARGMIN, not a rank:
+    * `min(struct(doc_id, seg_idx))` per segment hash is algebraic, so
+    * a viral segment's copies collapse map-side to ONE partial per
+    * task BEFORE the shuffle — where a
+    * `row_number over partitionBy(md5(seg))` window would ship every
+    * copy of the hottest segment (10^6-10^7x on boilerplate-heavy web
+    * text) into a single task's sort. The join-back that tags keepers
+    * is 1:1 per segment row (each row meets exactly one winner), so a
+    * skewed join partition splits under AQE — window partitions don't.
+    *
+    * Plan note: a struct-typed min buffer isn't hash-aggregable in
+    * Spark (UnsafeRow buffers need fixed-width mutable fields), so the
+    * resolve plans as partial+final SortAggregate. The partial's local
+    * sort is by grouping key WITHIN each map partition — bounded by
+    * the partition, never by the hot key — and the map-side collapse
+    * (the property that kills the skew) is unchanged.
     */
   def segmentDedup(docs: DataFrame, window: Int = 10): DataFrame = {
-    val w = Window.partitionBy(md5(col("seg")))
-      .orderBy(col("doc_id"), col("seg_idx"))
-    val ranked = segmented(docs, window)
-      .withColumn("rn", row_number().over(w))
-    reassemble(ranked, col("rn") === 1, "n_dropped", "dedup_md5")
-      .withColumnRenamed("n_dropped", "n_dup")
+    val segs = segmented(docs, window).withColumn("seg_md5", md5(col("seg")))
+    val winners = segs
+      .groupBy(col("seg_md5"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first_occ"))
+    val tagged = segs.join(winners, "seg_md5")
+    val keep = col("first_occ.doc_id") === col("doc_id") &&
+      col("first_occ.seg_idx") === col("seg_idx")
+    reassemble(tagged, keep, "n_dup", "dedup_md5")
       .select(col("doc_id"), col("n_segs"),
         (col("n_segs") - col("n_dup")).as("n_kept"), col("dedup_md5"))
   }

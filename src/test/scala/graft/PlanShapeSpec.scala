@@ -214,6 +214,92 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(shuffles(d) == 1, names(d).mkString(","))
   }
 
+  /** Run `body` with auto-broadcast off — simulating both join sides
+    * being cluster-scale, which is what the sf0.001 fixture can't show
+    * (AQE correctly broadcasts a side it SEES is tiny; the spec-able
+    * claim is the shape when nothing is).
+    */
+  private def withNoBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("segment dedup resolves first-win as a map-side-combined argmin, not a window sort") {
+    initLog()
+    withNoBroadcast {
+      val df = Segments.segmentDedup(graft.sources.Tables.documents(spark, sf))
+      df.collect()
+      val ns = names(df)
+      // the viral-segment hazard: a Window over partitionBy(seg_md5) ships
+      // every copy of the hottest segment into one task's sort. The argmin
+      // form must plan as partial+final aggregate (duplicates collapse
+      // BEFORE the exchange) + an equi-join back — NO Window resolve.
+      assert(!ns.exists(_.startsWith("Window")),
+        s"first-win resolve must not be a window: ${ns.mkString(",")}")
+      // 2 winner nodes (SortAggregate: struct min buffer isn't
+      // hash-aggregable) + 2 reassemble nodes (ObjectHashAggregate)
+      assert(ns.count(_.endsWith("Aggregate")) >= 4,
+        s"argmin resolve must combine map-side: ${ns.mkString(",")}")
+      assert(ns.exists(n => n.startsWith("SortMergeJoin") ||
+        n.startsWith("ShuffledHashJoin")), ns.mkString(","))
+    }
+  }
+
+  test("boilerplate scrub joins df counts back as a shuffle equi-join at scale") {
+    initLog()
+    withNoBroadcast {
+      val df = Segments.boilerplateScrub(graft.sources.Tables.documents(spark, sf))
+      df.collect()
+      val ns = names(df)
+      // the df side is corpus-scale (one row per distinct segment): with
+      // no runtime-proven-tiny side it must be a shuffled equi-join — a
+      // plan that still executes when both sides are 100 TB. (With AQE
+      // defaults the sf0.001 counts side IS tiny and gets broadcast —
+      // that's the adaptive fast path, not the shape under test.)
+      assert(!ns.exists(n => n.startsWith("BroadcastNestedLoopJoin") ||
+        n.startsWith("CartesianProduct")), ns.mkString(","))
+      assert(countNodes(plan(df), _.isInstanceOf[BroadcastExchangeExec]) == 0,
+        ns.mkString(","))
+      assert(ns.exists(n => n.startsWith("SortMergeJoin") ||
+        n.startsWith("ShuffledHashJoin")), ns.mkString(","))
+    }
+  }
+
+  test("sequence packing costs exactly one shuffle (the per-shard window)") {
+    initLog()
+    // a Range input reads as already-wide, so Par.ensure stays the no-op
+    // it is on a real multi-split table and the window is the only exchange
+    val docs = spark.range(0, 1000).selectExpr("id AS doc_id",
+      "repeat('w ', CAST(id % 17 AS INT) + 1) AS text")
+    val df = Packing.packDocs(docs)
+    df.collect()
+    assert(shuffles(df) == 1, names(df).mkString(","))
+  }
+
+  test("table profile is one scan; approx mode drops the exact-ndv Expand") {
+    initLog()
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val exactDf = Profile.profile(orders)
+    val approxDf = Profile.profile(orders, exact = false)
+    exactDf.collect(); approxDf.collect()
+    // ONE pass over the data in both modes, however many columns profiled
+    Seq(exactDf, approxDf).foreach { d =>
+      assert(allNodes(plan(d)).count(_.nodeName.contains("Scan")) == 1,
+        names(d).mkString(","))
+    }
+    // exact k-column ndv = Expand + the distinct-aggregate's inherent two
+    // exchanges (dedup the expanded keys, then merge to the global row)
+    assert(names(exactDf).exists(_.contains("Expand")),
+      "exact k-column ndv plans an Expand: " + names(exactDf).mkString(","))
+    assert(shuffles(exactDf) == 2, names(exactDf).mkString(","))
+    // HLL++ mode: no Expand, and the plan collapses to partial -> final
+    assert(!names(approxDf).exists(_.contains("Expand")),
+      "HLL++ mode must not Expand: " + names(approxDf).mkString(","))
+    assert(shuffles(approxDf) == 1, names(approxDf).mkString(","))
+  }
+
   test("repetition: hash-keyed tf counting — no gram strings anywhere in the plan") {
     initLog()
     val df = TextAnalysis.repetitionScores(graft.sources.Tables.documents(spark, sf))

@@ -54,6 +54,34 @@ class ProfileSpec extends GraftSpecBase {
     }
   }
 
+  test("profile survives date, boolean, binary, and nested columns") {
+    initLog()
+    // every type family in one table: dates route to epoch days,
+    // booleans to the numeric lane, binary/array/struct keep null count
+    // + ndv with null value lanes, maps keep only the null count
+    val df = spark.sql("""
+      SELECT DATE'2024-03-05' AS d, true AS f, CAST('ab' AS BINARY) AS b,
+             array(1, 2) AS a, map('k', 1) AS m, named_struct('x', 1) AS s
+      UNION ALL
+      SELECT DATE'2024-03-07', false, NULL, NULL, NULL, NULL""")
+    val out = Profile.profile(df).collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 6)
+    val d = out("d")
+    assert(d.getLong(1) == 0L && d.getLong(2) == 2L)
+    assert(d.getDouble(3) == java.time.LocalDate.of(2024, 3, 5).toEpochDay.toDouble)
+    assert(d.getDouble(4) == java.time.LocalDate.of(2024, 3, 7).toEpochDay.toDouble)
+    val f = out("f")
+    assert(f.getDouble(3) == 0.0 && f.getDouble(4) == 1.0)
+    Seq("b", "a", "s").foreach { k =>
+      val r = out(k)
+      assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
+      assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    }
+    val m = out("m")
+    assert(m.getLong(1) == 1L && m.isNullAt(2))
+    assert(m.isNullAt(3) && m.isNullAt(4) && m.isNullAt(5) && m.isNullAt(6))
+  }
+
   test("profile on orders: key column is unique and null-free") {
     initLog()
     val orders = graft.sources.Tables.orders(spark, sf)

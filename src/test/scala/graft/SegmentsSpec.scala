@@ -56,6 +56,27 @@ class SegmentsSpec extends GraftSpecBase {
     assert(m(5L) == md5Hex("p q r p q r"))
   }
 
+  test("planted viral segment: one hot key across many docs resolves first-win") {
+    initLog()
+    // the boilerplate-heavy shape segment dedup exists for: ONE segment
+    // ("the viral one") planted in 50 docs, each doc otherwise unique.
+    // The argmin resolve must keep exactly doc 0's copy and the per-doc
+    // unique tails, whatever the partition layout.
+    val viral = spark.range(50).selectExpr("id AS doc_id",
+      "concat('v i r a l', ' u', id, ' w', id) AS text")
+      .repartition(7)
+    val out = Segments.segmentDedup(viral, window = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.size == 50)
+    // doc 0 keeps both its segments ("v i r a l" + its unique tail)
+    assert(out(0L) == ((2L, 2L, md5Hex("v i r a l u0 w0"))))
+    // every other doc loses the viral segment, keeps its unique tail
+    (1L to 49L).foreach { d =>
+      assert(out(d) == ((2L, 1L, md5Hex(s"u$d w$d"))))
+    }
+  }
+
   test("segmentDedup is invariant under input partitioning") {
     initLog()
     val docs = graft.sources.Tables.documents(spark, sf)
