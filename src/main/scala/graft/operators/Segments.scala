@@ -10,11 +10,12 @@ import graft.sources.Tables
   * every repeated paragraph) and boilerplate scrubbing (drop segments
   * that recur across many documents — headers, footers, licence
   * blurbs). Reference corpora carry newline paragraph structure; the
-  * synthetic test corpus has none, so segmentation here is
+  * synthetic test corpus has none, so the default segmentation is
   * fixed-width token windows (the `window` parameter) — the operator
   * shape (segment → global resolve → in-order reassembly) is
-  * identical either way, and [[segmented]] takes any precomputed
-  * (doc_id, seg_idx, seg) frame for separator-based callers.
+  * identical either way: [[paragraphs]] is the separator-based
+  * segmenter, and the `*Frames` overloads run both ops over any
+  * precomputed (doc_id, seg_idx, seg) frame.
   *
   * Scale shape (both ops): segment generation is pure map-side
   * (sequence + explode, zero shuffle); the global resolve shuffles
@@ -24,6 +25,18 @@ import graft.sources.Tables
   * oracle compare ships 32 bytes per doc.
   */
 object Segments {
+
+  /** Separator-based segmentation for corpora that carry structure —
+    * one segment per `sep`-delimited paragraph, with the per-doc
+    * ordinal. Pure map-side (posexplode), zero shuffle; feed the
+    * result to [[segmentDedupFrames]] / [[boilerplateScrubFrames]].
+    */
+  def paragraphs(docs: DataFrame, sep: String = "\n"): DataFrame =
+    Par.ensure(docs)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep))))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        col("col").as("seg"))
 
   /** Non-overlapping `window`-token segments with per-doc ordinal.
     * The final segment keeps the tail even when shorter.
@@ -58,7 +71,7 @@ object Segments {
     * is per-doc (≤ tokens/window elements), not corpus-wide.
     */
   private def reassemble(segs: DataFrame, keep: org.apache.spark.sql.Column,
-      dropped: String, outMd5: String): DataFrame =
+      dropped: String, outMd5: String, sep: String = " "): DataFrame =
     segs
       .groupBy(col("doc_id"))
       .agg(
@@ -67,7 +80,7 @@ object Segments {
         md5(array_join(
           array_sort(collect_list(when(keep,
             struct(col("seg_idx"), col("seg"))))).getField("seg"),
-          " ")).as(outMd5))
+          sep)).as(outMd5))
 
   def segmentDedup(spark: SparkSession, dir: String): DataFrame =
     segmentDedup(Tables.documents(spark, dir))
@@ -95,15 +108,24 @@ object Segments {
     * the partition, never by the hot key — and the map-side collapse
     * (the property that kills the skew) is unchanged.
     */
-  def segmentDedup(docs: DataFrame, window: Int = 10): DataFrame = {
-    val segs = segmented(docs, window).withColumn("seg_md5", md5(col("seg")))
+  def segmentDedup(docs: DataFrame, window: Int = 10): DataFrame =
+    segmentDedupFrames(segmented(docs, window))
+
+  /** [[segmentDedup]] over any precomputed (doc_id, seg_idx, seg)
+    * frame — token windows, newline paragraphs ([[paragraphs]]), or a
+    * caller's own splitter. `sep` is the reassembly joiner (match it
+    * to the segmentation separator so the md5 reflects the document a
+    * reader would see).
+    */
+  def segmentDedupFrames(segs0: DataFrame, sep: String = " "): DataFrame = {
+    val segs = segs0.withColumn("seg_md5", md5(col("seg")))
     val winners = segs
       .groupBy(col("seg_md5"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first_occ"))
     val tagged = segs.join(winners, "seg_md5")
     val keep = col("first_occ.doc_id") === col("doc_id") &&
       col("first_occ.seg_idx") === col("seg_idx")
-    reassemble(tagged, keep, "n_dup", "dedup_md5")
+    reassemble(tagged, keep, "n_dup", "dedup_md5", sep)
       .select(col("doc_id"), col("n_segs"),
         (col("n_segs") - col("n_dup")).as("n_kept"), col("dedup_md5"))
   }
@@ -120,13 +142,25 @@ object Segments {
     * sort-merge at 100 TB, never broadcast.
     */
   def boilerplateScrub(docs: DataFrame, window: Int = 10,
-      dfThreshold: Int = 2): DataFrame = {
+      dfThreshold: Int = 2): DataFrame =
+    boilerplateScrubFrames(segmented(docs, window), dfThreshold)
+
+  /** [[boilerplateScrub]] over any precomputed (doc_id, seg_idx, seg)
+    * frame; see [[segmentDedupFrames]] for the frame contract and
+    * `sep`. (An exchange-sharing variant — repartition segs on
+    * seg_md5 so the agg and probe branches reuse one shuffle — was
+    * measured neutral at sf0.1 (0.62s vs 0.61s, AbSegmentsExchange)
+    * while forfeiting the df-count's map-side partial, so the
+    * two-map-stage shape stays.)
+    */
+  def boilerplateScrubFrames(segs: DataFrame, dfThreshold: Int = 2,
+      sep: String = " "): DataFrame = {
     require(dfThreshold >= 2)
-    val segs = segmented(docs, window)
     val dfs = segs
       .groupBy(md5(col("seg")).as("seg_md5"))
       .agg(countDistinct(col("doc_id")).as("seg_df"))
     val joined = segs.join(dfs, md5(col("seg")) === col("seg_md5"))
-    reassemble(joined, col("seg_df") < dfThreshold, "n_boiler", "clean_md5")
+    reassemble(joined, col("seg_df") < dfThreshold, "n_boiler", "clean_md5",
+      sep)
   }
 }

@@ -32,4 +32,26 @@ object StreamDedup {
       .withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(Seq("__content_hash"))
       .drop("__content_hash")
+
+  /** SEGMENT-level streaming dedup — the ingest twin of batch
+    * [[graft.operators.Segments.segmentDedup]]: map-side `sep`
+    * segmentation (posexplode, no shuffle), then
+    * `dropDuplicatesWithinWatermark` keyed on the segment md5. A
+    * repeated paragraph survives only at its first ARRIVAL; state is
+    * one 16-byte key per distinct segment inside the watermark, and
+    * expires with it. Emits (watermarkCol, doc_id, seg_idx, seg) for
+    * the kept segments — on an in-order stream the per-doc reassembly
+    * md5-matches the batch operator (StreamingSpec proves it).
+    */
+  def dropSegmentDupesWithin(docs: DataFrame, watermarkCol: String,
+      delay: String, sep: String = "\n"): DataFrame =
+    docs
+      .select(col(watermarkCol), col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep))))
+      .select(col(watermarkCol), col("doc_id"),
+        col("pos").cast("long").as("seg_idx"), col("col").as("seg"))
+      .withColumn("__seg_md5", md5(col("seg")))
+      .withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("__seg_md5"))
+      .drop("__seg_md5")
 }

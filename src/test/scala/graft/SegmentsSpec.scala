@@ -85,6 +85,39 @@ class SegmentsSpec extends GraftSpecBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("newline-paragraph corpus flows through both ops via paragraphs()") {
+    initLog()
+    // structured corpus: licence blurb is boilerplate (df=3), doc 0's
+    // body paragraph repeats verbatim in doc 2
+    val blurb = "licensed under cc"
+    val docs = Seq(
+      (0L, s"$blurb\nalpha body\nshared para"),
+      (1L, s"$blurb\nbeta body"),
+      (2L, s"$blurb\nshared para"),
+      (3L, "free text only"))
+      .toDF("doc_id", "text")
+    val segs = Segments.paragraphs(docs)
+
+    val dd = Segments.segmentDedupFrames(segs, sep = "\n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 0 owns the first occurrence of every one of its paragraphs
+    assert(dd(0L) == ((3L, 3L, md5Hex(s"$blurb\nalpha body\nshared para"))))
+    assert(dd(1L) == ((2L, 1L, md5Hex("beta body"))))
+    // doc 2 loses blurb AND the shared paragraph
+    assert(dd(2L) == ((2L, 0L, md5Hex(""))))
+    assert(dd(3L) == ((1L, 1L, md5Hex("free text only"))))
+
+    val sc = Segments.boilerplateScrubFrames(segs, dfThreshold = 3, sep = "\n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // only the blurb reaches df>=3; "shared para" (df=2) survives everywhere
+    assert(sc(0L) == ((3L, 1L, md5Hex("alpha body\nshared para"))))
+    assert(sc(1L) == ((2L, 1L, md5Hex("beta body"))))
+    assert(sc(2L) == ((2L, 1L, md5Hex("shared para"))))
+    assert(sc(3L) == ((1L, 0L, md5Hex("free text only"))))
+  }
+
   test("dedup and scrub agree on untouched docs; counts reconcile") {
     initLog()
     val docs = graft.sources.Tables.documents(spark, sf)

@@ -329,6 +329,48 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("segment-level streaming dedup reassembles to the batch operator's md5") {
+    initLog()
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // same corpus shape as the batch paragraph fixture: a licence blurb
+    // in every doc, one paragraph shared between docs 0 and 2
+    val corpus = Seq(
+      (0L, "licensed under cc\nalpha body\nshared para"),
+      (1L, "licensed under cc\nbeta body"),
+      (2L, "licensed under cc\nshared para"),
+      (3L, "free text only"))
+    val mem = MemoryStream[(Long, String)]
+    // epoch 0 would sit AT the query's initial watermark and be dropped
+    // as late — anchor the fixture in real time
+    val docs = mem.toDF.toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(col("doc_id") + 1700000000L))
+    val q = graft.streaming.StreamDedup
+      .dropSegmentDupesWithin(docs, "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("segdd_out").start()
+    try {
+      // in-order arrival, one doc per micro-batch -> first arrival IS
+      // the batch argmin's (doc_id, seg_idx) winner
+      corpus.foreach { d => mem.addData(d); q.processAllAvailable() }
+      val streamed = spark.table("segdd_out")
+        .groupBy(col("doc_id"))
+        .agg(md5(array_join(array_sort(collect_list(
+          struct(col("seg_idx"), col("seg")))).getField("seg"), "\n"))
+          .as("stream_md5"))
+      val batch = graft.operators.Segments
+        .segmentDedupFrames(
+          graft.operators.Segments.paragraphs(corpus.toDF("doc_id", "text")),
+          sep = "\n")
+        .filter(col("n_kept") > 0) // fully-deduped docs emit no stream rows
+      val joined = batch.join(streamed, "doc_id")
+      // doc 2 dedups away entirely -> 3 docs with kept segments
+      assert(joined.count() == 3)
+      assert(joined.filter(col("stream_md5") =!= col("dedup_md5")).isEmpty)
+    } finally q.stop()
+  }
+
   test("synthetic rate source produces schema-complete edit events") {
     initLog()
     val df = EditStream.synthetic(spark, rowsPerSecond = 10)
