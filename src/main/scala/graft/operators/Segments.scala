@@ -92,14 +92,15 @@ object Segments {
     * of the doc reassembled from surviving segments.
     *
     * First occurrence is resolved as an ARGMIN, not a rank:
-    * `min(struct(doc_id, seg_idx))` per segment hash is algebraic, so
-    * a viral segment's copies collapse map-side to ONE partial per
-    * task BEFORE the shuffle — where a
+    * `min(struct(doc_id, seg_idx, seg))` per segment hash is
+    * algebraic, so a viral segment's copies collapse map-side to ONE
+    * partial per task BEFORE the shuffle — where a
     * `row_number over partitionBy(md5(seg))` window would ship every
     * copy of the hottest segment (10^6-10^7x on boilerplate-heavy web
-    * text) into a single task's sort. The join-back that tags keepers
-    * is 1:1 per segment row (each row meets exactly one winner), so a
-    * skewed join partition splits under AQE — window partitions don't.
+    * text) into a single task's sort. Carrying `seg` in the struct
+    * costs nothing (it is constant within the group) and makes the
+    * argmin output self-sufficient: the winners ARE the deduped
+    * corpus, so no join back onto the input is needed at all.
     *
     * Plan note: a struct-typed min buffer isn't hash-aggregable in
     * Spark (UnsafeRow buffers need fixed-width mutable fields), so the
@@ -117,17 +118,40 @@ object Segments {
     * to the segmentation separator so the md5 reflects the document a
     * reader would see).
     */
-  def segmentDedupFrames(segs0: DataFrame, sep: String = " "): DataFrame = {
-    val segs = segs0.withColumn("seg_md5", md5(col("seg")))
+  def segmentDedupFrames(segs: DataFrame, sep: String = " "): DataFrame = {
+    // The argmin CARRIES the winning occurrence's text: seg is
+    // functionally determined by the md5 grouping key, so
+    // min(struct(doc_id, seg_idx, seg)) picks the same (first) winner
+    // and emits the kept text directly — no join back onto the corpus
+    // at all. Duplicates still collapse map-side to one partial per
+    // task before the shuffle (the viral-segment property), and the
+    // shuffle carries one struct per DISTINCT segment per task, never
+    // per occurrence. Reassembly then aggregates only the KEPT
+    // (deduped) text by doc_id; per-doc totals come from a text-free
+    // count branch, and the final doc_id equi-join of the two
+    // aggregates reuses their shared partitioning with no exchange of
+    // its own (plan-spec'd). Net data motion: full text rides ONE
+    // shuffle (collapsed by dedup), kept text one more, counts are
+    // 16-byte rows. (Two earlier shapes measured worse: the r6
+    // md5-keyed join-back — 1.78 s isolated at sf0.1, text rode two
+    // full shuffles; a positional (doc_id, seg_idx) join-back —
+    // defeated by requireAllClusterKeysForCoPartition inserting
+    // compound-key exchanges that break the doc_id layout reuse.)
     val winners = segs
-      .groupBy(col("seg_md5"))
-      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first_occ"))
-    val tagged = segs.join(winners, "seg_md5")
-    val keep = col("first_occ.doc_id") === col("doc_id") &&
-      col("first_occ.seg_idx") === col("seg_idx")
-    reassemble(tagged, keep, "n_dup", "dedup_md5", sep)
+      .groupBy(md5(col("seg")).as("seg_md5"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg"))).as("fo"))
+    val kept = winners
+      .groupBy(col("fo.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          array_sort(collect_list(struct(col("fo.seg_idx").as("seg_idx"),
+            col("fo.seg").as("seg")))).getField("seg"),
+          sep)).as("dedup_md5"))
+    val totals = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    totals.join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_segs"),
-        (col("n_segs") - col("n_dup")).as("n_kept"), col("dedup_md5"))
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_md5"), md5(lit(""))).as("dedup_md5"))
   }
 
   def boilerplateScrub(spark: SparkSession, dir: String): DataFrame =
@@ -156,11 +180,23 @@ object Segments {
   def boilerplateScrubFrames(segs: DataFrame, dfThreshold: Int = 2,
       sep: String = " "): DataFrame = {
     require(dfThreshold >= 2)
-    val dfs = segs
-      .groupBy(md5(col("seg")).as("seg_md5"))
+    // The df count runs over a TEXT-FREE projection (16-byte hashes +
+    // doc ids through its exchange), and — unlike the r6 shape, which
+    // joined the FULL distinct-segment count table back — the join
+    // side is pre-filtered to the segments that actually cross the
+    // threshold. That set is the boilerplate itself: orders of
+    // magnitude smaller than the corpus's distinct segments, so AQE
+    // broadcasts it on real corpora and the keeper tag costs no text
+    // shuffle at all; under forced-shuffle (the 100 TB worst case,
+    // plan-spec'd) it degrades to one sort-merge pass, never a
+    // broadcast of corpus-scale state. Keep = left-join miss.
+    val boiler = segs
+      .select(col("doc_id"), md5(col("seg")).as("seg_md5"))
+      .groupBy(col("seg_md5"))
       .agg(countDistinct(col("doc_id")).as("seg_df"))
-    val joined = segs.join(dfs, md5(col("seg")) === col("seg_md5"))
-    reassemble(joined, col("seg_df") < dfThreshold, "n_boiler", "clean_md5",
-      sep)
+      .filter(col("seg_df") >= dfThreshold)
+      .select(col("seg_md5"), lit(true).as("w_boiler"))
+    val tagged = segs.join(boiler, md5(col("seg")) === col("seg_md5"), "left")
+    reassemble(tagged, col("w_boiler").isNull, "n_boiler", "clean_md5", sep)
   }
 }

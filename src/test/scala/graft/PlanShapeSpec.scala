@@ -35,6 +35,25 @@ class PlanShapeSpec extends GraftSpecBase {
   private def names(df: DataFrame): Seq[String] =
     allNodes(plan(df)).map(_.nodeName)
 
+  /** Nodes on the root-to-node path ABOVE the first node matching
+    * `pred` (pre-order) — for asserting an aggregate/join reuses its
+    * child's partitioning (no Exchange may sit between them).
+    */
+  private def nodesAbove(p: SparkPlan, pred: SparkPlan => Boolean): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(n: SparkPlan, acc: Seq[SparkPlan]): Option[Seq[SparkPlan]] =
+      if (pred(n)) Some(acc)
+      else {
+        val kids = n match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        kids.view.flatMap(k => walk(k, acc :+ n)).headOption
+      }
+    walk(p, Nil).getOrElse(Nil)
+  }
+
   test("multijoin broadcasts every dimension (4 broadcast joins)") {
     initLog()
     val p = plan(BatchQueries.regionalVolume(spark, sf))
@@ -244,6 +263,25 @@ class PlanShapeSpec extends GraftSpecBase {
         s"argmin resolve must combine map-side: ${ns.mkString(",")}")
       assert(ns.exists(n => n.startsWith("SortMergeJoin") ||
         n.startsWith("ShuffledHashJoin")), ns.mkString(","))
+      // winners carry the kept text through the argmin, so the final
+      // totals-vs-kept join is a doc_id equi-join of two aggregate
+      // branches that already share that partitioning — no exchange may
+      // sit between the join and either aggregate below it, and none
+      // above it (the join output IS the result layout).
+      val above = nodesAbove(plan(df),
+        n => n.nodeName.startsWith("SortMergeJoin") ||
+          n.nodeName.startsWith("ShuffledHashJoin"))
+      assert(above.nonEmpty && !above.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"no exchange above the totals-kept join: ${above.map(_.nodeName).mkString(",")}")
+      val join = allNodes(plan(df)).find(n =>
+        n.nodeName.startsWith("SortMergeJoin") ||
+          n.nodeName.startsWith("ShuffledHashJoin")).get
+      join.children.foreach { side =>
+        val below = nodesAbove(side, _.nodeName.endsWith("Aggregate")) :+ side
+        assert(!below.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"join must reuse the aggregates' doc_id partitioning, not re-exchange: " +
+            below.map(_.nodeName).mkString(","))
+      }
     }
   }
 
@@ -264,6 +302,13 @@ class PlanShapeSpec extends GraftSpecBase {
         ns.mkString(","))
       assert(ns.exists(n => n.startsWith("SortMergeJoin") ||
         n.startsWith("ShuffledHashJoin")), ns.mkString(","))
+      // the keeper tag joins against the FILTERED boiler-key set — the
+      // df aggregate's threshold filter must sit below the join, so
+      // the build input is the boilerplate subset, not every distinct
+      // segment (checked on the final plan string: the filter on the
+      // df count survives into the join's build side)
+      assert(plan(df).toString.contains("seg_df"),
+        "boiler-key filter must survive into the physical plan")
     }
   }
 
