@@ -118,7 +118,17 @@ object SparkEntry {
     "dedup_segment" -> ((s, d) => Segments.segmentDedup(s, d)),
     "text_boilerplate" -> ((s, d) => Segments.boilerplateScrub(s, d)),
     "seq_pack" -> ((s, d) => Packing.packDocs(s, d)),
-    "profile_table" -> ((s, d) => Profile.profileOrders(s, d)))
+    "profile_table" -> ((s, d) => Profile.profileOrders(s, d)),
+    // round 7: temporal/state family + mixture/layout/patch ops
+    "q_scd2" -> ((s, d) => Temporal.scd2Intervals(s, d)),
+    "q_transition" -> ((s, d) => Temporal.transitionMatrix(s, d)),
+    "q_retention" -> ((s, d) => Temporal.cohortRetention(s, d)),
+    "q_rolling_distinct" -> ((s, d) => Temporal.rollingDistinctUsers(s, d)),
+    "q_merge_upsert" -> ((s, d) => Temporal.mergeUpsert(s, d)),
+    "mix_compose" -> ((s, d) => Mixture.composeMixture(s, d)),
+    "contamination_report" -> ((s, d) => TextAnalysis.contaminationReport(s, d)),
+    "q_zorder" -> ((s, d) => Layout.zorderCells(s, d)),
+    "mm_image_patch" -> ((s, d) => Multimodal.patchGrid(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -940,5 +950,137 @@ object SparkEntry {
            CAST(frame_idx * 100 AS BIGINT) AS byte_offset,
            md5(substring(text, CAST(frame_idx * 100 + 1 AS INT), 100)) AS frame_md5
          FROM (SELECT doc_id, text, n_frames,
-                 unnest(range(0, n_frames, 10)) AS frame_idx FROM f) u""")
+                 unnest(range(0, n_frames, 10)) AS frame_idx FROM f) u""",
+    // SCD2 gaps-and-islands: identical change-flag + running-version
+    // construction; DuckDB's running SUM is HUGEINT, cast back.
+    "q_scd2" ->
+      """WITH st AS (
+           SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             event_type AS state,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id)),
+         v AS (
+           SELECT user_id, state, t_us,
+             CAST(SUM(chg) OVER (PARTITION BY user_id
+               ORDER BY t_us, event_id) AS BIGINT) AS version
+           FROM st),
+         iv AS (
+           SELECT user_id, version, state, MIN(t_us) AS valid_from_us,
+             COUNT(*) AS n_events
+           FROM v GROUP BY 1, 2, 3)
+         SELECT user_id, version, state, valid_from_us, n_events,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+             ORDER BY version) AS valid_to_us
+         FROM iv""",
+    "q_transition" ->
+      """WITH o AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_type
+           FROM events),
+         c AS (SELECT prev_type, event_type, COUNT(*) AS n FROM o
+               WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, event_type, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER
+             (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+         FROM c""",
+    "q_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+           FROM events),
+         c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1)
+         SELECT c.cohort_wk, uw.wk - c.cohort_wk AS offset_wk,
+           COUNT(*) AS n_users
+         FROM uw JOIN c USING (user_id) GROUP BY 1, 2""",
+    "q_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+           FROM events),
+         cov AS (SELECT DISTINCT user_id, day + o AS day
+                 FROM ud CROSS JOIN range(0, 7) t(o)),
+         m AS (SELECT MAX(day) AS max_day FROM ud)
+         SELECT cov.day, COUNT(*) AS n_active_7d FROM cov, m
+         WHERE cov.day <= m.max_day GROUP BY 1""",
+    // latest-per-key twin of Spark's max(struct(t_us, event_id, v)):
+    // row_number DESC on the same compound key picks the same winner.
+    "q_merge_upsert" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             ROUND(value, 2) AS v FROM events),
+         b AS (SELECT user_id, v AS base_value FROM (
+             SELECT user_id, v, row_number() OVER (PARTITION BY user_id
+               ORDER BY t_us DESC, event_id DESC) AS rn
+             FROM e WHERE t_us < 1705363200000000) x WHERE rn = 1),
+         d AS (SELECT user_id, v AS delta_value FROM (
+             SELECT user_id, v, row_number() OVER (PARTITION BY user_id
+               ORDER BY t_us DESC, event_id DESC) AS rn
+             FROM e WHERE t_us >= 1705363200000000) y WHERE rn = 1)
+         SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+           COALESCE(d.delta_value, b.base_value) AS value,
+           CASE WHEN b.user_id IS NULL THEN 'insert'
+                WHEN d.user_id IS NULL THEN 'unchanged'
+                WHEN d.delta_value = b.base_value THEN 'unchanged'
+                ELSE 'update' END AS op
+         FROM b FULL OUTER JOIN d ON b.user_id = d.user_id""",
+    "mix_compose" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_obs FROM documents
+                    GROUP BY 1),
+         t AS (SELECT COUNT(*) AS n_total FROM documents),
+         r AS (SELECT lang, n_obs,
+             LEAST(16, CAST(floor(16.0 * (CASE lang
+                 WHEN 'en' THEN 0.2 WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.2
+                 WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.2 ELSE 0.0 END)
+               * (n_total * 0.5) / n_obs) AS BIGINT)) AS rate_sixteenths
+           FROM c, t)
+         SELECT r.lang, r.n_obs, r.rate_sixteenths,
+           CAST(SUM(CASE WHEN strpos('0123456789abcdef',
+                 substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1
+               < r.rate_sixteenths THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM documents d JOIN r ON d.lang = r.lang
+         GROUP BY 1, 2, 3""",
+    "contamination_report" ->
+      """WITH s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' ')))) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 4) dd),
+         bm AS (SELECT DISTINCT g FROM s WHERE doc_id % 20 = 0),
+         h AS (SELECT doc_id, COUNT(*) AS n_shared FROM s JOIN bm USING (g)
+               WHERE doc_id % 20 <> 0 GROUP BY 1),
+         rep AS (
+           SELECT d.lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN h.n_shared IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_contaminated,
+             CAST(COALESCE(SUM(h.n_shared), 0) AS BIGINT) AS n_shared_total
+           FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+           WHERE d.doc_id % 20 <> 0 GROUP BY 1)
+         SELECT lang, n_docs, n_contaminated, n_shared_total,
+           ROUND(CAST(n_contaminated AS DOUBLE) / n_docs, 6) AS rate
+         FROM rep""",
+    "q_zorder" -> {
+      val terms = (0 until 16).map { i =>
+        s"((l_partkey >> $i) & 1) * ${1L << (2 * i)}" +
+          s" + ((l_suppkey >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""WITH z AS (SELECT l_partkey, l_suppkey, $terms AS zval
+            FROM lineitem),
+          m AS (SELECT MAX(zval) AS z_max FROM z)
+          SELECT CAST(floor(zval * 64.0 / (z_max + 1)) AS BIGINT) AS cell,
+            COUNT(*) AS n,
+            MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+            MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+          FROM z, m GROUP BY 1"""
+    },
+    "mm_image_patch" ->
+      """WITH m AS (SELECT doc_id, ((doc_id % 64) + 1) * 8 AS w,
+             ((doc_id % 48) + 1) * 8 AS h FROM documents),
+         g AS (SELECT doc_id, w, h, (w + 15) // 16 AS nx,
+             (h + 15) // 16 AS ny FROM m),
+         g1 AS (SELECT doc_id, w, nx, unnest(range(0, ny, 4)) AS py FROM g),
+         g2 AS (SELECT doc_id, w, py, unnest(range(0, nx, 4)) AS px FROM g1)
+         SELECT doc_id, CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+           CAST((py * 16 * w + px * 16) * 3 AS BIGINT) AS byte_offset
+         FROM g2""")
 }

@@ -67,6 +67,38 @@ object Multimodal {
       floor(col("height") * scale).cast("long").as("out_h"))
   }
 
+  /** ViT-style patch-grid extraction over a (stubbed) image payload:
+    * the `patch`×`patch` pixel grid implied by the [[binaryMeta]]
+    * width/height, sampled every `stride` patches in each dimension
+    * (stride 1 = the full grid a ViT consumes). Offsets are real
+    * row-major RGB888 byte arithmetic; the pixel content itself is
+    * the stand-in payload, so the per-patch checksum wraps its offset
+    * into the available bytes (labeled stub — a real decoder reads
+    * `bytes` at `byte_offset`). Double map-side explode (rows ≤
+    * docs × (nx/stride) × (ny/stride)), zero shuffle — the image twin
+    * of [[frameSample]] feeding the same batched-decode shape.
+    */
+  def patchGrid(spark: SparkSession, dir: String): DataFrame =
+    patchGrid(Tables.documents(spark, dir))
+
+  def patchGrid(docs: DataFrame, patch: Int = 16, stride: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"),
+        (((col("doc_id") % 64) + 1) * 8).cast("long").as("width"),
+        (((col("doc_id") % 48) + 1) * 8).cast("long").as("height"))
+      .withColumn("nx", expr(s"(width + ${patch - 1}) div $patch"))
+      .withColumn("ny", expr(s"(height + ${patch - 1}) div $patch"))
+      .select(col("doc_id"), col("width"), col("height"), col("nx"),
+        explode(sequence(lit(0L), col("ny") - 1L,
+          lit(stride.toLong))).as("py"))
+      .select(col("doc_id"), col("width"), col("height"), col("nx"),
+        col("py"),
+        explode(sequence(lit(0L), col("nx") - 1L,
+          lit(stride.toLong))).as("px"))
+      .select(col("doc_id"), col("px"), col("py"),
+        ((col("py") * patch * col("width") + col("px") * patch) * 3L)
+          .as("byte_offset"))
+
   /** Audio windowing over a (stubbed) PCM payload: 25 ms windows with
     * a 10 ms hop (the standard ASR/feature framing — defaults sized to
     * a 4 kHz rate so the small test payloads produce windows; at a

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Temporal/state modeling over an event log — the dimension-history
+  * and behavioral-analytics layer (reference events are Wikipedia
+  * edit streams, DataStreamJob.java:52-91; these are their batch
+  * history twins): SCD2 validity intervals, state-transition counts,
+  * cohort retention, rolling distinct actives, and CDC upsert-merge.
+  *
+  * Shared scale shape: every operator partitions on the entity key
+  * (`user_id`) first, and every later stage groups on a superset of
+  * that key — Spark recognizes `hashpartitioning(user_id)` as
+  * satisfying any clustering that CONTAINS user_id, so the per-user
+  * windows, the interval grouping, and the merge join all reuse that
+  * one exchange layout (plan-spec'd). Per-task state is bounded by
+  * one user's history, never by the corpus.
+  *
+  * The `*Frames` overloads run over any (user_id, event_id,
+  * event_type, t_us[, value]) frame — `event_id` is the ts
+  * tie-break, `t_us` epoch microseconds.
+  */
+object Temporal {
+
+  private val DayUs = 86400000000L
+  private val WeekUs = 7L * DayUs
+
+  /** Events with µs epoch and a deterministic per-user ordering key
+    * (`ts` ties are broken by `event_id`).
+    */
+  private def ordered(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"), col("value"))
+
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2IntervalsFrames(ordered(spark, dir))
+
+  /** SCD2 (type-2 slowly-changing dimension) interval build: collapse
+    * each user's event-type sequence into runs of constant state and
+    * emit one row per run with `[valid_from_us, valid_to_us)` — the
+    * open (current) run carries a NULL `valid_to_us`. This is the
+    * standard dimension-history materialization a warehouse derives
+    * from a change log.
+    *
+    * Runs are identified with the gaps-and-islands trick: a change
+    * flag (`state != lag(state)`) running-summed into a version
+    * number. All three stages — the two windows and the run groupBy —
+    * cluster on user_id(+run), so the whole operator costs ONE
+    * shuffle; per-task sort state is one user's events.
+    */
+  def scd2IntervalsFrames(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val runs = ev
+      .select(col("user_id"), col("event_id"), col("t_us"),
+        col("event_type").as("state"))
+      .withColumn("chg",
+        when(lag(col("state"), 1).over(w).isNull
+          || col("state") =!= lag(col("state"), 1).over(w), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(w))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs
+      .groupBy(col("user_id"), col("version"), col("state"))
+      .agg(min(col("t_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us",
+        lead(col("valid_from_us"), 1).over(wv))
+  }
+
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame =
+    transitionMatrixFrames(ordered(spark, dir))
+
+  /** First-order state-transition (Markov) matrix: for each observed
+    * `prev -> next` event-type pair, the count and the row-normalized
+    * probability. One user-keyed window shuffle to form the lagged
+    * pairs, then the pair counts are |types|² rows — the normalizing
+    * per-prev window is dimension-sized at any corpus scale.
+    */
+  def transitionMatrixFrames(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") / sum(col("n"))
+          .over(Window.partitionBy(col("prev_type"))), 6))
+  }
+
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetentionFrames(ordered(spark, dir))
+
+  /** Weekly cohort retention: users are cohorted by their first
+    * active week; each later active week contributes to that
+    * cohort's `offset_wk` cell. The classic triangle every growth
+    * dashboard draws.
+    *
+    * One shuffle total for the corpus-scale part: a single
+    * groupBy(user_id) computes the cohort week AND the distinct
+    * active-week set (the collect_set state is bounded by the
+    * calendar, ~52/year, not by event volume — partials combine
+    * map-side), then explodes to (cohort, offset) cells whose count
+    * IS distinct users, since (user, week) is unique post-set.
+    */
+  def cohortRetentionFrames(ev: DataFrame): DataFrame =
+    ev
+      .select(col("user_id"),
+        floor(col("t_us") / lit(WeekUs)).cast("long").as("wk"))
+      .groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"),
+        collect_set(col("wk")).as("wks"))
+      .select(col("cohort_wk"), explode(col("wks")).as("wk"))
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).cast("long").as("offset_wk"))
+      .agg(count(lit(1)).as("n_users"))
+
+  def rollingDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    rollingDistinctUsersFrames(ordered(spark, dir))
+
+  /** Rolling 7-day distinct actives per day (the DAU/WAU family).
+    * Exact sliding-window COUNT DISTINCT does not decompose as an
+    * algebraic window agg, so: dedup to (user, active-day) — bounded
+    * at |users|×|days| — then each active day COVERS the next 7
+    * calendar days (map-side explode of a 7-element sequence), dedup
+    * (user, covered-day) again, and count. Every stage is
+    * hash-partial + one shuffle; nothing holds per-window user sets
+    * in task state (the failure mode of the naive
+    * `collect_set over RANGE window` shape at scale).
+    */
+  def rollingDistinctUsersFrames(ev: DataFrame,
+      windowDays: Int = 7): DataFrame = {
+    val days = ev
+      .select(col("user_id"),
+        floor(col("t_us") / lit(DayUs)).cast("long").as("day"))
+      .distinct()
+    val maxDay = days.agg(max(col("day")).as("max_day"))
+    days
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + (windowDays - 1))).as("day"))
+      .distinct()
+      .crossJoin(broadcast(maxDay))
+      // trailing windows that would end past the observed range are
+      // partial leading edges, not real days — drop them
+      .filter(col("day") <= col("max_day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active_7d"))
+  }
+
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame =
+    mergeUpsertFrames(ordered(spark, dir),
+      cutoffUs = 1705363200000000L /* 2024-01-16T00:00Z */)
+
+  /** CDC upsert-merge (the batch MERGE INTO): the pre-cutoff half of
+    * the log collapses to a per-user base snapshot (latest value),
+    * the post-cutoff half to a delta snapshot, and the merge is a
+    * full-outer coalesce tagged `insert` / `update` / `unchanged`
+    * (a delete marker would slot into the same CASE; the log has
+    * none). Latest-per-key is the algebraic argmax
+    * `max(struct(t_us, event_id, value))` — map-side combined, no
+    * per-key sort. Both snapshots and the join cluster on user_id:
+    * the join reuses the aggregates' partitioning with no exchange
+    * of its own.
+    */
+  def mergeUpsertFrames(ev: DataFrame, cutoffUs: Long): DataFrame = {
+    def latest(df: DataFrame, valName: String): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("t_us"), col("event_id"),
+          round(col("value"), 2).as("v"))).as("m"))
+        .select(col("user_id"), col("m.v").as(valName))
+    val base = latest(ev.filter(col("t_us") < cutoffUs), "base_value")
+    val delta = latest(ev.filter(col("t_us") >= cutoffUs), "delta_value")
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("delta_value"), col("base_value")).as("value"),
+        when(col("base_value").isNull, lit("insert"))
+          .when(col("delta_value").isNull, lit("unchanged"))
+          .when(col("delta_value") === col("base_value"), lit("unchanged"))
+          .otherwise(lit("update")).as("op"))
+  }
+}

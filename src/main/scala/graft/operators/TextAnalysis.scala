@@ -330,6 +330,31 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
 
+  /** Per-language contamination summary over [[contamination]]'s
+    * driver split (benchmark = doc_id ≡ 0 mod 20): corpus doc count,
+    * contaminated doc count, total shared shingle windows, and the
+    * contamination rate — the per-domain go/no-go report a
+    * decontamination run ends with. The hits side is at most one row
+    * per contaminated doc (corpus-scale worst case), so the join back
+    * onto the corpus stays a sort-merge equi-join on doc_id and the
+    * report itself is |domains| rows.
+    */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hits = contamination(docs)
+    docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("lang"))
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_shared").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        coalesce(sum(col("n_shared")), lit(0L)).as("n_shared_total"))
+      .select(col("lang"), col("n_docs"), col("n_contaminated"),
+        col("n_shared_total"),
+        round(col("n_contaminated") / col("n_docs"), 6).as("rate"))
+  }
+
   /** C4-style text normalization (Raffel et al. 2020 §2.2 family):
     * lowercase, strip everything but letters/digits/spaces (unicode
     * classes, so CJK and accented text survive), collapse runs of

@@ -354,4 +354,51 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(!s.contains("transform(") && !s.contains("array_join"),
       "the output has no gram text, so none may be built")
   }
+
+  test("scd2: both windows and the run grouping share ONE user_id exchange") {
+    initLog()
+    assert(shuffles(Temporal.scd2Intervals(spark, sf)) == 1,
+      names(Temporal.scd2Intervals(spark, sf)).mkString(","))
+  }
+
+  test("merge upsert: snapshot join reuses the aggregates' partitioning") {
+    initLog()
+    val df = Temporal.mergeUpsert(spark, sf)
+    // one exchange per snapshot branch; the full-outer join adds NONE
+    assert(shuffles(df) == 2, names(df).mkString(","))
+  }
+
+  test("cohort retention: corpus rides exactly one user-keyed shuffle") {
+    initLog()
+    val df = Temporal.cohortRetention(spark, sf)
+    // shuffle 1: groupBy(user) (cohort + week set); shuffle 2 carries
+    // only the exploded (cohort, offset) cells — calendar-sized rows
+    assert(shuffles(df) == 2, names(df).mkString(","))
+  }
+
+  test("applyMixture: the corpus never shuffles — rate join is broadcast") {
+    initLog()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rates = Mixture.mixtureRates(docs, "lang",
+      Map("en" -> 0.5, "de" -> 0.5), budgetShare = 0.5)
+    val df = Mixture.applyMixture(docs, rates, "doc_id", "lang")
+    assert(countNodes(plan(df),
+      _.isInstanceOf[BroadcastExchangeExec]) >= 1, names(df).mkString(","))
+    assert(!names(df).exists(_.contains("SortMergeJoin")),
+      names(df).mkString(","))
+    // the only shuffles sit under the |domains|-row rate aggregate,
+    // never on the corpus probe side (its path to the join is scan+filter)
+    val probeSide = nodesAbove(plan(df),
+      _.isInstanceOf[BroadcastExchangeExec])
+    assert(!probeSide.exists(_.isInstanceOf[ShuffleExchangeExec]))
+  }
+
+  test("z-order layout: cell stats are one corpus agg; zmax rides a broadcast") {
+    initLog()
+    val df = Layout.zorderCells(spark, sf)
+    assert(countNodes(plan(df),
+      _.isInstanceOf[BroadcastExchangeExec]) >= 1, names(df).mkString(","))
+    assert(!names(df).exists(_.contains("SortMergeJoin")),
+      names(df).mkString(","))
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+class TemporalSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private val W = 604800000000L // week in µs
+  private val D = 86400000000L  // day in µs
+
+  // (user_id, event_id, event_type, t_us, value)
+  private def ev(rows: (Long, Long, String, Long, Double)*) =
+    rows.toDF("user_id", "event_id", "event_type", "t_us", "value")
+
+  test("scd2: runs collapse, intervals abut, open run has null valid_to") {
+    initLog()
+    val out = Temporal.scd2IntervalsFrames(ev(
+      (1L, 1L, "A", 1000L, 0.0), (1L, 2L, "A", 2000L, 0.0),
+      (1L, 3L, "B", 3000L, 0.0), (1L, 4L, "A", 4000L, 0.0),
+      (2L, 5L, "B", 1500L, 0.0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    // user 1: A A | B | A  ->  three versions, A's repeat stays one run
+    assert(out((1L, 1L)) == (("A", 1000L, 2L, 3000L)))
+    assert(out((1L, 2L)) == (("B", 3000L, 1L, 4000L)))
+    assert(out((1L, 3L)) == (("A", 4000L, 1L, -1L)))
+    assert(out((2L, 1L)) == (("B", 1500L, 1L, -1L)))
+    assert(out.size == 4)
+  }
+
+  test("scd2: ts ties break on event_id, so run order is deterministic") {
+    initLog()
+    val out = Temporal.scd2IntervalsFrames(ev(
+      (3L, 6L, "A", 1000L, 0.0), (3L, 7L, "B", 1000L, 0.0)))
+      .orderBy(col("version")).collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("A", "B"))
+    // zero-width interval for the superseded state at the same ts
+    assert(out(0).getLong(5) == 1000L)
+    assert(out(1).isNullAt(5))
+  }
+
+  test("transition matrix counts lagged pairs and row-normalizes") {
+    initLog()
+    val out = Temporal.transitionMatrixFrames(ev(
+      (1L, 1L, "A", 1000L, 0.0), (1L, 2L, "A", 2000L, 0.0),
+      (1L, 3L, "B", 3000L, 0.0), (1L, 4L, "A", 4000L, 0.0),
+      (3L, 6L, "A", 9000L, 0.0), (3L, 7L, "B", 9500L, 0.0)))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("A", "A")) == ((1L, 0.333333)))
+    assert(out(("A", "B")) == ((2L, 0.666667)))
+    assert(out(("B", "A")) == ((1L, 1.0)))
+    assert(out.size == 3)
+  }
+
+  test("cohort retention: first-week cohort, one cell per active offset") {
+    initLog()
+    val out = Temporal.cohortRetentionFrames(ev(
+      (1L, 1L, "A", 0L, 0.0), (1L, 2L, "A", 1L * W, 0.0),
+      (1L, 3L, "A", 3L * W, 0.0), (1L, 4L, "A", 3L * W + 5L, 0.0),
+      (2L, 5L, "A", 1L * W, 0.0)))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
+
+  test("rolling 7d distinct actives: trailing coverage, capped at max day") {
+    initLog()
+    val out = Temporal.rollingDistinctUsersFrames(ev(
+      (1L, 1L, "A", 0L, 0.0), (1L, 2L, "A", 2L * D, 0.0),
+      (2L, 3L, "A", 2L * D + 7L, 0.0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // user 1 active d0,d2 covers d0..d2 (dedup'd); user 2 covers d2;
+    // days past max observed day (2) are dropped
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("merge upsert tags insert/update/unchanged by snapshot diff") {
+    initLog()
+    val out = Temporal.mergeUpsertFrames(ev(
+      (1L, 1L, "A", 1000L, 4.0),                            // base only
+      (4L, 2L, "A", 9000L, 7.0),                            // delta only
+      (5L, 3L, "A", 1000L, 1.0), (5L, 4L, "A", 9000L, 1.0), // same value
+      (6L, 5L, "A", 1000L, 1.0), (6L, 6L, "A", 9000L, 2.0), // changed
+      // latest-per-key: base resolves by (t_us, event_id) argmax
+      (7L, 7L, "A", 1000L, 5.0), (7L, 8L, "A", 1000L, 3.0)),
+      cutoffUs = 5000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getString(2)))).toMap
+    assert(out(1L) == ((4.0, "unchanged")))
+    assert(out(4L) == ((7.0, "insert")))
+    assert(out(5L) == ((1.0, "unchanged")))
+    assert(out(6L) == ((2.0, "update")))
+    assert(out(7L) == ((3.0, "unchanged"))) // event_id 8 wins the tie
+    assert(out.size == 5)
+  }
+}
