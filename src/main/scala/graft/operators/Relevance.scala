@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Retrieval / relevance operators over the document corpus: tf-idf
+  * keyword extraction, BM25 ranked search, and the inverted-index
+  * (postings) build behind them. The capability a curation pipeline
+  * needs to INSPECT its corpus — "which docs match this query", "what
+  * is this doc about" — not just transform it.
+  *
+  * FP discipline: idf uses the RATIONAL Robertson–Spärck Jones form
+  * (N - df + 0.5)/(df + 0.5) rather than its logarithm. All inputs are
+  * integers (+0.5, exact in binary), and IEEE +,-,*,/ are correctly
+  * rounded, so every score here is BIT-IDENTICAL between Spark and
+  * DuckDB as long as the oracle parenthesizes the same way — no
+  * transcendental (ln) whose last ulp differs between libm and
+  * java.lang.Math. The rational form is monotone in the log form at
+  * fixed tf, and BM25's per-term product ordering is preserved for
+  * ranking purposes within each term; it is graft's documented scoring
+  * variant, not an approximation of someone else's.
+  *
+  * Scale shapes (all corpus-linear):
+  *  - tokenize+explode is map-side; the only shuffles are the (term)
+  *    df aggregate and the (doc, term) tf aggregate;
+  *  - corpus stats (N, avgdl) are ONE-ROW aggregates, broadcast;
+  *  - the term-dictionary (df per term) is vocabulary-sized —
+  *    broadcast-joined onto the corpus-scale tf side, which never
+  *    re-shuffles;
+  *  - top-k outputs go through TakeOrdered / WindowGroupLimit, never
+  *    a full sort of the corpus.
+  */
+object Relevance {
+
+  /** (doc_id, tok) with multiplicity — the map-side tokenizer shared
+    * by all three operators. Whitespace tokens, empty docs dropped.
+    * The isNotNull(doc_id) guard is semantically free (keys are never
+    * null) but load-bearing for the PLAN: downstream joins push the
+    * same IsNotNull into their lane of this subtree, and only
+    * byte-identical subtrees collapse into one AQE-reused exchange —
+    * without the guard each join lane re-explodes the corpus.
+    */
+  private def docTokens(docs: DataFrame): DataFrame =
+    Par.ensure(docs)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** Per-(doc, term) tf plus per-doc length — one (doc_id, tok)
+    * shuffle; dl rides the same aggregate via a window-free sum over
+    * the doc's tf rows (second small agg keyed by doc only).
+    */
+  private def termFreqs(docs: DataFrame): DataFrame =
+    docTokens(docs).groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Rational RSJ idf — see the object Scaladoc for why not ln. */
+  private def idf(nDocs: Column, df: Column): Column =
+    (nDocs.cast("double") - df.cast("double") + lit(0.5)) /
+      (df.cast("double") + lit(0.5))
+
+  // ---------------------------------------------------------------
+  // tf-idf keywords
+  // ---------------------------------------------------------------
+
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    tfidfKeywords(Tables.documents(spark, dir))
+
+  /** Top-`k` keywords per document by tf·idf (rational idf), with a
+    * deterministic (score desc, tok) tie-break. The df dictionary is
+    * vocabulary-sized → broadcast onto the tf side; ranking uses
+    * row_number over (doc) so WindowGroupLimit prunes to k rows per
+    * doc before the final shuffle's sort completes.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = termFreqs(docs)
+    val dfTbl = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))           // tf rows are per-doc distinct
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf
+      .join(broadcast(dfTbl.crossJoin(n)), Seq("tok"))
+      .withColumn("score",
+        col("tf").cast("double") * idf(col("__n"), col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"),
+        col("tf"), col("df"), round(col("score"), 6).as("tfidf"))
+  }
+
+  // ---------------------------------------------------------------
+  // BM25 search
+  // ---------------------------------------------------------------
+
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Search(Tables.documents(spark, dir), Seq("spark", "window"))
+
+  /** BM25-ranked top-`k` documents for a bag-of-terms query
+    * (k1 = 1.5, b = 0.75, rational idf). The defaults are chosen so
+    * every constant in the scoring tree (k1, k1+1, b, 1-b) is EXACT in
+    * binary — with k1 = 1.2 the Scala-side `k1 + 1.0` and a SQL-side
+    * literal `2.2` can differ in the last ulp because they round at
+    * different points. Per-term contribution:
+    *
+    *   idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    *
+    * The per-doc score sums the query's term contributions — the
+    * driver query uses TWO terms so the sum is a single IEEE add
+    * (commutative, association-free) and the cross-engine compare
+    * stays exact; for longer queries sum order is still deterministic
+    * in Spark (one combine per doc) but a hash-order-stable oracle
+    * would need per-term rounding. Query terms ride in as a literal
+    * array → explode → broadcast-joined against the tf table: the
+    * corpus side shuffles once on (doc, tok) for the tf agg and never
+    * again.
+    */
+  def bm25Search(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val tf = termFreqs(docs)
+    // df (per tok) and dl (per doc) in ONE grouping-sets pass over the
+    // tf rows: one Expand + one shuffle instead of two aggregates, and
+    // — because both are filters over the SAME aggregate — one shared
+    // exchange. The tf subtree itself then has exactly two consumers
+    // (this aggregate + the query probe), which AQE collapses into one
+    // executed corpus explode (see docTokens' IsNotNull note).
+    val gsets = tf
+      .groupingSets(Seq(Seq(col("doc_id")), Seq(col("tok"))),
+        col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("tf")).as("__s"))
+    val dl = gsets.filter(col("tok").isNull)
+      .select(col("doc_id"), col("__s").as("dl"))
+    val dfTbl = gsets.filter(col("doc_id").isNull)
+      .select(col("tok"), col("__cnt").as("df"))
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("__avgdl"))
+    val q = docs.sparkSession
+      .createDataset(queryTerms.distinct)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("tok")
+    val perTerm = tf
+      .join(broadcast(q), Seq("tok"))         // corpus rows drop to |q| terms
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfTbl.crossJoin(stats)), Seq("tok"))
+      .withColumn("contrib",
+        idf(col("__n"), col("df")) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+              col("__avgdl"))))
+    perTerm.groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"),
+        col("n_terms_hit"))
+  }
+
+  // ---------------------------------------------------------------
+  // Inverted index (postings) build
+  // ---------------------------------------------------------------
+
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    postings(Tables.documents(spark, dir))
+
+  /** The inverted-index build: per term, document frequency, total
+    * term frequency, and the first `sampleK` postings (doc ids in
+    * ascending order, joined as a string so the compare is
+    * engine-portable). At 100 TB the postings column is the thing you
+    * WRITE (partitioned by term bucket); the head sample here is the
+    * index SUMMARY row.
+    *
+    * Skew contract: a stopword's postings list is corpus-scale, so the
+    * head is NOT built by collecting a term's doc list into one
+    * aggregation buffer (the unguarded hot-key shape). Instead
+    * row_number over (tok, doc_id asc) + `rk <= sampleK` compiles to
+    * WindowGroupLimit: every map partition pre-prunes each term to its
+    * sampleK smallest doc ids BEFORE the exchange, so the window-side
+    * sort sees ≤ sampleK·partitions rows per term no matter how hot
+    * the term (plan-spec asserted). df/tf_total come from the plain
+    * algebraic aggregate branch; the two vocabulary-sized results meet
+    * in a final broadcast join.
+    */
+  def postings(docs: DataFrame, sampleK: Int = 10): DataFrame = {
+    val tf = termFreqs(docs)
+    val stats = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+    val head = tf.select(col("tok"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= sampleK)
+      .groupBy(col("tok"))
+      // numeric sort first, THEN stringify (lexicographic "10" < "2"
+      // would corrupt the order); the transform lambda is interpreted
+      // but runs over ≤ sampleK elements per vocabulary row
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        _.cast("string")), ",").as("postings_head"))
+    stats.join(broadcast(head), Seq("tok"))
+  }
+}

@@ -401,4 +401,49 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(!names(df).exists(_.contains("SortMergeJoin")),
       names(df).mkString(","))
   }
+
+  test("postings head: hot terms are group-limited BEFORE the window shuffle") {
+    initLog()
+    val df = Relevance.postings(spark, sf)
+    // the rk<=sampleK filter must compile to WindowGroupLimit (the
+    // per-map-partition prune that bounds a stopword's postings), and
+    // the vocabulary-sized stats/head branches meet in a broadcast
+    assert(names(df).contains("WindowGroupLimit"), names(df).mkString(","))
+    assert(countNodes(plan(df),
+      _.isInstanceOf[BroadcastExchangeExec]) >= 1, names(df).mkString(","))
+  }
+
+  test("bm25: stats + probe lanes share the corpus work (≤2 explodes, reused tf exchange)") {
+    initLog()
+    val df = Relevance.bm25Search(
+      graft.sources.Tables.documents(spark, sf), Seq("spark", "window"))
+    df.collect() // AQE materializes stage reuse at execution
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // exactly two corpus explodes survive: the full tf lane feeding the
+    // grouping-sets df/dl aggregate, and the probe lane whose tok-IN
+    // filter prunes to query terms right after its Generate (pushing
+    // that filter below the agg is WORTH the second explode — it's the
+    // df/dl lanes collapsing into one grouping-sets pass + AQE exchange
+    // reuse that removed the other two corpus passes)
+    assert(countNodes(plan(df), _.nodeName.contains("Generate")) <= 2,
+      names(df).mkString(","))
+    assert(countNodes(plan(df), n => n.isInstanceOf[ReusedExchangeExec] ||
+      n.nodeName.contains("ReusedExchange")) >= 2,
+      names(df).mkString(","))
+    assert(countNodes(plan(df),
+      _.isInstanceOf[BroadcastExchangeExec]) >= 2, names(df).mkString(","))
+  }
+
+  test("outlier detection: per-type stats broadcast back, corpus never shuffles") {
+    initLog()
+    val df = BatchQueries.valueOutliers(spark, sf)
+    assert(countNodes(plan(df),
+      _.isInstanceOf[BroadcastExchangeExec]) >= 1, names(df).mkString(","))
+    assert(!names(df).exists(_.contains("SortMergeJoin")),
+      names(df).mkString(","))
+    val probeSide = nodesAbove(plan(df),
+      _.isInstanceOf[BroadcastExchangeExec])
+    assert(!probeSide.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "outlier tagging must be map-side over the scan")
+  }
 }

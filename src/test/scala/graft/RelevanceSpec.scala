@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relevance
+
+class RelevanceSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // 4 docs, hand-computable counts: "x" appears in 1 doc (rare),
+  // "common" in all 4.
+  private val docs = Seq(
+    (0L, "common x x common"),
+    (1L, "common other other"),
+    (2L, "common other"),
+    (3L, "common")).toDF("doc_id", "text")
+
+  private def idf(n: Long, df: Long): Double =
+    (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)
+
+  test("tfidf ranks a doc's rare term above the ubiquitous one") {
+    initLog()
+    val rows = Relevance.tfidfKeywords(docs, k = 2)
+      .filter(col("doc_id") === 0L)
+      .orderBy(col("rk"))
+      .select(col("tok"), col("tf"), col("df"), col("tfidf"))
+      .collect()
+    // doc 0: x tf=2 df=1 -> 2 * (4-1+.5)/1.5 = 14/3; common tf=2 df=4
+    assert(rows.map(_.getString(0)).toSeq == Seq("x", "common"))
+    assert(rows(0).getLong(1) == 2L && rows(0).getLong(2) == 1L)
+    assert(math.abs(rows(0).getDouble(3) - 2.0 * idf(4, 1)) < 1e-6)
+  }
+
+  test("tfidf emits exactly min(k, |doc vocabulary|) rows per doc") {
+    initLog()
+    val counts = Relevance.tfidfKeywords(docs, k = 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("bm25 favors the doc where the query term is dense, ties by id") {
+    initLog()
+    // "x" query: only doc 0 contains it; score must be positive and
+    // the result exactly one row.
+    val hit = Relevance.bm25Search(docs, Seq("x"), k = 10).collect()
+    assert(hit.length == 1 && hit(0).getLong(0) == 0L)
+    assert(hit(0).getDouble(1) > 0.0)
+    // "common" hits every doc; shorter docs rank higher (bm25 length
+    // normalization) — doc 3 (dl=1) must beat doc 0 (dl=4, tf=2 but
+    // saturated by k1 and penalized by dl).
+    val all = Relevance.bm25Search(docs, Seq("common"), k = 10)
+      .select(col("doc_id")).as[Long].collect()
+    assert(all.length == 4)
+    assert(all.head == 3L, s"expected shortest doc first, got ${all.toSeq}")
+  }
+
+  test("bm25 hand-check: single-term score matches the closed form") {
+    initLog()
+    val r = Relevance.bm25Search(docs, Seq("x"), k = 1).collect()(0)
+    val (k1, b) = (1.5, 0.75)
+    val (tf, dl, n, df) = (2.0, 4.0, 4L, 1L)
+    val avgdl = (4 + 3 + 2 + 1).toDouble / 4.0
+    val expected = idf(n, df) * (tf * (k1 + 1.0)) /
+      (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    assert(math.abs(r.getDouble(1) - expected) < 1e-6)
+  }
+
+  test("postings head is doc-id ascending and capped at sampleK") {
+    initLog()
+    val idx = Relevance.postings(docs, sampleK = 3)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(idx("common") == ((4L, 5L, "0,1,2")))
+    assert(idx("x") == ((1L, 2L, "0")))
+    assert(idx("other") == ((2L, 3L, "1,2")))
+    // cap: a term in >3 docs lists exactly the 3 smallest ids
+    val wide = (0L until 6L).map(i => (i, "t")).toDF("doc_id", "text")
+    val head = Relevance.postings(wide, sampleK = 3)
+      .select(col("postings_head")).as[String].collect()(0)
+    assert(head == "0,1,2")
+  }
+
+  test("postings head survives lexicographic-vs-numeric doc id ordering") {
+    initLog()
+    // ids 2 and 10: numeric order is 2,10; a string sort would flip it
+    val d = Seq((10L, "t"), (2L, "t")).toDF("doc_id", "text")
+    val head = Relevance.postings(d, sampleK = 5)
+      .select(col("postings_head")).as[String].collect()(0)
+    assert(head == "2,10")
+  }
+
+  test("empty tokens are dropped, empty docs don't emit keyword rows") {
+    initLog()
+    val d = Seq((0L, "a  b"), (1L, "")).toDF("doc_id", "text")
+    val ks = Relevance.tfidfKeywords(d, k = 5)
+    assert(ks.filter(col("doc_id") === 1L).count() == 0)
+    assert(ks.filter(col("doc_id") === 0L).count() == 2)
+  }
+}
