@@ -11,7 +11,7 @@ object Bench {
     */
   private val headlinePrefixes = Seq("ann_", "dedup_", "curate_",
     "decontaminate", "embed_", "mm_", "sample_", "text_", "seq_",
-    "profile_")
+    "profile_", "idx_")
   private val headlineBatch = Set("q_edit_window", "q_filter_project",
     "q1_pricing_agg", "q_multijoin", "q_topn_join", "q_exists_sql",
     "q_snapshot_diff", "q_asof_join", "q_range_join", "q_window_running")
@@ -23,12 +23,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // Force FULL computation of every output column. A bare count()
+    // lets Catalyst prune unused branches — e.g. a report's left join
+    // against a per-key-unique aggregate is ELIMINATED wholesale when
+    // only the row count is observed (contamination_report benched
+    // 0.43 s flat from sf0.1 to 100× while its real cost was ~9 s at
+    // 100×). The noop sink consumes every column of every row without
+    // writing — the standard benchmarking sink.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // Warm up JIT/codegen + file-listing so the first timed query
     // doesn't absorb session startup; fixed name order for run-to-run
     // comparability.
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()
     SparkEntry.queries.get("q_filter_project")
-      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
+      .foreach(fn => try run(fn(spark, sfDir)) catch { case _: Throwable => () })
     // min of 2 runs per query: the shared host shows multi-second
     // scheduling noise; the minimum is the reproducible cost.
     // A failed query must NOT masquerade as a fast success: record it
@@ -43,7 +52,7 @@ object Bench {
       var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try { run(fn(spark, sfDir)) }
         catch { case t: Throwable =>
           failed = true
           System.err.println(s"[bench] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
