@@ -133,7 +133,14 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => Relevance.tfidfKeywords(s, d)),
     "text_search_bm25" -> ((s, d) => Relevance.bm25Search(s, d)),
     "idx_postings" -> ((s, d) => Relevance.postings(s, d)),
-    "q_outlier" -> ((s, d) => BatchQueries.valueOutliers(s, d)))
+    "q_outlier" -> ((s, d) => BatchQueries.valueOutliers(s, d)),
+    // round 7c: governance + affinity family
+    "q_purge_cascade" -> ((s, d) => Governance.purgeAudit(s, d)),
+    "split_cluster_safe" -> ((s, d) => Governance.clusterSafeSplitDocs(s, d)),
+    "dedup_keep_best" -> ((s, d) => Governance.keepBestDocs(s, d)),
+    "dedup_incremental" -> ((s, d) => Governance.incrementalDedupDocs(s, d)),
+    "q_basket_pairs" -> ((s, d) => Affinity.partPairs(s, d)),
+    "q_robust_scale" -> ((s, d) => BatchQueries.robustScaledPrices(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -1157,5 +1164,145 @@ object SparkEntry {
          SELECT e.event_id, e.event_type, e.value,
            ROUND((e.value - s.m) / s.sd, 4) AS z
          FROM events e JOIN s USING (event_type)
-         WHERE abs((e.value - s.m) / s.sd) > 2.5""")
+         WHERE abs((e.value - s.m) / s.sd) > 2.5""",
+    "q_purge_cascade" ->
+      """WITH tomb AS (SELECT c_custkey FROM customer
+           WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'),
+         po AS (SELECT o_orderkey FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM tomb))
+         SELECT 'customer' AS tbl, (SELECT COUNT(*) FROM customer) AS n_rows,
+           (SELECT COUNT(*) FROM tomb) AS n_purged
+         UNION ALL
+         SELECT 'orders', (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM po)
+         UNION ALL
+         SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM po))""",
+    "split_cluster_safe" ->
+      """WITH RECURSIVE
+         s AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 2),
+             i -> array_to_string(t[i:i+3], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 4) d),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         canon AS (SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+             AS canonical_id
+           FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+           GROUP BY d.doc_id)
+         SELECT doc_id, canonical_id,
+           CASE WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 1) IN
+             ('0','1','2','3','4','5','6','7','8','9','a','b','c','d')
+           THEN 'train' ELSE 'val' END AS split
+         FROM canon""",
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+         s AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 2),
+             i -> array_to_string(t[i:i+3], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 4) d),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         canon AS (SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+             AS canonical_id
+           FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+           GROUP BY d.doc_id),
+         q AS (SELECT doc_id,
+           ROUND((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' '))) *
+             (1.0 - CAST(len(list_filter(string_split(text, ' '),
+               t -> list_contains(['the','a','of','and','to','in','is','it','on','for'], t))) AS DOUBLE)
+               / len(string_split(text, ' '))), 6) AS quality_score
+           FROM documents)
+         SELECT canonical_id, CAST(doc_id AS BIGINT) AS keep_id,
+           quality_score, n_members
+         FROM (
+           SELECT c.canonical_id, c.doc_id, q.quality_score,
+             COUNT(*) OVER (PARTITION BY c.canonical_id) AS n_members,
+             ROW_NUMBER() OVER (PARTITION BY c.canonical_id
+               ORDER BY q.quality_score DESC, c.doc_id) AS rn
+           FROM canon c JOIN q USING (doc_id)) t
+         WHERE rn = 1""",
+    "dedup_incremental" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'),
+         delta AS (SELECT doc_id, text FROM documents
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
+         ex AS (SELECT DISTINCT d.doc_id FROM delta d
+                JOIN corpus c ON md5(d.text) = md5(c.text)),
+         sd AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 2),
+             i -> array_to_string(t[i:i+3], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM delta
+                 WHERE len(string_split(text, ' ')) >= 4) x),
+         sc AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 2),
+             i -> array_to_string(t[i:i+3], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+                 WHERE len(string_split(text, ' ')) >= 4) x),
+         nr AS (SELECT DISTINCT a.doc_id FROM sd a JOIN sc b ON
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5)
+         SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS status
+         FROM delta d LEFT JOIN ex e ON d.doc_id = e.doc_id
+                      LEFT JOIN nr n ON d.doc_id = n.doc_id""",
+    "q_basket_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS basket,
+             l_partkey AS item FROM lineitem),
+         n AS (SELECT COUNT(*) AS n_total
+               FROM (SELECT DISTINCT basket FROM it)),
+         ic AS (SELECT item, COUNT(*) AS cnt FROM it GROUP BY item),
+         p AS (SELECT a.item AS item_a, b.item AS item_b,
+             COUNT(*) AS n_baskets
+           FROM it a JOIN it b ON a.basket = b.basket AND a.item < b.item
+           GROUP BY 1, 2)
+         SELECT item_a, item_b, n_baskets,
+           ROUND(CAST(n_baskets AS DOUBLE) / ca.cnt * n.n_total / cb.cnt, 6)
+             AS lift
+         FROM p JOIN ic ca ON p.item_a = ca.item
+                JOIN ic cb ON p.item_b = cb.item, n
+         ORDER BY n_baskets DESC, item_a, item_b LIMIT 50""",
+    "q_robust_scale" ->
+      """WITH s AS (SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.5) AS med,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+           FROM lineitem GROUP BY l_returnflag),
+         f AS (SELECT l_returnflag, ROUND(med, 6) AS median,
+             ROUND(q3 - q1, 6) AS iqr,
+             ROUND(q1 - (q3 - q1) * 1.5, 6) AS lo_fence,
+             ROUND(q3 + (q3 - q1) * 1.5, 6) AS hi_fence
+           FROM s)
+         SELECT f.l_returnflag, f.median, f.iqr, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l.l_extendedprice < f.lo_fence
+             OR l.l_extendedprice > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+         FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+         GROUP BY 1, 2, 3""")
 }

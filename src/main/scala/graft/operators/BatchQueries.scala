@@ -655,4 +655,39 @@ object BatchQueries {
         coalesce(col("total"), lit(0.0)).as("total"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
+
+  /** Robust (median/IQR) scaling profile per group — the Tukey-fence
+    * twin of [[valueOutliers]]' z-score: exact quartiles, the IQR,
+    * and how many rows fall outside `[q1 - 1.5·IQR, q3 + 1.5·IQR]`.
+    * Robust statistics are the curation default when value columns
+    * are heavy-tailed (z-scores drown in their own outliers).
+    *
+    * Exact `percentile` sorts each group's values inside the agg —
+    * correct here and at any group COUNT that fits a task (TPC-H
+    * return flags: 3 groups of n/3 each — at 100 TB the
+    * approx_percentile sketch replaces it, same plan otherwise). The
+    * fences are rounded to 6dp on BOTH engines before the outlier
+    * comparison, so a last-ulp interpolation difference between
+    * engines cannot flip a boundary row.
+    */
+  def robustScaledPrices(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val stats = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("q1"),
+        expr("percentile(l_extendedprice, 0.5)").as("median"),
+        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+      .select(col("l_returnflag"),
+        round(col("median"), 6).as("median"),
+        round(col("q3") - col("q1"), 6).as("iqr"),
+        round(col("q1") - (col("q3") - col("q1")) * 1.5, 6).as("lo_fence"),
+        round(col("q3") + (col("q3") - col("q1")) * 1.5, 6).as("hi_fence"))
+    li.join(broadcast(stats), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("median"), col("iqr"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_extendedprice") < col("lo_fence")
+          || col("l_extendedprice") > col("hi_fence"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

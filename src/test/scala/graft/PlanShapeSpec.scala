@@ -446,4 +446,61 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(!probeSide.exists(_.isInstanceOf[ShuffleExchangeExec]),
       "outlier tagging must be map-side over the scan")
   }
+
+  test("keepBestPerCluster resolves with an algebraic argmax, no Sort+Window") {
+    initLog()
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = spark.range(50).select(col("id").as("doc_id"),
+      org.apache.spark.sql.functions.lit("t u v").as("text"))
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val df = Governance.keepBestPerCluster(docs, pairs)
+    val ns = names(df)
+    assert(!ns.contains("Window"), ns.mkString(","))
+    // partial+final SortAggregate (struct max buffer isn't
+    // hash-aggregable) — the partial collapses a mega-cluster map-side
+    assert(ns.count(_.endsWith("Aggregate")) >= 2,
+      "argmax must partial-agg map-side: " + ns.mkString(","))
+  }
+
+  test("basketPairs: top-k via TakeOrderedAndProject, pair join stays equi") {
+    initLog()
+    val df = Affinity.partPairs(spark, sf)
+    val ns = names(df)
+    assert(ns.contains("TakeOrderedAndProject"), ns.mkString(","))
+    // the single-row basket total legitimately rides one broadcast
+    // nested loop; the PAIR self-join and the count join-backs must all
+    // be equi-joins — a second nested loop would be quadratic in items
+    assert(ns.count(n => n.startsWith("BroadcastNestedLoopJoin") ||
+      n.startsWith("CartesianProduct")) <= 1, ns.mkString(","))
+    assert(ns.exists(n => n.startsWith("SortMergeJoin") ||
+      n.startsWith("ShuffledHashJoin") || n.startsWith("BroadcastHashJoin")),
+      ns.mkString(","))
+  }
+
+  test("purge anti-join broadcasts the tombstone side") {
+    initLog()
+    val df = Governance.purgeAudit(spark, sf)
+    val ns = names(df)
+    // three semi/anti legs; at spec scale every tombstone side fits a
+    // broadcast, and nothing may force the fact side to broadcast
+    assert(countNodes(plan(df),
+      _.isInstanceOf[BroadcastExchangeExec]) >= 2, ns.mkString(","))
+  }
+
+  test("incrementalDedup: corpus-scale index is never broadcast") {
+    initLog()
+    withNoBroadcast {
+      val df = Governance.incrementalDedupDocs(spark, sf)
+      df.collect() // let AQE finalize join strategies before reading shapes
+      val ns = names(df)
+      // the (h1,h2) probe join must be a shuffled join on the hash key —
+      // broadcasting the exploded corpus index would ship
+      // |corpus|×shingles to every probe task
+      assert(ns.exists(n => n.startsWith("SortMergeJoin") ||
+        n.startsWith("ShuffledHashJoin")), ns.mkString(","))
+      assert(!ns.exists(n => n.startsWith("BroadcastNestedLoopJoin") ||
+        n.startsWith("CartesianProduct")), ns.mkString(","))
+    }
+  }
 }
