@@ -140,7 +140,9 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => Governance.keepBestDocs(s, d)),
     "dedup_incremental" -> ((s, d) => Governance.incrementalDedupDocs(s, d)),
     "q_basket_pairs" -> ((s, d) => Affinity.partPairs(s, d)),
-    "q_robust_scale" -> ((s, d) => BatchQueries.robustScaledPrices(s, d)))
+    "q_robust_scale" -> ((s, d) => BatchQueries.robustScaledPrices(s, d)),
+    "q_skyline" -> ((s, d) => Skyline.partFrontier(s, d)),
+    "q_path_topk" -> ((s, d) => Temporal.pathTopK(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -1304,5 +1306,20 @@ object SparkEntry {
              OR l.l_extendedprice > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
              AS n_outliers
          FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
-         GROUP BY 1, 2, 3""")
+         GROUP BY 1, 2, 3""",
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+         FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM part q
+           WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+             AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""",
+    "q_path_topk" ->
+      """WITH h AS (SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM h WHERE rn <= 8 GROUP BY user_id)
+         SELECT path, COUNT(*) AS n_users FROM p
+         GROUP BY path ORDER BY n_users DESC, path LIMIT 20""")
 }

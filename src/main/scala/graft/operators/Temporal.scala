@@ -169,6 +169,35 @@ object Temporal {
     * the join reuses the aggregates' partitioning with no exchange
     * of its own.
     */
+  def pathTopK(spark: SparkSession, dir: String): DataFrame =
+    pathTopKFrames(ordered(spark, dir))
+
+  /** Top-k behavioral paths: each user's first `maxLen` event types in
+    * time order (ties broken by event_id), joined with '>', counted
+    * across users — the sequence-mining summary behind funnel design
+    * (which journeys actually happen, not just the one we planned).
+    *
+    * ONE corpus shuffle: the per-user ordered head is an ordered
+    * collect inside the user groupBy (`sort_array(collect_list(...))`
+    * then slice) — agg state is one user's history, the same
+    * boundedness contract as the rest of the family, with no separate
+    * row_number window pass. Path counting then aggregates path
+    * strings (≤ |types|^maxLen distinct, in practice a short head) and
+    * the top-k is TakeOrderedAndProject.
+    */
+  def pathTopKFrames(ev: DataFrame, maxLen: Int = 8, k: Int = 20): DataFrame =
+    ev
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("t_us"), col("event_id"),
+        col("event_type")))).as("h"))
+      .select(concat_ws(">",
+        transform(slice(col("h"), 1, maxLen), s => s.getField("event_type")))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+
   def mergeUpsertFrames(ev: DataFrame, cutoffUs: Long): DataFrame = {
     def latest(df: DataFrame, valName: String): DataFrame =
       df.groupBy(col("user_id"))

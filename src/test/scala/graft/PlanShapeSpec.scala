@@ -488,6 +488,48 @@ class PlanShapeSpec extends GraftSpecBase {
       _.isInstanceOf[BroadcastExchangeExec]) >= 2, ns.mkString(","))
   }
 
+  test("skyline prefilter: corpus rows never enter an exchange") {
+    initLog()
+    val surv = Skyline.skylineSurvivors(
+      graft.sources.Tables.part(spark, sf), "p_retailprice", "p_size", 256)
+    val ns = names(surv)
+    // bounds (1 row) and bin cummax (nBins rows) ride broadcasts; the
+    // corpus is only ever the probe side
+    assert(countNodes(plan(surv),
+      _.isInstanceOf[BroadcastExchangeExec]) >= 2, ns.mkString(","))
+    // every shuffle in the prefilter carries aggregate output (per-bin
+    // maxima / their single-partition window), never corpus rows
+    allNodes(plan(surv)).filter(_.isInstanceOf[ShuffleExchangeExec])
+      .foreach { ex =>
+        assert(ex.children.head.nodeName.endsWith("Aggregate"),
+          s"corpus-scale exchange in prefilter: ${ns.mkString(",")}")
+      }
+  }
+
+  test("skyline pairwise pass runs on the checkpointed frontier only") {
+    initLog()
+    val df = Skyline.partFrontier(spark, sf)
+    val ns = names(df)
+    // the survivor checkpoint cuts the plan: the final query must be
+    // the anti-join over the materialized survivor RDD (scans of
+    // ExistingRDD, no parquet re-scan) with the q side broadcast
+    assert(ns.exists(_.startsWith("BroadcastNestedLoopJoin")), ns.mkString(","))
+    assert(!ns.exists(_.contains("parquet")), ns.mkString(","))
+    assert(shuffles(df) == 0, ns.mkString(","))
+  }
+
+  test("pathTopK: ordered head inside ONE user shuffle, top-k without global sort") {
+    initLog()
+    val df = Temporal.pathTopK(spark, sf)
+    val ns = names(df)
+    assert(ns.contains("TakeOrderedAndProject"), ns.mkString(","))
+    assert(!ns.exists(_.startsWith("Window")),
+      "the per-user head must be the ordered collect, not a row_number pass: " +
+        ns.mkString(","))
+    // user groupBy + path groupBy: exactly two exchanges
+    assert(shuffles(df) == 2, ns.mkString(","))
+  }
+
   test("incrementalDedup: corpus-scale index is never broadcast") {
     initLog()
     withNoBroadcast {

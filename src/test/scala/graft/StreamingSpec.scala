@@ -433,4 +433,45 @@ class StreamingSpec extends GraftSpecBase {
     assert(composed ==
       asMap(graft.operators.BatchQueries.diffSnapshots(snap(s0), snap(s2), "k")))
   }
+
+  test("streaming novelty gate: corpus dups tagged, re-deliveries dropped, batch parity") {
+    initLog()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, md5, timestamp_seconds}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpusHashes = corpus.select(md5(col("text")).as("text_hash"))
+    val in = MemoryStream[(Long, Long, String)] // (sec, doc_id, text)
+    val stream = in.toDF().select(timestamp_seconds(col("_1")).as("ts"),
+      col("_2").as("doc_id"), col("_3").as("text"))
+    val q = graft.streaming.StreamNovelty
+      .novelOnly(stream, corpusHashes, "ts", "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("novel_out").start()
+    try {
+      in.addData(
+        (10L, 100L, "alpha beta gamma"),   // exact corpus dup: gated
+        (11L, 101L, "fresh document one"), // novel
+        (12L, 102L, "fresh document one"), // within-stream re-delivery
+        (13L, 103L, "fresh document two")) // novel
+      q.processAllAvailable()
+      val got = spark.table("novel_out").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(101L, 103L))
+    } finally q.stop()
+    // tagged() parity with the batch operator's exact lane
+    val delta = Seq((100L, "alpha beta gamma"), (101L, "fresh document one"))
+      .toDF("doc_id", "text")
+    val streamStatus = graft.streaming.StreamNovelty
+      .tagged(delta, corpusHashes)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("status")).toMap
+    val batchStatus = graft.operators.Governance
+      .incrementalDedup(corpus, delta)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamStatus(100L) == "exact_dup" && batchStatus(100L) == "exact_dup")
+    assert(streamStatus(101L) == "novel" && batchStatus(101L) == "novel")
+  }
 }

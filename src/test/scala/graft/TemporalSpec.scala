@@ -97,4 +97,23 @@ class TemporalSpec extends GraftSpecBase {
     assert(out(7L) == ((3.0, "unchanged"))) // event_id 8 wins the tie
     assert(out.size == 5)
   }
+
+  test("pathTopK: time-ordered heads, maxLen cap, deterministic top-k ties") {
+    initLog()
+    val out = Temporal.pathTopKFrames(ev(
+      // users 1,2 walk A>B>C (different times, same order)
+      (1L, 1L, "A", 1000L, 0.0), (1L, 2L, "B", 2000L, 0.0),
+      (1L, 3L, "C", 3000L, 0.0),
+      (2L, 4L, "A", 100L, 0.0), (2L, 5L, "B", 5000L, 0.0),
+      (2L, 6L, "C", 9000L, 0.0),
+      // user 3: same events ARRIVE out of id order; ts ties break by id
+      (3L, 8L, "B", 1000L, 0.0), (3L, 7L, "A", 1000L, 0.0),
+      // user 4: a 5-step walk capped at maxLen 3
+      (4L, 9L, "X", 1L, 0.0), (4L, 10L, "Y", 2L, 0.0),
+      (4L, 11L, "Z", 3L, 0.0), (4L, 12L, "Q", 4L, 0.0),
+      (4L, 13L, "R", 5L, 0.0)), maxLen = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // A>B>C twice; the n=1 paths tie and 'A>B' sorts before 'X>Y>Z'
+    assert(out.toSeq == Seq(("A>B>C", 2L), ("A>B", 1L)))
+  }
 }
