@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A/B diagnosis for the 10× scale knees found in round 7:
+  * q_basket_pairs (15× at 10× data) and dedup_incremental (12×).
+  * Times each variant through the noop sink and prints the join
+  * strategy lines from the final adaptive plan.
+  * Usage: runMain graft.tools.AbAffinity [sfDir]
+  */
+object AbAffinity {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/tmp/sfx10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.GraftSession.local(cpus, "graft-ab-affinity")
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(df: => DataFrame): Unit = {
+      val d = df
+      val t0 = System.nanoTime()
+      d.write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      val joins = d.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Cartesian"))
+        .map(_.trim.take(90)).toSeq
+      println(f"[ab] $name%-28s $s%8.2fs  joins=${joins.size}")
+      joins.foreach(j => println(s"[ab]     $j"))
+    }
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    time("basket_pairs as shipped") {
+      graft.operators.Affinity.basketPairs(li, "l_orderkey", "l_partkey")
+    }
+    time("basket_pairs bcast counts") {
+      val it = li.select(col("l_orderkey").as("basket"),
+        col("l_partkey").as("item")).distinct()
+      val nB = it.select(col("basket")).distinct()
+        .agg(count(lit(1)).as("n_total"))
+      val ic = it.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      val pairs = it.as("a").join(it.as("b"),
+          col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+        .agg(count(lit(1)).as("n_baskets"))
+      pairs
+        .join(broadcast(ic.select(col("item").as("item_a"),
+          col("cnt").as("cnt_a"))), "item_a")
+        .join(broadcast(ic.select(col("item").as("item_b"),
+          col("cnt").as("cnt_b"))), "item_b")
+        .crossJoin(broadcast(nB))
+        .withColumn("lift", round(col("n_baskets").cast("double") /
+          col("cnt_a") * col("n_total") / col("cnt_b"), 6))
+        .select(col("item_a"), col("item_b"), col("n_baskets"), col("lift"))
+        .orderBy(col("n_baskets").desc, col("item_a"), col("item_b"))
+        .limit(50)
+    }
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(
+      graft.operators.Sampling.inHashSample(col("doc_id"), 15))
+    val delta = docs.filter(
+      !graft.operators.Sampling.inHashSample(col("doc_id"), 15))
+    time("incremental as shipped") {
+      graft.operators.Governance.incrementalDedup(corpus, delta)
+    }
+    spark.stop()
+  }
+}

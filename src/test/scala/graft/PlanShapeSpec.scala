@@ -478,6 +478,30 @@ class PlanShapeSpec extends GraftSpecBase {
       ns.mkString(","))
   }
 
+  test("basketPairs: count join-backs broadcast the k-row cut; basket layout is reused") {
+    initLog()
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    withNoBroadcast {
+      val df = Affinity.partPairs(spark, sf)
+      df.collect()
+      val p = plan(df)
+      // the per-item-count joins must NOT sort-merge the pair table —
+      // the 10× A/B (tools/AbAffinity) measured that shape 2.4× slower;
+      // both ride the k-row broadcast build (explicit hints, so they
+      // survive autoBroadcast=-1, i.e. cluster-scale inputs)
+      assert(!allNodes(p).exists { case j: SortMergeJoinExec =>
+        j.leftKeys.map(_.sql).mkString.contains("item_a") ||
+          j.leftKeys.map(_.sql).mkString.contains("item_b")
+        case _ => false }, "count join-back went sort-merge on the pair table")
+      // both sides of the basket self-join share ONE repartition(basket)
+      // exchange (subset-clustering satisfies the distinct too)
+      assert(countNodes(p, n => n.isInstanceOf[ReusedExchangeExec] ||
+        n.nodeName.contains("ReusedExchange")) >= 1,
+        "basket self-join no longer reuses the repartition(basket) exchange")
+    }
+  }
+
   test("purge anti-join broadcasts the tombstone side") {
     initLog()
     val df = Governance.purgeAudit(spark, sf)
