@@ -142,7 +142,12 @@ object SparkEntry {
     "q_basket_pairs" -> ((s, d) => Affinity.partPairs(s, d)),
     "q_robust_scale" -> ((s, d) => BatchQueries.robustScaledPrices(s, d)),
     "q_skyline" -> ((s, d) => Skyline.partFrontier(s, d)),
-    "q_path_topk" -> ((s, d) => Temporal.pathTopK(s, d)))
+    "q_path_topk" -> ((s, d) => Temporal.pathTopK(s, d)),
+    // round 7d: data-quality gates + fuzzy matching + OLS fit
+    "dq_expectations" -> ((s, d) => QualityChecks.lineitemExpectations(s, d)),
+    "dq_key_skew" -> ((s, d) => QualityChecks.lineitemKeySkew(s, d)),
+    "q_linreg" -> ((s, d) => BatchQueries.linearFit(s, d)),
+    "dedup_fuzzy" -> ((s, d) => Fuzzy.customerNamePairs(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -1321,5 +1326,56 @@ object SparkEntry {
          p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
                FROM h WHERE rn <= 8 GROUP BY user_id)
          SELECT path, COUNT(*) AS n_users FROM p
-         GROUP BY path ORDER BY n_users DESC, path LIMIT 20""")
+         GROUP BY path ORDER BY n_users DESC, path LIMIT 20""",
+    "dq_expectations" ->
+      """WITH t AS (SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+             AS BIGINT) AS v_qty,
+           CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+             AS BIGINT) AS v_price,
+           CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.11 THEN 0 ELSE 1
+             END) AS BIGINT) AS v_disc,
+           CAST(SUM(CASE WHEN l_tax >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS v_tax,
+           CAST(SUM(CASE WHEN l_shipdate BETWEEN DATE '1992-01-01'
+             AND DATE '1998-12-31' THEN 0 ELSE 1 END) AS BIGINT) AS v_ship,
+           CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1
+             END) AS BIGINT) AS v_flag
+           FROM lineitem)
+         SELECT r.rule, t.n_rows, r.n_violations,
+           ROUND(CAST(r.n_violations AS DOUBLE) / t.n_rows, 6)
+             AS violation_rate
+         FROM t, LATERAL (VALUES
+           ('quantity_range', v_qty), ('price_positive', v_price),
+           ('discount_range', v_disc), ('tax_nonneg', v_tax),
+           ('shipdate_range', v_ship), ('returnflag_domain', v_flag))
+           AS r(rule, n_violations)
+         ORDER BY rule""",
+    "dq_key_skew" ->
+      """WITH c AS (SELECT l_partkey, COUNT(*) AS cnt
+                    FROM lineitem GROUP BY 1)
+         SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(AVG(cnt), 4) AS avg_cnt,
+           ROUND(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+           ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top1_share,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 4)
+             AS skew_ratio,
+           ROUND(LN(CAST(SUM(cnt) AS DOUBLE)) -
+             SUM(cnt * LN(cnt)) / SUM(cnt), 4) AS entropy
+         FROM c""",
+    "q_linreg" ->
+      """SELECT l_returnflag,
+         ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+         ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+         ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+         CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_points
+         FROM lineitem GROUP BY 1""",
+    "dedup_fuzzy" ->
+      """WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+         SELECT a.name AS name_a, b.name AS name_b
+         FROM n a JOIN n b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 1
+         ORDER BY name_a, name_b""")
 }

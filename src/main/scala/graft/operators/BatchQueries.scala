@@ -690,4 +690,22 @@ object BatchQueries {
           || col("l_extendedprice") > col("hi_fence"), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** Per-group OLS fit (the `regr_*` aggregate family): slope,
+    * intercept, R² and point count of extendedprice ~ quantity. All
+    * four are single-pass algebraic aggregates (co-moment merging) —
+    * one shuffle on the group key, map-side combined; the 100 TB
+    * trend-fit needs no ML library round-trip.
+    */
+  def linearFit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n_points"))
 }

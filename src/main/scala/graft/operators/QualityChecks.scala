@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-quality validation and shuffle-key diagnostics — the checks a
+  * pipeline runs BEFORE committing 100 TB to a training mixture:
+  * declarative row-level expectations (Deequ/Great-Expectations
+  * shape) and key-distribution skew profiling (the number that says
+  * whether the next join needs salting).
+  */
+object QualityChecks {
+
+  /** Declarative expectation suite: each rule is a boolean Column; a
+    * row VIOLATES a rule unless the predicate evaluates TRUE (SQL
+    * three-valued logic — a NULL predicate is a violation, which is
+    * what a quality gate wants: unknown is not ok).
+    *
+    * Scale shape: R rules compile to R conditional sums inside ONE
+    * aggregate over ONE scan — adding a rule costs one more codegen'd
+    * when(), never another pass. The agg is algebraic (map-side
+    * combined to a single row per task), the explode that turns the
+    * one result row into per-rule rows is driver-trivial. This is the
+    * only correct shape at 100 TB: the naive per-rule `df.filter.
+    * count()` loop is R full scans.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty)
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map { case (name, pred) =>
+        sum(when(pred, 0L).otherwise(1L)).as(s"v_$name")
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col(s"v_$name").as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("n_rows"),
+        col("r.n_violations").as("n_violations"),
+        round(col("r.n_violations").cast("double") / col("n_rows"), 6)
+          .as("violation_rate"))
+      .orderBy(col("rule"))
+  }
+
+  /** Driver contract: six invariants of the lineitem table. */
+  def lineitemExpectations(spark: SparkSession, dir: String): DataFrame =
+    expectations(Tables.lineitem(spark, dir), Seq(
+      "quantity_range" -> col("l_quantity").between(1, 50),
+      "price_positive" -> (col("l_extendedprice") > 0),
+      "discount_range" -> col("l_discount").between(0.0, 0.11),
+      "tax_nonneg" -> (col("l_tax") >= 0),
+      "shipdate_range" -> col("l_shipdate")
+        .between(lit("1992-01-01").cast("date"), lit("1998-12-31").cast("date")),
+      "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+
+  /** Key-distribution profile for a prospective shuffle/join key —
+    * row/key counts, the hot-key ceiling, count quantiles, top-1
+    * share, max/avg skew ratio, and Shannon entropy. These are the
+    * numbers that decide salting (skew_ratio), AQE skew thresholds
+    * (max_cnt), and reduce-side memory (p99_cnt) before launching a
+    * 100 TB join.
+    *
+    * Scale shape: one shuffle (the per-key count, map-side combined)
+    * + one single-row reduce over n_keys count rows. Entropy needs no
+    * second pass: H = ln(N) - Σ cnt·ln(cnt) / N, and Σ cnt·ln(cnt)
+    * is a plain algebraic sum. The count quantiles use the exact
+    * sort-based `percentile` when `exact` (deterministic, oracle-
+    * matchable); `exact=false` swaps in the approx_percentile sketch
+    * — the 100 TB mode, where n_keys itself is billions (same
+    * exact/approx convention as [[Profile.profile]]).
+    */
+  def keySkew(df: DataFrame, keyCol: String, exact: Boolean = true): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+    val (p50, p99) =
+      if (exact) (expr("percentile(cnt, 0.5)"), expr("percentile(cnt, 0.99)"))
+      else (expr("approx_percentile(cnt, 0.5, 10000)").cast("double"),
+        expr("approx_percentile(cnt, 0.99, 10000)").cast("double"))
+    counts
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"), avg(col("cnt")).as("avg"),
+        p50.as("p50"), p99.as("p99"),
+        sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
+          .as("s_clnc"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        round(col("avg"), 4).as("avg_cnt"),
+        round(col("p50"), 4).as("p50_cnt"),
+        round(col("p99"), 4).as("p99_cnt"),
+        round(col("max_cnt").cast("double") / col("n_rows"), 6)
+          .as("top1_share"),
+        round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 4)
+          .as("skew_ratio"),
+        round(log(col("n_rows").cast("double")) -
+          col("s_clnc") / col("n_rows"), 4).as("entropy"))
+  }
+
+  /** Driver contract: skew profile of lineitem's part-key — the fact
+    * table's most join-critical distribution.
+    */
+  def lineitemKeySkew(spark: SparkSession, dir: String): DataFrame =
+    keySkew(Tables.lineitem(spark, dir), "l_partkey")
+}

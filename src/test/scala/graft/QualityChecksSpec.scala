@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityChecks
+
+class QualityChecksSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("expectations: violation counts, NULL predicate counts as violation") {
+    initLog()
+    val df = Seq[(java.lang.Long, String)](
+      (5L, "a"), (50L, "b"), (null, "c"), (-1L, "a"), (200L, null))
+      .toDF("qty", "flag")
+    val out = QualityChecks.expectations(df, Seq(
+      "qty_range" -> col("qty").between(1, 100),
+      "flag_known" -> col("flag").isin("a", "b")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // qty: 5 ok, 50 ok, null -> violation, -1 violation, 200 violation
+    assert(out("qty_range") == ((5L, 3L, 0.6)))
+    // flag: a,b,a ok; c violation; null -> violation
+    assert(out("flag_known") == ((5L, 2L, 0.4)))
+  }
+
+  test("expectations is a single scan: one aggregate, no join/union fan-out") {
+    initLog()
+    val df = QualityChecks.lineitemExpectations(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), "per-rule UNION means R scans")
+    assert(!plan.contains("Join"), "per-rule joins mean R scans")
+    // exactly one source scan feeds all rules
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(800))
+    assert(df.count() == 6)
+  }
+
+  test("keySkew: exact stats on a hand-checked distribution") {
+    initLog()
+    // key a: 4 rows, b: 2, c: 1, d: 1  (n=8, k=4)
+    val df = Seq("a", "a", "a", "a", "b", "b", "c", "d").toDF("k")
+    val r = QualityChecks.keySkew(df, "k").collect().head
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("max_cnt") == 4L)
+    assert(r.getAs[Double]("avg_cnt") == 2.0)
+    assert(r.getAs[Double]("p50_cnt") == 1.5) // interpolated (1,1,2,4)
+    assert(r.getAs[Double]("top1_share") == 0.5)
+    assert(r.getAs[Double]("skew_ratio") == 2.0) // 4 / (8/4)
+    // H = ln8 - (4ln4 + 2ln2)/8 ; uniform-over-keys would be ln4
+    val h = math.log(8) - (4 * math.log(4) + 2 * math.log(2)) / 8
+    assert(math.abs(r.getAs[Double]("entropy") -
+      BigDecimal(h).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      < 1e-9)
+  }
+
+  test("keySkew approx mode matches exact on a small distribution") {
+    initLog()
+    val df = Seq("a", "a", "a", "a", "b", "b", "c", "d").toDF("k")
+    val exact = QualityChecks.keySkew(df, "k").collect().head
+    val approx = QualityChecks.keySkew(df, "k", exact = false).collect().head
+    // sketch with accuracy 10000 is exact at this cardinality except
+    // that approx_percentile returns an OBSERVED value, not an
+    // interpolation — p50 of (1,1,2,4) is 1.0 vs 1.5
+    assert(approx.getAs[Long]("max_cnt") == exact.getAs[Long]("max_cnt"))
+    assert(approx.getAs[Double]("entropy") == exact.getAs[Double]("entropy"))
+    assert(approx.getAs[Double]("p99_cnt") == 4.0)
+  }
+}
