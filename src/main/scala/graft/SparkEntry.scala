@@ -147,7 +147,10 @@ object SparkEntry {
     "dq_expectations" -> ((s, d) => QualityChecks.lineitemExpectations(s, d)),
     "dq_key_skew" -> ((s, d) => QualityChecks.lineitemKeySkew(s, d)),
     "q_linreg" -> ((s, d) => BatchQueries.linearFit(s, d)),
-    "dedup_fuzzy" -> ((s, d) => Fuzzy.customerNamePairs(s, d)))
+    "dedup_fuzzy" -> ((s, d) => Fuzzy.customerNamePairs(s, d)),
+    "graph_pagerank" -> ((s, d) => Graph.transactionPageRank(s, d)),
+    "graph_degree" -> ((s, d) => Graph.degreeHistogram(s, d)),
+    "sample_weighted" -> ((s, d) => Sampling.weightedDocuments(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -1377,5 +1380,59 @@ object SparkEntry {
          SELECT a.name AS name_a, b.name AS name_b
          FROM n a JOIN n b ON a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 1
-         ORDER BY name_a, name_b""")
+         ORDER BY name_a, name_b""",
+    // the identical unrolled recurrence, per-iteration ROUND(9) on
+    // both engines so partition-order FP drift can't compound
+    "graph_pagerank" ->
+      """WITH p AS (SELECT DISTINCT 'c#' || CAST(o_custkey AS VARCHAR) AS c,
+             's#' || CAST(l_suppkey AS VARCHAR) AS s
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+         outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         pr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         r0 AS (SELECT node, CAST(1 AS DOUBLE) / pr.n AS rank
+                FROM nodes, pr),
+         c1 AS (SELECT e.dst AS node, SUM(r.rank / o.outdeg) AS contrib
+                FROM e JOIN outd o USING (src) JOIN r0 r ON r.node = e.src
+                GROUP BY 1),
+         r1 AS (SELECT nd.node, ROUND(CAST(0.15 AS DOUBLE) / pr.n +
+                  CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, 0), 9) AS rank
+                FROM nodes nd LEFT JOIN c1 c USING (node), pr),
+         c2 AS (SELECT e.dst AS node, SUM(r.rank / o.outdeg) AS contrib
+                FROM e JOIN outd o USING (src) JOIN r1 r ON r.node = e.src
+                GROUP BY 1),
+         r2 AS (SELECT nd.node, ROUND(CAST(0.15 AS DOUBLE) / pr.n +
+                  CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, 0), 9) AS rank
+                FROM nodes nd LEFT JOIN c2 c USING (node), pr),
+         c3 AS (SELECT e.dst AS node, SUM(r.rank / o.outdeg) AS contrib
+                FROM e JOIN outd o USING (src) JOIN r2 r ON r.node = e.src
+                GROUP BY 1),
+         r3 AS (SELECT nd.node, ROUND(CAST(0.15 AS DOUBLE) / pr.n +
+                  CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, 0), 9) AS rank
+                FROM nodes nd LEFT JOIN c3 c USING (node), pr)
+         SELECT node, ROUND(rank, 6) AS rank FROM r3""",
+    "graph_degree" ->
+      """WITH p AS (SELECT DISTINCT 'c#' || CAST(o_custkey AS VARCHAR) AS c,
+             's#' || CAST(l_suppkey AS VARCHAR) AS s
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+         d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY 1)
+         SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_nodes
+         FROM d GROUP BY 1 ORDER BY 1""",
+    "sample_weighted" ->
+      """WITH u AS (SELECT doc_id, lang, n_chars,
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u16
+           FROM documents)
+         SELECT doc_id, lang, n_chars FROM u
+         WHERE u16 < LEAST(CAST(1 AS DOUBLE),
+           GREATEST(CAST(0 AS DOUBLE), CAST(n_chars AS DOUBLE) / 2000.0))
+           * 65536.0""")
 }

@@ -72,6 +72,30 @@ object Sampling {
       .otherwise(c - ascii(lit("0")))
   }
 
+  /** The row's position in the hash space as an integer in [0, 65536)
+    * — the first FOUR md5 nibbles (1/65536 granularity, vs the
+    * sixteenths' 1/16). Same portability doctrine: pure nibble
+    * arithmetic any md5-capable engine reproduces bit-for-bit.
+    */
+  def hashUnit16(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    (0 until 4).map(i =>
+      locate0(substring(h, i + 1, 1)) * (1 << (4 * (3 - i)))).reduce(_ + _)
+  }
+
+  /** Per-row PROBABILITY-weighted deterministic sampling: keep a row
+    * iff its fixed hash position falls below `weight` (clamped to
+    * [0,1]) — the "keep high-quality docs at full rate, downsample
+    * the tail proportionally" knob. Same stability contract as
+    * [[hashSample]]: membership is a pure function of (id, weight) —
+    * re-runs, re-partitions and corpus growth never flip a row, and
+    * RAISING a row's weight only ever ADDS it (monotone, spec). Pure
+    * map-side column algebra, zero shuffle.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.filter(hashUnit16(col(idCol)) <
+      least(lit(1.0), greatest(lit(0.0), weight)) * 65536.0)
+
   /** Driver-contract queries. */
   def sampleDocuments(spark: SparkSession, dir: String): DataFrame =
     hashSample(Tables.documents(spark, dir), "doc_id", 4)
@@ -86,4 +110,12 @@ object Sampling {
     trainValSplit(Tables.documents(spark, dir), "doc_id")
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+
+  /** Driver contract: length-weighted downsampling — short docs kept
+    * proportionally to size, ≥2000-char docs always.
+    */
+  def weightedDocuments(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir), "doc_id",
+      col("n_chars").cast("double") / lit(2000.0))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
 }

@@ -74,4 +74,23 @@ class SamplingSpec extends GraftSpecBase {
     assert(Sampling.hashSample(d, "doc_id", 0).count() == 0)
     assert(Sampling.hashSample(d, "doc_id", 16).count() == 2)
   }
+
+  test("weighted sample: boundary weights, monotonicity, rate tracks weight") {
+    initLog()
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    assert(Sampling.weightedSample(docs, "doc_id", lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(docs, "doc_id", lit(1.0)).count() == n)
+    assert(Sampling.weightedSample(docs, "doc_id", lit(7.5)).count() == n,
+      "weights clamp to [0,1]")
+    // raising the weight only ever ADDS rows (u16 is fixed per id)
+    val at3 = Sampling.weightedSample(docs, "doc_id", lit(0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val at7 = Sampling.weightedSample(docs, "doc_id", lit(0.7))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(at3.subsetOf(at7))
+    // constant weight w keeps ~w of the corpus
+    val frac = at3.size.toDouble / n
+    assert(frac > 0.22 && frac < 0.38, s"keep rate $frac at w=0.3")
+  }
 }

@@ -474,4 +474,59 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamStatus(100L) == "exact_dup" && batchStatus(100L) == "exact_dup")
     assert(streamStatus(101L) == "novel" && batchStatus(101L) == "novel")
   }
+
+  test("streaming dq gate: violations quarantined, per-batch observe metrics, batch parity") {
+    initLog()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rules = Seq(
+      "qty_range" -> col("qty").between(1, 100),
+      "flag_known" -> col("flag").isin("a", "b"))
+    val in = MemoryStream[(Long, Long, String)] // (id, qty, flag)
+    val stream = in.toDF().select(col("_1").as("id"),
+      col("_2").as("qty"), col("_3").as("flag"))
+    @volatile var observed: Map[String, Long] = Map.empty
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get("dq")
+        if (m != null) observed = Map(
+          "rows_total" -> m.getAs[Long]("rows_total"),
+          "qty_range" -> m.getAs[Long]("qty_range_violations"),
+          "flag_known" -> m.getAs[Long]("flag_known_violations"))
+      }
+    }
+    spark.streams.addListener(listener)
+    val q = graft.streaming.StreamQuality.gate(stream, rules)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dq_clean").start()
+    try {
+      in.addData((1L, 5L, "a"), (2L, 500L, "a"), (3L, 5L, "zz"),
+        (4L, -1L, "c"), (5L, 99L, "b"))
+      q.processAllAvailable()
+      // the clean lane carries exactly the rows every rule passed
+      val clean = spark.table("dq_clean").select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(clean == Set(1L, 5L))
+      // listener delivery is async wrt processAllAvailable
+      var waited = 0
+      while (observed.isEmpty && waited < 100) { Thread.sleep(100); waited += 1 }
+      assert(observed == Map(
+        "rows_total" -> 5L, "qty_range" -> 2L, "flag_known" -> 2L), observed)
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+    // annotated() on a static frame agrees with the batch expectations op
+    val df = Seq((1L, 5L, "a"), (2L, 500L, "a"), (3L, 5L, "zz"))
+      .toDF("id", "qty", "flag")
+    val ann = graft.streaming.StreamQuality.annotated(df, rules)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[String]("dq_failed")).toMap
+    assert(ann == Map(1L -> "", 2L -> "qty_range", 3L -> "flag_known"))
+    val batch = graft.operators.QualityChecks.expectations(df, rules)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(batch == Map("qty_range" -> 1L, "flag_known" -> 1L))
+  }
 }
