@@ -17,6 +17,7 @@ import graft.functions.DotProduct
   *   minhash_sig(toks, n, k)    — k-lane MinHash signature
   *   shingle_hashes(toks, n, lane) — all n-window rolling hashes
   *     (lane 0/1 select independent hash families for 128-bit keys)
+  *   jaro_winkler(s1, s2)       — native JW string similarity
   * (n/k/lane must be integer literals — they parameterize codegen.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -59,7 +60,9 @@ object GraftExtensions {
     "shingle_hashes" -> ((c: Seq[Expression]) =>
       graft.functions.ShingleHashes(c(0),
         litInt(c(1), "shingle_hashes", "n"),
-        litInt(c(2), "shingle_hashes", "lane"))))
+        litInt(c(2), "shingle_hashes", "lane"))),
+    "jaro_winkler" -> ((c: Seq[Expression]) =>
+      graft.functions.JaroWinkler(c(0), c(1))))
 
   /** Register on an ALREADY-RUNNING session (temp functions) — for
     * notebooks/REPLs where the session predates the library.

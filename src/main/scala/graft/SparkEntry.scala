@@ -150,7 +150,8 @@ object SparkEntry {
     "dedup_fuzzy" -> ((s, d) => Fuzzy.customerNamePairs(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.transactionPageRank(s, d)),
     "graph_degree" -> ((s, d) => Graph.degreeHistogram(s, d)),
-    "sample_weighted" -> ((s, d) => Sampling.weightedDocuments(s, d)))
+    "sample_weighted" -> ((s, d) => Sampling.weightedDocuments(s, d)),
+    "dedup_fuzzy_scored" -> ((s, d) => Fuzzy.scoredCustomerNamePairs(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -1434,5 +1435,15 @@ object SparkEntry {
          SELECT doc_id, lang, n_chars FROM u
          WHERE u16 < LEAST(CAST(1 AS DOUBLE),
            GREATEST(CAST(0 AS DOUBLE), CAST(n_chars AS DOUBLE) / 2000.0))
-           * 65536.0""")
+           * 65536.0""",
+    // graft.functions.StringAlgs mirrors the RapidFuzz arithmetic
+    // DuckDB embeds (integer transposition halving, fixed-order ratio
+    // accumulation, 0.7-gated prefix boost) — exact cross-engine match
+    "dedup_fuzzy_scored" ->
+      """WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+         SELECT a.name AS name_a, b.name AS name_b,
+           ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+         FROM n a JOIN n b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 1
+         ORDER BY name_a, name_b""")
 }

@@ -61,4 +61,20 @@ object Fuzzy {
   /** Driver contract: customer names one typo apart. */
   def customerNamePairs(spark: SparkSession, dir: String): DataFrame =
     fuzzyPairs(Tables.customer(spark, dir), "c_name")
+
+  /** Native codegen'd Jaro-Winkler similarity (Spark has no built-in;
+    * see [[graft.functions.JaroWinkler]]).
+    */
+  def jaroWinkler(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.JaroWinkler(expression(a), expression(b)))
+  }
+
+  /** Driver contract: the same pairs, scored — rank candidate merges
+    * by name affinity before a human (or model) adjudicates.
+    */
+  def scoredCustomerNamePairs(spark: SparkSession, dir: String): DataFrame =
+    customerNamePairs(spark, dir)
+      .withColumn("jw", round(jaroWinkler(col("name_a"), col("name_b")), 6))
 }

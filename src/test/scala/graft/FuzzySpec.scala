@@ -47,6 +47,49 @@ class FuzzySpec extends GraftSpecBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("jaroWinkler matches hand-computed classics and edge cases") {
+    initLog()
+    val cases = Seq(
+      ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("JELLYFISH", "SMELLYFISH"),
+      ("abc", "abc"), ("", ""), ("a", ""), ("abc", "xyz"))
+    val got = cases.toDF("a", "b")
+      .select(Fuzzy.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(_.getDouble(0))
+    // MARTHA/MARHTA: jaro = (6/6+6/6+5/6)/3 = 17/18; prefix 3 ->
+    // jw = j + 3*0.1*(1-j)
+    val jMartha = (1.0 + 1.0 + 5.0 / 6) / 3
+    assert(math.abs(got(0) - (jMartha + 3 * 0.1 * (1 - jMartha))) < 1e-12)
+    // DIXON/DICKSONX: m=4, t=0 -> jaro=(4/5+4/8+4/4)/3; prefix 2
+    val jDixon = (4.0 / 5 + 4.0 / 8 + 1.0) / 3
+    assert(math.abs(got(1) - (jDixon + 2 * 0.1 * (1 - jDixon))) < 1e-12)
+    // JELLYFISH/SMELLYFISH: m=8, t=0 -> jaro=(8/9+8/10+8/8)/3 = 0.896
+    // but prefix 0 -> no boost
+    val jJelly = (8.0 / 9 + 8.0 / 10 + 1.0) / 3
+    assert(math.abs(got(2) - jJelly) < 1e-12)
+    assert(got(3) == 1.0 && got(4) == 1.0) // identical / both empty
+    assert(got(5) == 0.0 && got(6) == 0.0) // one empty / no matches
+  }
+
+  test("jaro_winkler registers for SQL and stays codegen'd") {
+    initLog()
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").collect().head
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+    // the expression must not force a fallback out of whole-stage
+    // codegen (non-literal input so constant folding can't pre-eval)
+    val df = spark.range(10)
+      .select(Fuzzy.jaroWinkler(
+        concat(lit("name"), col("id")), lit("name1")).as("jw"))
+    // the `*(n)` prefix marks a WholeStageCodegen stage in the simple
+    // plan string; the Project carrying jaro_winkler must sit inside one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("jaro_winkler") &&
+        l.trim.startsWith("*")), plan.take(500))
+    assert(df.collect().length == 10)
+  }
+
   test("maxBucket drops hot variant blocks (recall cap, no false pairs)") {
     initLog()
     // ten strings all one deletion away from "aa" -> variant "aa" is hot
