@@ -151,7 +151,8 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => Graph.transactionPageRank(s, d)),
     "graph_degree" -> ((s, d) => Graph.degreeHistogram(s, d)),
     "sample_weighted" -> ((s, d) => Sampling.weightedDocuments(s, d)),
-    "dedup_fuzzy_scored" -> ((s, d) => Fuzzy.scoredCustomerNamePairs(s, d)))
+    "dedup_fuzzy_scored" -> ((s, d) => Fuzzy.scoredCustomerNamePairs(s, d)),
+    "q_interval_merge" -> ((s, d) => Temporal.intervalCoverage(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -1445,5 +1446,24 @@ object SparkEntry {
            ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw
          FROM n a JOIN n b ON a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 1
-         ORDER BY name_a, name_b""")
+         ORDER BY name_a, name_b""",
+    "q_interval_merge" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 1800000000 AS e FROM events),
+         m AS (SELECT user_id, event_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+           FROM ev),
+         b AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END
+                 AS brk FROM m),
+         i AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                 ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM b),
+         g AS (SELECT user_id, island, MIN(s) AS is_s, MAX(e) AS is_e
+               FROM i GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_islands,
+           CAST(SUM(is_e - is_s) AS BIGINT) AS covered_us,
+           CAST(MAX(is_e - is_s) AS BIGINT) AS longest_us
+         FROM g GROUP BY 1""")
 }

@@ -36,9 +36,17 @@ object Graph {
       reliable: Boolean = false): DataFrame = {
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val e = truncate(Par.ensure(
+    // The edge list is CACHED (columnar, compressed, spills to disk,
+    // recoverable from lineage), NOT localCheckpoint'ed: checkpoint
+    // blocks store raw rows and are UNRECOVERABLE once evicted — at
+    // the fourth scale decade the ~120 M-row edge set blew past the
+    // storage pool and the run died on lost blocks. Lineage
+    // truncation is only needed where lineage GROWS (ranks, below);
+    // the edge lineage is a fixed shallow scan+join.
+    val e = Par.ensure(
         edges.select(col("src"), col("dst")).distinct())
-      .repartition(col("src")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = truncate(
       e.select(col("src").as("node"))
@@ -57,6 +65,9 @@ object Graph {
           round(lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0)),
             9).as("rank")))
     }
+    // the final ranks frame is already materialized (eager truncate),
+    // so the cache can go — nothing downstream re-reads it
+    e.unpersist(blocking = false)
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 

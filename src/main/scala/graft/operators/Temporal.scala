@@ -198,6 +198,44 @@ object Temporal {
       .orderBy(col("n_users").desc, col("path"))
       .limit(k)
 
+  /** Interval union (gaps-and-islands merge): each event opens a
+    * `holdUs`-long activity interval; overlapping/touching intervals
+    * per user merge into islands. Output per user: island count,
+    * total covered time, and the longest unbroken stretch — the
+    * "true session coverage" numbers double-counted by naive
+    * per-event sums.
+    *
+    * Classic cummax formulation: an interval starts a NEW island iff
+    * its start exceeds the running max end of everything before it;
+    * the island ordinal is the running sum of those breaks. Both
+    * windows and the island groupBy cluster on user_id — the whole
+    * operator is ONE shuffle, per-task state one user's events.
+    */
+  def intervalCoverage(spark: SparkSession, dir: String,
+      holdUs: Long = 1800000000L): DataFrame =
+    intervalCoverageFrames(ordered(spark, dir), holdUs)
+
+  def intervalCoverageFrames(ev: DataFrame, holdUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    val islands = ev
+      .select(col("user_id"), col("event_id"), col("t_us").as("s"),
+        (col("t_us") + holdUs).as("e"))
+      .withColumn("prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"))
+    islands
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("is_e") - col("is_s")).as("covered_us"),
+        max(col("is_e") - col("is_s")).as("longest_us"))
+  }
+
   def mergeUpsertFrames(ev: DataFrame, cutoffUs: Long): DataFrame = {
     def latest(df: DataFrame, valName: String): DataFrame =
       df.groupBy(col("user_id"))

@@ -116,4 +116,37 @@ class TemporalSpec extends GraftSpecBase {
     // A>B>C twice; the n=1 paths tie and 'A>B' sorts before 'X>Y>Z'
     assert(out.toSeq == Seq(("A>B>C", 2L), ("A>B", 1L)))
   }
+
+  test("interval coverage: overlaps merge, gaps split, touching abuts merge") {
+    initLog()
+    // hold = 100µs. user 1: events at 0, 50 (overlap), 150 (touches
+    // 50+100 — touching merges: 150 > 150 is false), 400 (gap).
+    // islands: [0,250) and [400,500) → covered 350, longest 250.
+    // user 2: one event → one island of exactly hold.
+    val out = Temporal.intervalCoverageFrames(ev(
+      (1L, 1L, "A", 0L, 0.0), (1L, 2L, "A", 50L, 0.0),
+      (1L, 3L, "A", 150L, 0.0), (1L, 4L, "A", 400L, 0.0),
+      (2L, 5L, "A", 1000L, 0.0)), holdUs = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 350L, 250L)))
+    assert(out(2L) == ((1L, 100L, 100L)))
+  }
+
+  test("interval coverage rides ONE user shuffle (windows + groupBys reuse it)") {
+    initLog()
+    val df = Temporal.intervalCoverage(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def all(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case o => o.children.flatMap(all)
+    })
+    val shuffles = all(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles")
+  }
 }
