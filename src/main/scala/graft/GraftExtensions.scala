@@ -18,6 +18,7 @@ import graft.functions.DotProduct
   *   shingle_hashes(toks, n, lane) — all n-window rolling hashes
   *     (lane 0/1 select independent hash families for 128-bit keys)
   *   jaro_winkler(s1, s2)       — native JW string similarity
+  *   quant_abs_error(arr, s)    — Σ|x − round(x/s)·s| (int8 calib)
   * (n/k/lane must be integer literals — they parameterize codegen.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -62,7 +63,9 @@ object GraftExtensions {
         litInt(c(1), "shingle_hashes", "n"),
         litInt(c(2), "shingle_hashes", "lane"))),
     "jaro_winkler" -> ((c: Seq[Expression]) =>
-      graft.functions.JaroWinkler(c(0), c(1))))
+      graft.functions.JaroWinkler(c(0), c(1))),
+    "quant_abs_error" -> ((c: Seq[Expression]) =>
+      graft.functions.QuantAbsError(c(0), c(1))))
 
   /** Register on an ALREADY-RUNNING session (temp functions) — for
     * notebooks/REPLs where the session predates the library.

@@ -79,7 +79,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_components" -> ((s, d) => Dedup.nearDupComponents(s, d)),
     "q_recursive_cte" -> ((s, d) => Dedup.recursiveCanonicalIds(s, d)),
-    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // md5-60 lane: oracle-checkable (DuckDB computes identical sigs);
+    // production default is the xxhash64/64-bit lane (spec-tested)
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairsOracle(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(s, d)),
     // dims0 = 64 is the embeddings-table schema constant (TESTDATA.md):
@@ -90,6 +92,21 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) =>
       Similarity.annIvfSearch(graft.sources.Tables.embeddings(s, d),
         dims0 = 64)),
+    // recall@10 of each sketch lane vs the exact lane — the hard
+    // per-round signal for the two no_oracle ANN components (one
+    // deterministic summary row each; rows-checked)
+    "ann_lsh_recall" -> ((s, d) => {
+      val e = graft.sources.Tables.embeddings(s, d)
+      Similarity.annRecallSummary(
+        Similarity.annLshSearch(e, nQueries = 10, k = 10, dims0 = 64),
+        Similarity.annBruteForce(e, nQueries = 10, k = 10), k = 10)
+    }),
+    "ann_ivf_recall" -> ((s, d) => {
+      val e = graft.sources.Tables.embeddings(s, d)
+      Similarity.annRecallSummary(
+        Similarity.annIvfSearch(e, nQueries = 10, k = 10, dims0 = 64),
+        Similarity.annBruteForce(e, nQueries = 10, k = 10), k = 10)
+    }),
     "text_tokencount" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
@@ -119,6 +136,9 @@ object SparkEntry {
     "text_boilerplate" -> ((s, d) => Segments.boilerplateScrub(s, d)),
     "seq_pack" -> ((s, d) => Packing.packDocs(s, d)),
     "profile_table" -> ((s, d) => Profile.profileOrders(s, d)),
+    // the 100 TB-shaped default lane (HLL++ ndv — no Expand); estimates
+    // are engine-specific so this is rows/schema-checked only
+    "profile_table_approx" -> ((s, d) => Profile.profileOrdersApprox(s, d)),
     // round 7: temporal/state family + mixture/layout/patch ops
     "q_scd2" -> ((s, d) => Temporal.scd2Intervals(s, d)),
     "q_transition" -> ((s, d) => Temporal.transitionMatrix(s, d)),
@@ -146,6 +166,8 @@ object SparkEntry {
     // round 7d: data-quality gates + fuzzy matching + OLS fit
     "dq_expectations" -> ((s, d) => QualityChecks.lineitemExpectations(s, d)),
     "dq_key_skew" -> ((s, d) => QualityChecks.lineitemKeySkew(s, d)),
+    "dq_referential" -> ((s, d) => QualityChecks.referentialGate(s, d)),
+    "graph_triangles" -> ((s, d) => Graph.supplierTriangles(s, d)),
     "q_linreg" -> ((s, d) => BatchQueries.linearFit(s, d)),
     "dedup_fuzzy" -> ((s, d) => Fuzzy.customerNamePairs(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.transactionPageRank(s, d)),
@@ -682,6 +704,31 @@ object SparkEntry {
                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
            FROM s a JOIN s b ON a.doc_id < b.doc_id) p
          WHERE jaccard >= 0.8""",
+    // Identical md5-60 SimHash recomputed from scratch: per token the
+    // first 15 hex chars of md5 are an exact 60-bit integer on both
+    // engines; bit i lives in hex char 15 - i//4 at in-digit bit i%4.
+    // Brute-force all pairs at Hamming <= 3 — the Spark side's
+    // 4x15-bit block LSH is EXHAUSTIVE at that distance by pigeonhole,
+    // so the row sets coincide (no recall gap to excuse).
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                      FROM documents),
+         h AS (SELECT doc_id, md5(t) AS h FROM tok),
+         bt AS (SELECT doc_id, h, unnest(range(0, 60)) AS bit FROM h),
+         sgn AS (SELECT doc_id, bit,
+             CASE WHEN ((strpos('0123456789abcdef',
+                 substr(h, CAST(15 - bit // 4 AS INTEGER), 1)) - 1)
+                 >> (bit % 4)) & 1 = 1 THEN 1 ELSE -1 END AS sg
+           FROM bt),
+         s AS (SELECT doc_id, bit, SUM(sg) AS s FROM sgn GROUP BY 1, 2),
+         sig AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit)
+                           ELSE 0 END) AS BIGINT) AS sig
+           FROM s GROUP BY 1)
+         SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b2.sig)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+         WHERE bit_count(xor(a.sig, b2.sig)) <= 3""",
     "dedup_components" ->
       """WITH RECURSIVE
          s AS (SELECT doc_id,
@@ -1370,6 +1417,63 @@ object SparkEntry {
            ROUND(LN(CAST(SUM(cnt) AS DOUBLE)) -
              SUM(cnt * LN(cnt)) / SUM(cnt), 4) AS entropy
          FROM c""",
+    "dq_referential" ->
+      """SELECT 'lineitem_orders' AS fk, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans,
+           ROUND(CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS orphan_rate
+         FROM lineitem c LEFT JOIN
+           (SELECT DISTINCT o_orderkey AS k FROM orders) p
+           ON c.l_orderkey = p.k
+         UNION ALL
+         SELECT 'orders_customer', COUNT(*),
+           CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6)
+         FROM orders c LEFT JOIN
+           (SELECT DISTINCT c_custkey AS k FROM customer) p
+           ON c.o_custkey = p.k
+         UNION ALL
+         SELECT 'lineitem_part', COUNT(*),
+           CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6)
+         FROM lineitem c LEFT JOIN
+           (SELECT DISTINCT p_partkey AS k FROM part) p
+           ON c.l_partkey = p.k
+         UNION ALL
+         SELECT 'events_customer', COUNT(*),
+           CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6)
+         FROM events c LEFT JOIN
+           (SELECT DISTINCT c_custkey AS k FROM customer) p
+           ON c.user_id = p.k""",
+    // identical deterministic sample (key mod) + min-shared floor +
+    // brute-force triple join — the Spark side's degree-ordered
+    // orientation is an exact algorithm, so the counts coincide
+    "graph_triangles" ->
+      """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                     WHERE l_orderkey % 5 = 0),
+         e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+               FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         deg AS (SELECT node, COUNT(*) AS d FROM
+                   (SELECT u AS node FROM e UNION ALL SELECT v FROM e) t
+                 GROUP BY 1),
+         tri AS (SELECT COUNT(*) AS n_tri
+                 FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+                 FROM deg)
+         SELECT agg.n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           CAST(tri.n_tri AS BIGINT) AS n_triangles, agg.n_wedges,
+           ROUND(3.0 * tri.n_tri / agg.n_wedges, 6) AS clustering
+         FROM agg, tri""",
     "q_linreg" ->
       """SELECT l_returnflag,
          ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,

@@ -17,12 +17,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`t /= 2`), the three ratio terms accumulated in fixed order then
   * divided by 3, and the Winkler prefix boost (≤4 chars, weight 0.1)
   * applied only when jaro > 0.7.
+  *
+  * Iterates CODEPOINTS, not UTF-16 code units — RapidFuzz/DuckDB
+  * length-normalize by codepoint count, so counting a surrogate pair
+  * as two "characters" would diverge on non-BMP input (emoji, rare
+  * CJK). For BMP-only strings the two iterations coincide.
   */
 object StringAlgs {
 
   def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
-    val s = a.toString
-    val t = b.toString
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
     val (ls, lt) = (s.length, t.length)
     if (ls == 0 && lt == 0) return 1.0
     if (ls == 0 || lt == 0) return 0.0
@@ -37,7 +42,7 @@ object StringAlgs {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tMatch(j) && s(i) == t(j)) {
           sMatch(i) = true; tMatch(j) = true; m += 1; found = true
         }
         j += 1
@@ -51,7 +56,7 @@ object StringAlgs {
     while (i < ls) {
       if (sMatch(i)) {
         while (!tMatch(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) trans += 1
+        if (s(i) != t(k)) trans += 1
         k += 1
       }
       i += 1
@@ -64,7 +69,7 @@ object StringAlgs {
     if (sim > 0.7) {
       var p = 0
       val maxP = math.min(4, math.min(ls, lt))
-      while (p < maxP && s.charAt(p) == t.charAt(p)) p += 1
+      while (p < maxP && s(p) == t(p)) p += 1
       sim += p * 0.1 * (1.0 - sim)
     }
     sim

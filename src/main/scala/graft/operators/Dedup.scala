@@ -306,39 +306,61 @@ object Dedup {
         lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** 60-bit CROSS-ENGINE token hash: the integer value of the first
+    * 15 hex chars of md5(token). Both engines ship md5 over the same
+    * UTF-8 bytes with the same lowercase-hex rendering, and 15 hex
+    * chars (60 bits) fit a signed BIGINT so the conv→cast is
+    * overflow-free on both sides. This is what lets the DRIVER's
+    * dedup_simhash lane be oracle-checked end to end (DuckDB extracts
+    * the identical bits per hex digit); the scale default stays
+    * [[org.apache.spark.sql.functions.xxhash64]] — one 64-bit mix vs
+    * a crypto digest per token — which has no cross-engine twin.
+    */
+  def md5Hash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** SimHash near-dup candidate pairs with Hamming distance <= maxDist,
-    * using 4×16-bit block LSH (pigeonhole: any pair within distance 3
-    * shares an exact block; we verify with the true bit_count).
+    * using 4-block LSH (pigeonhole: any pair within distance 3 shares
+    * an exact block; we verify with the true bit_count).
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir))
 
-  /** (doc_id, sig): the 64-bit SimHash per document, explode +
+  /** (doc_id, sig): the nBits-bit SimHash per document, explode +
     * codegen'd aggregate formulation — the fast path that
     * `simhashPairs` uses. `simhash64` is the single-Column HOF twin;
-    * DedupSpec asserts the two agree.
+    * DedupSpec asserts the two agree. `tokenHash` picks the per-token
+    * hash family: xxhash64 (default, the 100 TB lane) or
+    * [[md5Hash60]] with nBits = 60 (the oracle-checkable lane).
     */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
+  def simhashSignatures(docs: DataFrame,
+      tokenHash: Column => Column = xxhash64(_),
+      nBits: Int = 64): DataFrame = {
     // Same rationale as minhash: explode + codegen'd aggregates beat
-    // interpreted nested HOF lambdas on the tokens×64 hot loop.
+    // interpreted nested HOF lambdas on the tokens×nBits hot loop.
     val ex = Par.ensure(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(i =>
+      .select(col("doc_id"), tokenHash(col("t")).as("h"))
+    val bitSums = (0 until nBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"s_$i"))
     ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"s_$i") > 0L, lit(1L << i))
+        (0 until nBits).map(i => when(col(s"s_$i") > 0L, lit(1L << i))
           .otherwise(0L)).reduce(_ + _).as("sig"))
   }
 
   def simhashPairs(docs: DataFrame,
-      maxDist: Int = 3): DataFrame = {
-    val d = simhashSignatures(docs)
+      maxDist: Int = 3,
+      tokenHash: Column => Column = xxhash64(_),
+      nBits: Int = 64): DataFrame = {
+    require(nBits % 4 == 0 && nBits <= 64, s"nBits must be ≤64, ÷4: $nBits")
+    val blockWidth = nBits / 4
+    val mask = (1L << blockWidth) - 1L
+    val d = simhashSignatures(docs, tokenHash, nBits)
     val blocks = d.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(j =>
-        shiftright(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftright(col("sig"), j * blockWidth).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "key")
     blocks.as("x").join(blocks.as("y"),
         col("x.block") === col("y.block") && col("x.key") === col("y.key") &&
@@ -351,4 +373,15 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Driver contract `dedup_simhash`: the md5-60 oracle lane — DuckDB
+    * computes the IDENTICAL signatures (per-hex-digit bit extraction
+    * + sum of signs) and brute-forces all pairs at Hamming ≤ 3, which
+    * the 4×15-bit block LSH finds EXHAUSTIVELY by pigeonhole, so the
+    * outputs match row-for-row. Production callers use the default
+    * xxhash64/64-bit lane of [[simhashPairs]].
+    */
+  def simhashPairsOracle(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir),
+      maxDist = 3, tokenHash = md5Hash60, nBits = 60)
 }

@@ -32,6 +32,11 @@ object Graph {
     * compounding — and the final rank to 6 dp (the oracle runs the
     * identical unrolled recurrence).
     */
+  /** @param reliable durable `checkpoint()` instead of
+    *   `localCheckpoint()` for lineage truncation — REQUIRES
+    *   `spark.sparkContext.setCheckpointDir(...)` to have been called
+    *   (the [[Dedup.canonicalIds]] convention).
+    */
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
       reliable: Boolean = false): DataFrame = {
     def truncate(df: DataFrame): DataFrame =
@@ -52,6 +57,8 @@ object Graph {
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
+    // fail loudly, not with (1-d)/0 = Infinity ranks downstream
+    require(n > 0, "pageRank: empty edge list (no nodes)")
     val base = (1.0 - damping) / n
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
@@ -102,4 +109,79 @@ object Graph {
       .groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))
+
+  /** Supplier co-service graph: an undirected edge (u < v) wherever
+    * two suppliers BOTH serve at least `minShared` of the sampled
+    * orders (every `sampleMod`-th order key — deterministic, so the
+    * oracle samples identically). Pair fan-out is bounded by ORDER
+    * size (TPC-H ≲ 7 lines), never corpus size, and the minShared
+    * floor drops the single-co-occurrence noise that would otherwise
+    * densify the graph toward a clique as orders accumulate —
+    * recurring partnerships are the signal.
+    */
+  def supplierCoEdges(spark: SparkSession, dir: String,
+      sampleMod: Int = 5, minShared: Int = 2): DataFrame = {
+    val sl = Tables.lineitem(spark, dir)
+      .filter(pmod(col("l_orderkey"), lit(sampleMod)) === 0)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    sl.as("a").join(sl.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("u"), col("v"))
+  }
+
+  /** Exact triangle count + global clustering coefficient via
+    * DEGREE-ORDERED ORIENTATION (the classic O(m^1.5) bound): each
+    * undirected edge is directed from its (degree, id)-smaller
+    * endpoint to the larger, making every triangle an acyclic
+    * tournament counted exactly ONCE at its minimum vertex. The wedge
+    * join's fan-out is Σ outdeg² where orientation caps outdeg at
+    * ~√m even on hub-heavy graphs — THE trick that makes triangle
+    * counting survive skew at scale (a raw adjacency self-join is
+    * Σ deg², quadratic in the hottest hub). Wedges and closures are
+    * plain equi-joins; nothing node- or edge-sized reaches the
+    * driver; output is ONE summary row.
+    *
+    * Clustering = 3·triangles / wedges with both operands exact
+    * integers < 2^53, so the double division (and its 6 dp rounding)
+    * is bit-identical on any engine.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val keyed = edges
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"),
+        struct(col("du").as("d"), col("u").as("n")).as("ku"),
+        struct(col("dv").as("d"), col("v").as("n")).as("kv"))
+    val oriented = keyed.select(
+      when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+      when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
+      greatest(col("ku"), col("kv")).as("kdst"))
+    val tri = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+      .join(oriented.as("e3"),
+        col("a") === col("e3.src") && col("b") === col("e3.dst"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = edges.agg(count(lit(1)).as("n_edges"))
+    val wedges = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+    wedges.crossJoin(counts).crossJoin(tri) // three one-row frames
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering"))
+  }
+
+  /** Driver contract: triangle census of the supplier co-service
+    * graph.
+    */
+  def supplierTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleStats(supplierCoEdges(spark, dir))
 }

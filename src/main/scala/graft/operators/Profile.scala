@@ -18,21 +18,35 @@ import graft.sources.Tables
   * disagree on double rendering), and min/max are single stored
   * values so no FP rounding is needed.
   *
-  * Shape: ONE aggregate pass over the table. The exact
-  * `countDistinct` set makes Catalyst plan a column-count-wide Expand
-  * before the partial agg — exact ndv over k columns fundamentally
-  * costs k passes' worth of rows, but they pipeline through one scan
-  * and one shuffle. At 100 TB swap `exact = false`:
-  * `approx_count_distinct` (HLL++) collapses the Expand to a plain
-  * single-projection partial agg (ndv then carries the documented
-  * ~2% relative error; everything else stays exact).
+  * Shape: ONE aggregate pass over the table. The DEFAULT ndv lane is
+  * `approx_count_distinct` (HLL++): a plain single-projection partial
+  * agg whose cost is one scan regardless of column count, with the
+  * documented ~2% relative ndv error (everything else stays exact).
+  * `exact = true` switches to `countDistinct`, which makes Catalyst
+  * plan a column-count-wide Expand before the partial agg — exact ndv
+  * over k columns fundamentally costs k passes' worth of rows.
+  * Measured (SURVEY §4.5): the Expand lane is 11.4× SUPERLINEAR at
+  * the fourth scale decade (208.5 s at 100×) while HLL++ stays linear
+  * (~15 s) — so the 100 TB-safe approx lane is the default and exact
+  * is the opt-in for small-table oracle-grade profiling.
   */
 object Profile {
 
+  /** Driver contract `profile_table`: the EXACT lane, because the
+    * DuckDB oracle hash-matches stored values and HLL++ estimates
+    * differ across engines. The benched 100 TB shape is
+    * [[profileOrdersApprox]] (`profile_table_approx`).
+    */
   def profileOrders(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.orders(spark, dir), exact = true)
+
+  /** Driver contract `profile_table_approx`: the default (HLL++) lane;
+    * rows/schema-checked only — estimates are engine-specific.
+    */
+  def profileOrdersApprox(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.orders(spark, dir))
 
-  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+  def profile(df: DataFrame, exact: Boolean = false): DataFrame = {
     val nullNum = lit(null).cast("double")
     val nullStr = lit(null).cast("string")
     val metrics: Seq[Column] = df.schema.fields.toSeq.map { f =>

@@ -27,6 +27,11 @@ object QualityChecks {
     */
   def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty)
+    // rule names become v_$name agg aliases: a duplicate would plan
+    // duplicate columns and die later with a confusing
+    // ambiguous-reference error (or silently mis-pair the explode)
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_._1).diff(rules.map(_._1).distinct).distinct.mkString(", ")}")
     val aggs = count(lit(1)).as("n_rows") +:
       rules.map { case (name, pred) =>
         sum(when(pred, 0L).otherwise(1L)).as(s"v_$name")
@@ -98,4 +103,50 @@ object QualityChecks {
     */
   def lineitemKeySkew(spark: SparkSession, dir: String): DataFrame =
     keySkew(Tables.lineitem(spark, dir), "l_partkey")
+
+  /** Referential-integrity gate: for each declared FK → PK edge, the
+    * child row count, orphan count (child keys with no parent), and
+    * orphan rate — the check that must pass before any inner join is
+    * trusted (an inner join silently DROPS orphans; this gate makes
+    * the loss visible first).
+    *
+    * Scale shape, per FK: the parent side collapses to its DISTINCT
+    * key set before the join (parent payload never moves), then ONE
+    * shuffled left join + a single-row count agg. No broadcast hint:
+    * at 100 TB the parent key set may itself be huge — AQE picks
+    * broadcast when stats allow. NULL child keys count as orphans
+    * (same three-valued-logic stance as [[expectations]]: unknown is
+    * not ok).
+    */
+  def referentialIntegrity(
+      fks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(fks.nonEmpty)
+    require(fks.map(_._1).distinct.size == fks.size, "duplicate fk names")
+    fks.map { case (name, child, childKey, parent, parentKey) =>
+      val pk = parent.select(col(parentKey).as("__pk")).distinct()
+        .withColumn("__hit", lit(1L))
+      child.select(col(childKey).as("__pk"))
+        .join(pk, Seq("__pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
+          round(col("n_orphans").cast("double") / col("n_rows"), 6)
+            .as("orphan_rate"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Driver contract: the three join edges every TPC-H-shaped query
+    * crosses, plus the events→customer edge (which has REAL orphans —
+    * event user_ids outrange the customer table).
+    */
+  def referentialGate(spark: SparkSession, dir: String): DataFrame =
+    referentialIntegrity(Seq(
+      ("lineitem_orders", Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      ("orders_customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      ("lineitem_part", Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      ("events_customer", Tables.events(spark, dir), "user_id",
+        Tables.customer(spark, dir), "c_custkey")))
 }

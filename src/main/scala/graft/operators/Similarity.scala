@@ -426,6 +426,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
   }
 
+  /** Recall@k of an ANN result against the exact brute-force top-k on
+    * the same corpus, as ONE summary row (k, n_exact, n_hits, recall).
+    *
+    * The sketch lanes (ann_lsh / ann_ivf) are `no_oracle` by design —
+    * their scores depend on plane/centroid internals no other engine
+    * reproduces — but their recall against the exact lane IS a
+    * deterministic scalar (every plane/centroid/tie-break in this file
+    * is seeded), so the driver gets a hard per-round regression signal
+    * where a spec-only check used to be. The join is on
+    * (query_id, neighbor_id): nQueries×k rows per side — tiny
+    * regardless of corpus size, after the heavy lifting upstream.
+    */
+  def annRecallSummary(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hit = ann.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(hit, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(lit(k.toLong).as("k"), col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
   /** Per-vector hygiene stats — the sanity pass run before any
     * similarity work on an embedding column: L2 norm (un-normalized
     * vectors silently break cosine-as-dot shortcuts), max |component|
@@ -468,17 +491,37 @@ object Similarity {
     * (max|x|/127) and the round-trip mean absolute error — the numbers
     * that decide whether an ANN index can store int8 instead of
     * float32 (4× memory). No clamp needed: |x|/scale ≤ 127 by
-    * construction. A CALIBRATION-stage operator (run on a sample, not
-    * the corpus), so the single interpreted-HOF pass per row is
-    * acceptable; quantizing the full corpus would use a native
-    * expression like [[graft.functions.DotProduct]]. Fold order is
-    * sequential left-to-right on both engines ⇒ oracle-exact before
-    * rounding.
+    * construction. The error kernel is the native codegen'd
+    * [[graft.functions.QuantAbsError]] — the interpreted `aggregate()`
+    * HOF twin ([[quantizationErrorHof]]) evaluated a lambda tree per
+    * element and was the #1 cost of the whole r7 bench suite. Rounding
+    * inside the kernel replicates Spark `round()` (decimal HALF_UP),
+    * and the fold is sequential left-to-right on both engines ⇒
+    * oracle-exact before the final display rounding.
     */
   def quantizationError(spark: SparkSession, dir: String): DataFrame =
     quantizationError(Tables.embeddings(spark, dir))
 
   def quantizationError(e: DataFrame): DataFrame = {
+    import graft.functions.QuantAbsError
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val ed = col("embedding").cast("array<double>")
+    e.withColumn("__scale",
+        greatest(array_max(ed), -array_min(ed)) / 127.0)
+      .select(col("vec_id"),
+        round(col("__scale"), 6).as("q_scale"),
+        when(col("__scale") === 0.0, 0.0)
+          .otherwise(round(
+            column(QuantAbsError(expression(col("embedding")),
+              expression(col("__scale")))) / size(ed), 6))
+          .as("mean_abs_err"))
+  }
+
+  /** zip-free HOF formulation of [[quantizationError]] — same values,
+    * interpreted speed; kept as the independent twin SimilaritySpec
+    * checks the native kernel against.
+    */
+  def quantizationErrorHof(e: DataFrame): DataFrame = {
     val ed = col("embedding").cast("array<double>")
     e.withColumn("__scale",
         greatest(array_max(ed), -array_min(ed)) / 127.0)

@@ -39,16 +39,23 @@ object Skyline {
     * Worst case (perfectly anti-correlated dims) the frontier IS the
     * corpus and no algorithm beats Ω(n²) pair work; `nBins` only
     * bounds the prefilter's metadata, not correctness.
+    *
+    * NULL contract: rows with a NULL cost or gain are EXCLUDED up
+    * front (explicitly, below — not as a silent join/filter artifact).
+    * Domination is undefined against NULL; callers who want NULL rows
+    * ranked must impute first. The exclusion is a visible `filter` at
+    * the operator entry so `.explain` shows it.
     */
   def skyline(df: DataFrame, costCol: String, gainCol: String,
       nBins: Int = 256): DataFrame = {
+    val clean = df.filter(col(costCol).isNotNull && col(gainCol).isNotNull)
     // Truncate lineage at the survivor set (lazy local checkpoint,
     // same discipline as Dedup.canonicalIds): the anti-join references
     // survivors on BOTH sides, and without the cut each side re-plans
     // the whole prefilter — the corpus would scan twice per side. With
     // it, the frontier-sized survivor set materializes once and the
     // pairwise pass reads only it.
-    val survivors = skylineSurvivors(df, costCol, gainCol, nBins)
+    val survivors = skylineSurvivors(clean, costCol, gainCol, nBins)
       .localCheckpoint(eager = false)
     val q = survivors.select(col(costCol).as("__qc"), col(gainCol).as("__qg"))
     survivors.join(broadcast(q),

@@ -15,12 +15,33 @@ object AbAffinity {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.GraftSession.local(cpus, "graft-ab-affinity")
     spark.sparkContext.setLogLevel("WARN")
+    // The noop write runs its OWN QueryExecution — reading
+    // df.queryExecution.executedPlan would show the PRE-adaptive plan
+    // (under AQE, possibly a different join strategy than the one the
+    // timed run used — the very thing this tool diagnoses). Capture
+    // the executed QE via a listener instead; events arrive async, so
+    // poll briefly after the write returns.
+    val lastPlan = new java.util.concurrent.atomic.AtomicReference[String](null)
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          lastPlan.set(qe.executedPlan.toString)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     def time(name: String)(df: => DataFrame): Unit = {
       val d = df
+      lastPlan.set(null)
       val t0 = System.nanoTime()
       d.write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9
-      val joins = d.queryExecution.executedPlan.toString.linesIterator
+      val deadline = System.nanoTime() + 3000000000L
+      while (lastPlan.get() == null && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val joins = Option(lastPlan.get()).getOrElse("").linesIterator
         .filter(l => l.contains("Join") || l.contains("Cartesian"))
         .map(_.trim.take(90)).toSeq
       println(f"[ab] $name%-28s $s%8.2fs  joins=${joins.size}")

@@ -190,4 +190,26 @@ class DedupSpec extends GraftSpecBase {
     // block-LSH guarantee: near-dup (1 flipped word) must also surface
     assert(out.forall(r => r.getAs[Long]("hamming") <= 3L))
   }
+
+  test("md5-60 simhash lane: block LSH equals brute force on the corpus") {
+    initLog()
+    // the pigeonhole exhaustiveness claim behind the DuckDB oracle:
+    // 4 blocks of 15 bits find EVERY pair at hamming <= 3
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val lsh = Dedup.simhashPairs(corpus, maxDist = 3,
+        tokenHash = Dedup.md5Hash60, nBits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Dedup.simhashSignatures(corpus,
+        tokenHash = Dedup.md5Hash60, nBits = 60)
+    val brute = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lsh == brute)
+    // and the 60-bit sigs really fit 60 bits (conv/cast overflow-free)
+    val bad = sigs.filter(col("sig") < 0L || col("sig") >= (1L << 60)).count()
+    assert(bad == 0L)
+  }
 }

@@ -70,6 +70,25 @@ class FuzzySpec extends GraftSpecBase {
     assert(got(5) == 0.0 && got(6) == 0.0) // one empty / no matches
   }
 
+  test("jaroWinkler counts codepoints, not UTF-16 code units") {
+    initLog()
+    // Two non-BMP codepoints (each a surrogate pair in UTF-16). As
+    // codepoints: [R,S] vs [R,R] has ls=lt=2, window 0, m=1, t=0 ->
+    // jaro = (1/2 + 1/2 + 1)/3 = 2/3, below the 0.7 boost gate.
+    // Code-UNIT iteration would see length-4 strings with window 1
+    // and both surrogate halves of R matching -> a different value.
+    val rocket = new String(Character.toChars(0x1F680))
+    val star = new String(Character.toChars(0x1F31F))
+    val got = Seq(
+      (rocket + star, rocket + star),
+      (rocket + star, rocket + rocket))
+      .toDF("a", "b")
+      .select(Fuzzy.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 1.0)
+    assert(math.abs(got(1) - 2.0 / 3) < 1e-12)
+  }
+
   test("jaro_winkler registers for SQL and stays codegen'd") {
     initLog()
     graft.GraftExtensions.register(spark)

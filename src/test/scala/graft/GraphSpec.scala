@@ -27,6 +27,50 @@ class GraphSpec extends GraftSpecBase {
     assert(got("b") > got("a") && got("a") == got("c"))
   }
 
+  test("pageRank fails loudly on an empty edge list") {
+    initLog()
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(empty)
+    }
+    assert(e.getMessage.contains("empty edge list"))
+  }
+
+  test("triangleStats: hand-checked counts and orientation exactness") {
+    initLog()
+    // K4 has 4 triangles, 12 wedges, clustering 1.0
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("u", "v")
+    val r = Graph.triangleStats(k4).collect().head
+    assert(r.getAs[Long]("n_nodes") == 4L && r.getAs[Long]("n_edges") == 6L)
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    assert(r.getAs[Long]("n_wedges") == 12L)
+    assert(r.getAs[Double]("clustering") == 1.0)
+    // a path has wedges but zero triangles
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val p = Graph.triangleStats(path).collect().head
+    assert(p.getAs[Long]("n_triangles") == 0L)
+    assert(p.getAs[Long]("n_wedges") == 2L)
+    // hub + one closing rim edge: triangles only where the rim closes
+    val hub = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L)))
+      .toDF("u", "v")
+    assert(Graph.triangleStats(hub).collect().head
+      .getAs[Long]("n_triangles") == 1L)
+  }
+
+  test("triangleStats equals an unoriented brute force on the corpus graph") {
+    initLog()
+    val e = Graph.supplierCoEdges(spark, sf)
+    val got = Graph.triangleStats(e).collect().head.getAs[Long]("n_triangles")
+    val rows = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val set = rows.toSet
+    val brute = (for {
+      (a, b) <- rows; (c, d) <- rows
+      if a == c && d > b && set.contains((b, d))
+    } yield 1).size.toLong
+    assert(got == brute)
+  }
+
   test("rank mass is conserved on a symmetric graph (no dangling leak)") {
     initLog()
     val df = Graph.transactionPageRank(spark, sf)

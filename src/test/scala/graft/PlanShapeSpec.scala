@@ -326,8 +326,8 @@ class PlanShapeSpec extends GraftSpecBase {
   test("table profile is one scan; approx mode drops the exact-ndv Expand") {
     initLog()
     val orders = graft.sources.Tables.orders(spark, sf)
-    val exactDf = Profile.profile(orders)
-    val approxDf = Profile.profile(orders, exact = false)
+    val exactDf = Profile.profile(orders, exact = true)
+    val approxDf = Profile.profile(orders) // approx is the r8 DEFAULT
     exactDf.collect(); approxDf.collect()
     // ONE pass over the data in both modes, however many columns profiled
     Seq(exactDf, approxDf).foreach { d =>

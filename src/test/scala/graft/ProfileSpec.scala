@@ -16,7 +16,7 @@ class ProfileSpec extends GraftSpecBase {
 
   test("profile: nulls, exact ndv, and type-routed min/max") {
     initLog()
-    val out = Profile.profile(planted).collect()
+    val out = Profile.profile(planted, exact = true).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(out.size == 4)
     val id = out("id")
@@ -39,9 +39,10 @@ class ProfileSpec extends GraftSpecBase {
 
   test("approx profile: ndv close, everything else identical") {
     initLog()
-    val exact = Profile.profile(planted).collect()
+    val exact = Profile.profile(planted, exact = true).collect()
       .map(r => r.getString(0) -> r).toMap
-    val approx = Profile.profile(planted, exact = false).collect()
+    // approx (HLL++) is the DEFAULT — the 100 TB-safe lane
+    val approx = Profile.profile(planted).collect()
       .map(r => r.getString(0) -> r).toMap
     exact.foreach { case (k, e) =>
       val a = approx(k)
@@ -64,7 +65,8 @@ class ProfileSpec extends GraftSpecBase {
              array(1, 2) AS a, map('k', 1) AS m, named_struct('x', 1) AS s
       UNION ALL
       SELECT DATE'2024-03-07', false, NULL, NULL, NULL, NULL""")
-    val out = Profile.profile(df).collect().map(r => r.getString(0) -> r).toMap
+    val out = Profile.profile(df, exact = true).collect()
+      .map(r => r.getString(0) -> r).toMap
     assert(out.size == 6)
     val d = out("d")
     assert(d.getLong(1) == 0L && d.getLong(2) == 2L)
@@ -82,11 +84,21 @@ class ProfileSpec extends GraftSpecBase {
     assert(m.isNullAt(3) && m.isNullAt(4) && m.isNullAt(5) && m.isNullAt(6))
   }
 
+  test("default (approx) profile plans NO Expand; exact lane does") {
+    initLog()
+    def hasExpand(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Expand")
+    assert(!hasExpand(Profile.profile(planted)),
+      "HLL++ lane must be a plain single-projection aggregate")
+    assert(hasExpand(Profile.profile(planted, exact = true)),
+      "exact lane is expected to ride the countDistinct Expand")
+  }
+
   test("profile on orders: key column is unique and null-free") {
     initLog()
     val orders = graft.sources.Tables.orders(spark, sf)
     val n = orders.count()
-    val out = Profile.profile(orders).collect()
+    val out = Profile.profile(orders, exact = true).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(out("o_orderkey").getLong(1) == 0L)
     assert(out("o_orderkey").getLong(2) == n)

@@ -22,6 +22,17 @@ class QualityChecksSpec extends GraftSpecBase {
     assert(out("flag_known") == ((5L, 2L, 0.4)))
   }
 
+  test("expectations rejects duplicate rule names up front") {
+    initLog()
+    val df = Seq((1L, "a")).toDF("qty", "flag")
+    val e = intercept[IllegalArgumentException] {
+      QualityChecks.expectations(df, Seq(
+        "r1" -> (col("qty") > 0), "r1" -> col("flag").isin("a")))
+    }
+    assert(e.getMessage.contains("duplicate rule names") &&
+      e.getMessage.contains("r1"))
+  }
+
   test("expectations is a single scan: one aggregate, no join/union fan-out") {
     initLog()
     val df = QualityChecks.lineitemExpectations(spark, sf)
@@ -31,6 +42,26 @@ class QualityChecksSpec extends GraftSpecBase {
     // exactly one source scan feeds all rules
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(800))
     assert(df.count() == 6)
+  }
+
+  test("referentialIntegrity: planted orphans counted, NULL key is orphan") {
+    initLog()
+    val child = Seq[(java.lang.Long, String)](
+      (1L, "x"), (2L, "y"), (9L, "orphan"), (null, "nullkey"))
+      .toDF("fk_id", "payload")
+    val parent = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("pk_id", "name")
+    val out = QualityChecks.referentialIntegrity(Seq(
+      ("child_parent", child, "fk_id", parent, "pk_id"))).collect().head
+    assert(out.getAs[String]("fk") == "child_parent")
+    assert(out.getAs[Long]("n_rows") == 4L)
+    assert(out.getAs[Long]("n_orphans") == 2L) // id 9 + the NULL key
+    assert(out.getAs[Double]("orphan_rate") == 0.5)
+    val dup = intercept[IllegalArgumentException] {
+      QualityChecks.referentialIntegrity(Seq(
+        ("e", child, "fk_id", parent, "pk_id"),
+        ("e", child, "fk_id", parent, "pk_id")))
+    }
+    assert(dup.getMessage.contains("duplicate fk names"))
   }
 
   test("keySkew: exact stats on a hand-checked distribution") {

@@ -168,6 +168,25 @@ class SimilaritySpec extends GraftSpecBase {
     assert(r(1L).getAs[Double]("mean_abs_err") == 0.0)
   }
 
+  test("native QuantAbsError equals the interpreted HOF twin on the corpus") {
+    initLog()
+    // The native kernel replicates Spark round() (decimal HALF_UP) —
+    // any drift from Math.rint-style half-even would show here on the
+    // real float corpus, plus planted half-way and negative cases.
+    val planted = Seq(
+      (10000L, vec(2.5, -2.5, 1.5, -0.5), 9),   // ties: away from zero
+      (10001L, vec(0.1, 0.2, 0.3), 9),           // binary-inexact values
+      (10002L, vec(0, 0, 0), 9))                 // zero-scale guard
+      .toDF("vec_id", "embedding", "label")
+    val corpus = graft.sources.Tables.embeddings(spark, sf)
+      .unionByName(planted)
+    val native = Similarity.quantizationError(corpus).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val hof = Similarity.quantizationErrorHof(corpus).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(native == hof)
+  }
+
   test("dims0 threading: LSH plan construction fires zero driver jobs") {
     initLog()
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}

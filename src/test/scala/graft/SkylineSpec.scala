@@ -25,6 +25,18 @@ class SkylineSpec extends GraftSpecBase {
     assert(run(pts) == Set(5L))
   }
 
+  test("NULL cost/gain rows are excluded explicitly, others unaffected") {
+    initLog()
+    val df = Seq[(Long, java.lang.Double, java.lang.Double)](
+      (1L, 1.0, 3.0), (2L, null, 9.0), (3L, 0.5, null), (4L, 2.0, 1.0))
+      .toDF("id", "cost", "gain")
+    val out = Skyline.skyline(df, "cost", "gain")
+      .collect().map(_.getLong(0)).toSet
+    // the NULL rows neither appear nor dominate: (4) is dominated by
+    // (1) only; (2)'s huge gain and (3)'s tiny cost must not count
+    assert(out == Set(1L))
+  }
+
   test("duplicate points do not dominate each other: both kept") {
     initLog()
     val pts = Seq((1L, 1.0, 2.0), (2L, 1.0, 2.0), (3L, 2.0, 1.0))
