@@ -168,6 +168,10 @@ object SparkEntry {
     "dq_key_skew" -> ((s, d) => QualityChecks.lineitemKeySkew(s, d)),
     "dq_referential" -> ((s, d) => QualityChecks.referentialGate(s, d)),
     "graph_triangles" -> ((s, d) => Graph.supplierTriangles(s, d)),
+    "graph_jaccard" -> ((s, d) => Graph.supplierLinkPrediction(s, d)),
+    "q_decay_sum" -> ((s, d) => Temporal.decayedActivity(s, d)),
+    "text_simpson" -> ((s, d) => TextAnalysis.simpsonDiversity(s, d)),
+    "sample_fixed" -> ((s, d) => Sampling.fixedDocuments(s, d)),
     "q_linreg" -> ((s, d) => BatchQueries.linearFit(s, d)),
     "dedup_fuzzy" -> ((s, d) => Fuzzy.customerNamePairs(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.transactionPageRank(s, d)),
@@ -1474,6 +1478,62 @@ object SparkEntry {
            CAST(tri.n_tri AS BIGINT) AS n_triangles, agg.n_wedges,
            ROUND(3.0 * tri.n_tri / agg.n_wedges, 6) AS clustering
          FROM agg, tri""",
+    // unconnected pairs ranked by neighbor-set Jaccard; all-integer
+    // rationals so the round(6) compare is exact
+    "graph_jaccard" ->
+      """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                     WHERE l_orderkey % 5 = 0),
+         e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+               FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         adj AS (SELECT u AS node, v AS nbr FROM e
+                 UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
+         cm AS (SELECT x.nbr AS a, y.nbr AS b, COUNT(*) AS n_common
+                FROM adj x JOIN adj y
+                  ON x.node = y.node AND x.nbr < y.nbr
+                GROUP BY 1, 2),
+         unc AS (SELECT cm.* FROM cm
+                 LEFT JOIN e ON e.u = cm.a AND e.v = cm.b
+                 WHERE e.u IS NULL)
+         SELECT a AS a, b AS b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) /
+             (da.d + db.d - n_common), 6) AS jaccard
+         FROM unc JOIN deg da ON da.node = unc.a
+           JOIN deg db ON db.node = unc.b
+         ORDER BY jaccard DESC, a, b LIMIT 20""",
+    // decay quantized to whole half-life periods clamped at 30:
+    // 0.5^k is a dyadic rational, values become exact integer cents,
+    // so the sum is EXACT in any order on any IEEE engine — no FP
+    // association freedom at all (see Temporal.decayedActivity doc)
+    "q_decay_sum" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS t_us, value
+                     FROM events),
+         a AS (SELECT MAX(t_us) AS anchor FROM ev)
+         SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(ROUND(value * 100) * POWER(0.5,
+             LEAST((a.anchor - t_us) // 604800000000, 30))) / 100, 4)
+             AS decayed_sum,
+           ROUND(SUM(POWER(0.5,
+             LEAST((a.anchor - t_us) // 604800000000, 30))), 4)
+             AS decayed_count
+         FROM ev, a GROUP BY event_type""",
+    // Simpson index is a pure rational of integer counts — the
+    // oracle-friendly member of the entropy family
+    "text_simpson" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+         c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           ROUND(CAST(SUM(c * (c - 1)) AS DOUBLE) /
+             (SUM(c) * (SUM(c) - 1)), 6) AS simpson
+         FROM c GROUP BY 1""",
+    "sample_fixed" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+         FROM documents ORDER BY h LIMIT 25""",
     "q_linreg" ->
       """SELECT l_returnflag,
          ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,

@@ -184,4 +184,50 @@ object Graph {
     */
   def supplierTriangles(spark: SparkSession, dir: String): DataFrame =
     triangleStats(supplierCoEdges(spark, dir))
+
+  /** Common-neighbor (Jaccard) link prediction: the top-k UNCONNECTED
+    * node pairs ranked by |N(a)∩N(b)| / |N(a)∪N(b)| — "these two
+    * entities share most of their context but have never co-occurred",
+    * the candidate-generation step of entity resolution and
+    * recommend-a-connection features.
+    *
+    * Shape: common-neighbor counts are wedge counts — the adjacency
+    * self-joined on the CENTER node and re-grouped by the endpoint
+    * pair, a map-combined count over Σ deg(center)² fan-out. `maxDeg`
+    * (opt-in) drops hub centers above the cap before the wedge join —
+    * a hub's wedge fan-out is quadratic in its degree while its
+    * common-neighbor EVIDENCE value is lowest (everything touches the
+    * hub), the same hot-key contract as dedup_incremental's `maxDf`.
+    * The existing-edge filter is a left anti join on the canonical
+    * pair; ranking is TakeOrderedAndProject (never a global sort).
+    * Jaccard is a rational of exact integers → round(6) is
+    * deterministic cross-engine.
+    */
+  def neighborJaccard(edges: DataFrame, k: Int = 20,
+      maxDeg: Int = Int.MaxValue): DataFrame = {
+    val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val centers =
+      if (maxDeg == Int.MaxValue) adj
+      else adj.join(deg.filter(col("d") <= maxDeg).select(col("node")),
+        Seq("node"), "left_semi")
+    val common = centers.as("x").join(centers.as("y"),
+        col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+      .groupBy(col("x.nbr").as("a"), col("y.nbr").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(edges.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti") // unconnected pairs only
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("da") + col("db") - col("n_common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b")).limit(k)
+  }
+
+  /** Driver contract: top-20 predicted supplier partnerships. */
+  def supplierLinkPrediction(spark: SparkSession, dir: String): DataFrame =
+    neighborJaccard(supplierCoEdges(spark, dir))
 }

@@ -118,4 +118,23 @@ object Sampling {
     weightedSample(Tables.documents(spark, dir), "doc_id",
       col("n_chars").cast("double") / lit(2000.0))
       .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** EXACTLY-k deterministic sample: rank every row by the md5 of its
+    * id and keep the k smallest — the fixed-size eval-set cut that
+    * [[hashSample]]'s rate-based contract can't give (a rate keeps
+    * n/mod ± binomial noise; evals want exactly k rows, stable across
+    * re-runs and appends-that-don't-change-the-k-smallest). Ranking
+    * by a hash, not by id, de-correlates the sample from insertion
+    * order. Plans as TakeOrderedAndProject: each task keeps its local
+    * k, the driver merges task heads — no global sort, no shuffle of
+    * the corpus.
+    */
+  def fixedSample(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.withColumn("__h", md5(col(idCol).cast("string").cast("binary")))
+      .orderBy(col("__h")).limit(k)
+
+  /** Driver contract: a fixed 25-doc eval cut of the corpus. */
+  def fixedDocuments(spark: SparkSession, dir: String): DataFrame =
+    fixedSample(Tables.documents(spark, dir), "doc_id", 25)
+      .select(col("doc_id"), col("__h").as("h"))
 }

@@ -236,6 +236,48 @@ object Temporal {
         max(col("is_e") - col("is_s")).as("longest_us"))
   }
 
+  /** Exponential time-decay aggregate (half-life weighting): per
+    * event type, the decay-weighted value mass and effective sample
+    * size, anchored at the corpus max timestamp — the feature-store
+    * freshness aggregate ("recent counts more").
+    *
+    * Engineered so the sum is EXACT and ORDER-INDEPENDENT — no FP
+    * association drift across partitionings or engines (the first cut
+    * relied on round(4) and a sf0.001 run promptly landed on a
+    * half-up midpoint; "round and hope" is not a determinism
+    * strategy):
+    *  - decay is QUANTIZED to whole half-life periods (integer
+    *    division on epoch micros — `div` / `//`, exact both engines),
+    *    clamped at 30, so the weight 0.5^k is a power of two with
+    *    k ≤ 30 — every weight is a dyadic rational ≥ 2^-30 (the clamp
+    *    costs nothing semantically: 30 half-lives ≈ weight 1e-9);
+    *  - 2-decimal values become exact integer CENTS (round(v·100));
+    *  - each term cents·2^-k needs ≤ 14+30 mantissa bits, and every
+    *    partial sum is a multiple of 2^-30 below 2^53·2^-30 ≈ 8.4e6
+    *    (corpus Σ|cents| stays under that through the oracle scales),
+    *    so EVERY intermediate double is exactly representable —
+    *    Σ is the same real number in any summation order, on any
+    *    IEEE-754 engine, compensated or not. The /100 and round(4)
+    *    at the end are then single deterministic ops.
+    *
+    * Scale shape: one scalar agg (the anchor — a single broadcast
+    * row) + one map-side-combined groupBy; the corpus shuffles once.
+    */
+  def decayedActivity(spark: SparkSession, dir: String,
+      halfLifeUs: Long = 604800000000L): DataFrame = {
+    val ev = ordered(spark, dir)
+    val anchor = ev.agg(max(col("t_us")).as("__anchor"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("__k",
+        least(expr("(__anchor - t_us) div " + halfLifeUs), lit(30L)))
+      .withColumn("__w", pow(lit(0.5), col("__k").cast("double")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(round(col("value") * 100) * col("__w")) / 100, 4)
+          .as("decayed_sum"),
+        round(sum(col("__w")), 4).as("decayed_count"))
+  }
+
   def mergeUpsertFrames(ev: DataFrame, cutoffUs: Long): DataFrame = {
     def latest(df: DataFrame, valName: String): DataFrame =
       df.groupBy(col("user_id"))

@@ -442,4 +442,41 @@ object TextAnalysis {
         round(col("top_count").cast("double") / col("n_2grams"), 6)
           .as("top_share"))
   }
+
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    simpsonDiversity(Tables.documents(spark, dir))
+
+  /** Lexical-concentration (Simpson) index per document: the
+    * probability two tokens drawn WITHOUT replacement are the same
+    * word — Σ c·(c−1) / (N·(N−1)). The entropy-family quality signal
+    * that, unlike entropy itself, is a pure RATIONAL of integer
+    * counts: both engines compute the identical integers, one
+    * division, one deterministic round(6). (text_fluency's log-mean
+    * is the cautionary twin — transcendental + sum-order ⇒ declared
+    * no_oracle; Simpson gets the exact oracle for free.)
+    *
+    * Counting runs on 128-bit ShingleHashes(n=1) token keys like
+    * [[repetitionScores]] — no token strings in the shuffle; the
+    * within-doc collision basis (~2^-128) is shared with the dedup
+    * family. Two nested map-combined aggregates, one corpus shuffle.
+    */
+  def simpsonDiversity(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val toks = split(col("text"), " ")
+    val keys = arrays_zip(
+      column(graft.functions.ShingleHashes(expression(toks), 1, 0)).as("h1"),
+      column(graft.functions.ShingleHashes(expression(toks), 1, 1)).as("h2"))
+    Par.ensure(docs)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(keys).as("k"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * (col("c") - 1)).as("num"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("num").cast("double") /
+          (col("n_tokens") * (col("n_tokens") - 1)), 6).as("simpson"))
+  }
 }

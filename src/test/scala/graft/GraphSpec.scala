@@ -86,4 +86,24 @@ class GraphSpec extends GraftSpecBase {
       .select(col("src")).distinct().count()
     assert(nodesFromHist == nodes)
   }
+
+  test("neighborJaccard: square graph predicts both diagonals at 1.0") {
+    initLog()
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val out = Graph.neighborJaccard(square).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set((1L, 3L), (2L, 4L))) // the unconnected pairs
+    assert(out.values.forall { case (c, j) => c == 2L && j == 1.0 })
+    // existing edges never surface
+    assert(!out.contains((1L, 2L)))
+  }
+
+  test("neighborJaccard maxDeg drops hub centers (recall contract)") {
+    initLog()
+    // star: hub 0 touches 1..4; all evidence flows through the hub
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("u", "v")
+    assert(Graph.neighborJaccard(star).count() > 0)
+    assert(Graph.neighborJaccard(star, maxDeg = 3).count() == 0)
+  }
 }

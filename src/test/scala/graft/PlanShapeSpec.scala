@@ -569,4 +569,52 @@ class PlanShapeSpec extends GraftSpecBase {
         n.startsWith("CartesianProduct")), ns.mkString(","))
     }
   }
+
+  test("triangle census: corpus joins are equi; nested-loop only for one-row stats") {
+    initLog()
+    val df = Graph.supplierTriangles(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")), ns.mkString(","))
+    // exactly the TWO nested-loop joins that combine the three ONE-ROW
+    // stat frames (wedges × counts × triangles) — both inputs
+    // aggregate-sized by construction; anything more means a corpus
+    // join degenerated
+    assert(ns.count(_.contains("BroadcastNestedLoop")) == 2,
+      ns.mkString(","))
+    // the corpus-side wedge/closure joins are hash/sort-merge equi
+    assert(ns.exists(n => n.contains("ShuffledHashJoin") ||
+      n.contains("SortMergeJoin") || n.contains("BroadcastHashJoin")),
+      ns.mkString(","))
+  }
+
+  test("link prediction tops out in TakeOrderedAndProject, not a sort") {
+    initLog()
+    val df = Graph.supplierLinkPrediction(spark, sf)
+    val ns = names(df)
+    assert(ns.contains("TakeOrderedAndProject"), ns.mkString(","))
+    assert(!ns.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoop")), ns.mkString(","))
+  }
+
+  test("fixed-k sample plans as TakeOrderedAndProject (no corpus sort)") {
+    initLog()
+    val df = Sampling.fixedSample(
+      graft.sources.Tables.documents(spark, sf), "doc_id", 25)
+    val ns = names(df)
+    assert(ns.contains("TakeOrderedAndProject"), ns.mkString(","))
+    assert(shuffles(df) == 0, ns.mkString(","))
+  }
+
+  test("decayed activity: one corpus shuffle, anchor rides a broadcast") {
+    initLog()
+    val df = Temporal.decayedActivity(spark, sf)
+    df.collect()
+    val ns = names(df)
+    // the corpus-side work: scan -> broadcast anchor join -> one
+    // map-combined groupBy shuffle (the anchor agg is its own tiny
+    // exchange under AQE; corpus rows cross exactly one)
+    assert(ns.count(_ == "HashAggregate") >= 2, ns.mkString(","))
+    assert(countNodes(plan(df), _.isInstanceOf[BroadcastExchangeExec]) >= 1,
+      ns.mkString(","))
+  }
 }

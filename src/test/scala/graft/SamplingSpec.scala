@@ -93,4 +93,20 @@ class SamplingSpec extends GraftSpecBase {
     val frac = at3.size.toDouble / n
     assert(frac > 0.22 && frac < 0.38, s"keep rate $frac at w=0.3")
   }
+
+  test("fixedSample: exactly k, hash-ranked, partition-invariant") {
+    initLog()
+    val ids = (0L until 200L).toDF("doc_id")
+    val expect = (0L until 200L)
+      .sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+      .take(7).toSet
+    for (parts <- Seq(1, 7)) {
+      val got = graft.operators.Sampling
+        .fixedSample(ids.repartition(parts), "doc_id", 7)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"at $parts partitions")
+    }
+  }
 }

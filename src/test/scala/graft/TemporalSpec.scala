@@ -149,4 +149,37 @@ class TemporalSpec extends GraftSpecBase {
       .count(_.isInstanceOf[ShuffleExchangeExec])
     assert(shuffles == 1, s"expected 1 shuffle, got $shuffles")
   }
+
+  test("decayedActivity equals a sequential recomputation at sf") {
+    initLog()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("t_us"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val anchor = ev.map(_._2).max
+    val hl = 604800000000L
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the cents×dyadic design makes the sum order-independent EXACT,
+    // so this sequential recomputation must match BIT-FOR-BIT after
+    // round(4) — no tolerance
+    val expect = ev.groupBy(_._1).map { case (t, rows) =>
+      val ws = rows.map { case (_, us, _) =>
+        math.pow(0.5, math.min((anchor - us) / hl, 30L).toDouble) }
+      (t, rows.size.toLong,
+        rows.zip(ws).map { case ((_, _, v), w) => math.rint(v * 100) * w }
+          .sum / 100, ws.sum)
+    }
+    val got = Temporal.decayedActivity(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    expect.foreach { case (t, n, dsum, dcnt) =>
+      val (gn, gs, gc) = got(t)
+      assert(gn == n)
+      assert(gs == rnd(dsum), s"$t decayed_sum")
+      assert(gc == rnd(dcnt), s"$t decayed_count")
+      // weights are genuinely < 1 for old events: decay is active
+      assert(gc < n.toDouble)
+    }
+  }
 }

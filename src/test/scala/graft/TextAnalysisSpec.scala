@@ -276,4 +276,19 @@ class TextAnalysisSpec extends GraftSpecBase {
     val nn = graft.operators.Similarity.annBruteForce(feats.cache(), 2, 3)
     assert(nn.count() > 0)
   }
+
+  test("simpsonDiversity: hand-checked rational, short docs filtered") {
+    initLog()
+    val d = Seq((0L, "a a b"), (1L, "x"), (2L, "w w w w"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.simpsonDiversity(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(1L)) // single token: index undefined, filtered
+    // "a a b": N=3, counts {2,1} -> 2/(3*2)
+    assert(out(0L).getAs[Long]("n_tokens") == 3L)
+    assert(out(0L).getAs[Long]("n_types") == 2L)
+    assert(out(0L).getAs[Double]("simpson") == 0.333333)
+    // constant doc: probability 1 by definition
+    assert(out(2L).getAs[Double]("simpson") == 1.0)
+  }
 }
