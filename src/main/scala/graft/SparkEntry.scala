@@ -170,6 +170,7 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) => Graph.supplierTriangles(s, d)),
     "graph_jaccard" -> ((s, d) => Graph.supplierLinkPrediction(s, d)),
     "q_decay_sum" -> ((s, d) => Temporal.decayedActivity(s, d)),
+    "q_attribution" -> ((s, d) => Temporal.lastTouchAttribution(s, d)),
     "text_simpson" -> ((s, d) => TextAnalysis.simpsonDiversity(s, d)),
     "sample_fixed" -> ((s, d) => Sampling.fixedDocuments(s, d)),
     "q_linreg" -> ((s, d) => BatchQueries.linearFit(s, d)),
@@ -1519,6 +1520,25 @@ object SparkEntry {
              LEAST((a.anchor - t_us) // 604800000000, 30))), 4)
              AS decayed_count
          FROM ev, a GROUP BY event_type""",
+    // per purchase: latest touch at-or-before within lookback, ties
+    // broken (t_us, event_id) — identical argmax on both engines
+    "q_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS t_us, value FROM events),
+         p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+         t AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+         att AS (SELECT p.event_id AS pid, p.value,
+             (SELECT t.event_type FROM t
+              WHERE t.user_id = p.user_id AND t.t_us <= p.t_us
+                AND t.t_us >= p.t_us - 604800000000
+              ORDER BY t.t_us DESC, t.event_id DESC LIMIT 1) AS touch_type
+           FROM p)
+         SELECT COALESCE(touch_type, '(none)') AS touch_type,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(value), 2) AS attributed_value,
+           ROUND(CAST(COUNT(*) AS DOUBLE) /
+             (SELECT COUNT(*) FROM p), 6) AS share
+         FROM att GROUP BY 1""",
     // Simpson index is a pure rational of integer counts — the
     // oracle-friendly member of the entropy family
     "text_simpson" ->

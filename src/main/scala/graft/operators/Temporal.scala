@@ -278,6 +278,49 @@ object Temporal {
         round(sum(col("__w")), 4).as("decayed_count"))
   }
 
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent NON-purchase event at-or-before it within a lookback
+    * window (purchases with no touch in window land in the "(none)"
+    * bucket) — the marketing/behavior query behind "which surface
+    * drives conversions".
+    *
+    * Shape: the as-of union trick (AsOf.scala convention) — touches
+    * and purchases ride ONE user-keyed window ordered by
+    * (t_us, kind, event_id) with kind sorting touches before
+    * equal-timestamp purchases; the running `max(struct(t_us,
+    * event_id, type))` carries the latest touch (nulls ignored), so
+    * there is no join at all: one shuffle for the window, then a
+    * touch-type-sized aggregate. Tie-breaks are total (event_id
+    * unique) ⇒ deterministic cross-engine.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String,
+      lookbackUs: Long = 604800000000L): DataFrame = {
+    val tagged = ordered(spark, dir)
+      .withColumn("__kind",
+        when(col("event_type") === "purchase", 1).otherwise(0))
+      .withColumn("__touch", when(col("__kind") === 0,
+        struct(col("t_us"), col("event_id"), col("event_type"))))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("__kind"), col("event_id"))
+    val attributed = tagged
+      .withColumn("__last", max(col("__touch")).over(w))
+      .filter(col("__kind") === 1)
+      .select(col("value"),
+        when(col("__last").isNotNull &&
+            col("__last.t_us") >= col("t_us") - lookbackUs,
+          col("__last.event_type"))
+          .otherwise(lit("(none)")).as("touch_type"))
+    val total = attributed.agg(count(lit(1)).as("__total"))
+    attributed.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("attributed_value"))
+      .crossJoin(broadcast(total))
+      .select(col("touch_type"), col("n_purchases"),
+        col("attributed_value"),
+        round(col("n_purchases").cast("double") / col("__total"), 6)
+          .as("share"))
+  }
+
   def mergeUpsertFrames(ev: DataFrame, cutoffUs: Long): DataFrame = {
     def latest(df: DataFrame, valName: String): DataFrame =
       df.groupBy(col("user_id"))

@@ -529,4 +529,45 @@ class StreamingSpec extends GraftSpecBase {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(batch == Map("qty_range" -> 1L, "flag_known" -> 1L))
   }
+
+  test("stream decay: state equals batch recomputation, late data folds in") {
+    initLog()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamDecay
+    val hl = 1000000L // 1s half-life for test readability
+    val in = MemoryStream[(String, Long, Long)] // (type, t_us, cents)
+    val q = StreamDecay.decayedCounters(
+        in.toDS().map(t => StreamDecay.Ev(t._1, t._2, t._3)), hl)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("decay_out").start()
+    val rows = Seq(
+      ("click", 0L, 100L), ("click", 2500000L, 200L),
+      ("view", 500000L, 400L),
+      ("click", 1200000L, 300L)) // arrives LATE, after anchor advanced
+    try {
+      in.addData(rows(0), rows(1), rows(2))
+      q.processAllAvailable()
+      in.addData(rows(3))
+      q.processAllAvailable()
+      val got = spark.table("decay_out")
+        .groupBy(col("event_type"))
+        .agg(org.apache.spark.sql.functions.max(
+          struct(col("anchor_period"), col("decayed_sum"), col("n_events")))
+          .as("m"))
+        .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+      val expect = StreamDecay.batchReference(
+        rows.map(t => StreamDecay.Ev(t._1, t._2, t._3)), hl)
+      expect.foreach { case (k, e) =>
+        val g = got(k)
+        assert(g.getLong(0) == e.anchor_period, s"$k anchor")
+        assert(math.abs(g.getDouble(1) - e.decayed_sum) < 1e-9, s"$k sum")
+        assert(g.getLong(2) == e.n_events, s"$k n")
+      }
+      // hand value: clicks at p=0 (100c), p=2 (anchor, 200c), late
+      // p=1 (300c) -> 200 + 300/2 + 100/4 = 375c = 3.75
+      assert(math.abs(got("click").getDouble(1) - 3.75) < 1e-9)
+    } finally q.stop()
+  }
 }
