@@ -1477,7 +1477,9 @@ object SparkEntry {
          SELECT agg.n_nodes,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
            CAST(tri.n_tri AS BIGINT) AS n_triangles, agg.n_wedges,
-           ROUND(3.0 * tri.n_tri / agg.n_wedges, 6) AS clustering
+           CASE WHEN agg.n_wedges > 0
+             THEN ROUND(3.0 * tri.n_tri / agg.n_wedges, 6)
+             ELSE 0.0 END AS clustering
          FROM agg, tri""",
     // unconnected pairs ranked by neighbor-set Jaccard; all-integer
     // rationals so the round(6) compare is exact

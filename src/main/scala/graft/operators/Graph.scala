@@ -175,8 +175,12 @@ object Graph {
     wedges.crossJoin(counts).crossJoin(tri) // three one-row frames
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         col("n_wedges"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
-          .as("clustering"))
+        // wedge-free graph (isolated edges only): coefficient is 0 by
+        // convention, not a division by zero (ANSI mode throws —
+        // found by the random-graph property spec on a 1-edge graph)
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("clustering"))
   }
 
   /** Driver contract: triangle census of the supplier co-service

@@ -106,4 +106,62 @@ class GraphSpec extends GraftSpecBase {
     assert(Graph.neighborJaccard(star).count() > 0)
     assert(Graph.neighborJaccard(star, maxDeg = 3).count() == 0)
   }
+
+  test("property: triangle census and link prediction match plain-Scala references") {
+    initLog()
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters, Result => ScResult}
+    // random undirected simple graphs on up to 12 nodes — small
+    // enough that the O(n^3) reference is instant, adversarial enough
+    // (hubs, isolated edges, near-cliques) to stress the orientation
+    val genGraph = for {
+      n <- Gen.choose(2, 12)
+      density <- Gen.choose(1, 9)
+      pairs = for { a <- 0 until n; b <- a + 1 until n } yield (a.toLong, b.toLong)
+      keep <- Gen.listOfN(pairs.size, Gen.choose(1, 10))
+    } yield pairs.zip(keep).collect { case (p, k) if k <= density => p }
+
+    val prop = Prop.forAllNoShrink(genGraph) { edges =>
+      edges.isEmpty || {
+        val set = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val adj = nodes.map(v => v -> edges.collect {
+          case (a, b) if a == v => b
+          case (a, b) if b == v => a
+        }.toSet).toMap
+        val df = edges.toDF("u", "v")
+        // triangles: brute-force triple scan
+        val triRef = (for {
+          (a, b) <- edges; c <- nodes if c > b
+          if set((a, c)) && set((b, c))
+        } yield 1).size.toLong
+        val wedgeRef = nodes.map { v =>
+          val d = adj(v).size.toLong; d * (d - 1) / 2 }.sum
+        val t = Graph.triangleStats(df).collect().head
+        val triOk = t.getAs[Long]("n_triangles") == triRef &&
+          t.getAs[Long]("n_wedges") == wedgeRef &&
+          t.getAs[Long]("n_edges") == edges.size.toLong
+        // link prediction: every unconnected pair with common
+        // neighbors, jaccard from the same adjacency
+        val predRef = (for {
+          a <- nodes; b <- nodes if a < b && !set((a, b))
+          common = (adj(a) & adj(b)).size if common > 0
+        } yield ((a, b), (common.toLong,
+          common.toDouble / (adj(a).size + adj(b).size - common)))).toMap
+        val got = Graph.neighborJaccard(df, k = 1000).collect()
+          .map(r => ((r.getLong(0), r.getLong(1)),
+            (r.getLong(2), r.getDouble(3)))).toMap
+        val predOk = got.keySet == predRef.keySet && predRef.forall {
+          case (k2, (c, j)) =>
+            val (gc, gj) = got(k2)
+            gc == c && math.abs(gj - BigDecimal(j).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12
+        }
+        triOk && predOk
+      }
+    }
+    val res: ScResult =
+      check(Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
