@@ -122,6 +122,9 @@ object SparkEntry {
     "text_pii" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "decontaminate" -> ((s, d) => TextAnalysis.contamination(s, d)),
     "embed_norms" -> ((s, d) => Similarity.embeddingNorms(s, d)),
+    // PQ calibration summary — rows-checked (k-means averages carry
+    // partition-order FP; the shape is the signal, see pqCalibration)
+    "embed_pq" -> ((s, d) => Similarity.pqCalibration(s, d)),
     "embed_quantize" -> ((s, d) => Similarity.quantizationError(s, d)),
     "embed_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "curate_corpus" -> ((s, d) => Curation.curateCorpus(s, d)),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Vectors
@@ -233,6 +233,115 @@ object Similarity {
       val rows = centroids.map { case (i, c) => (i, c.toSeq) }.toSeq
       e.sparkSession.createDataFrame(rows).toDF("list", "centroid")
     } finally cached.unpersist(blocking = false)
+  }
+
+  /** Product-quantization codebooks: split the dims into `m`
+    * subspaces of dims/m each; per subspace run k-means with `ksub`
+    * centroids under L2 (deterministic hash seeding, same discipline
+    * as [[ivfTrain]]). The ANN memory-compression component: a
+    * 64-dim float32 vector becomes m bytes (m=8, ksub=16 → 4 bits/
+    * code → 64× compression) and asymmetric distances are lookups
+    * into m small tables.
+    *
+    * L2 argmin per subspace via the native dot: ||x−c||² minimizer =
+    * minimizer of (||c||² − 2·x·c) — a constant plus a codegen'd
+    * DotProduct against a literal, so assignment stays in
+    * whole-stage codegen like every other hot loop in this file.
+    * Returns (sub, code, centroid) — m·ksub rows, driver-bounded.
+    */
+  def pqTrain(e: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      dims0: Int = -1): Array[(Int, Int, Array[Double])] = {
+    val dims = dimsOf(e, dims0)
+    require(dims % m == 0, s"dims $dims must divide into $m subspaces")
+    val dsub = dims / m
+    val cached = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("ed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until m).flatMap { sub =>
+        val xm = slice(col("ed"), sub * dsub + 1, dsub)
+        var cents: Array[(Int, Array[Double])] = cached
+          .withColumn("__h", xxhash64(col("vec_id") + lit(sub)))
+          .orderBy(col("__h")).limit(ksub)
+          .select(xm).collect().zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+        var it = 0
+        while (it < iters) {
+          val code = pqNearest(xm, cents)
+          val dimCols = (0 until dsub).map(d =>
+            avg(element_at(xm, d + 1)).as(s"c_$d"))
+          val updated = cached.withColumn("__code", code)
+            .groupBy(col("__code")).agg(dimCols.head, dimCols.tail: _*)
+            .collect()
+            .map(r => (r.getInt(0), (0 until dsub).map(d =>
+              r.getDouble(d + 1)).toArray))
+          // empty cells keep their previous centroid (standard Lloyd)
+          val upMap = updated.toMap
+          cents = cents.map { case (i, c) => (i, upMap.getOrElse(i, c)) }
+          it += 1
+        }
+        cents.map { case (i, c) => (sub, i, c) }
+      }.toArray
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** argmin_c ||x−c||² as a codegen'd greatest/least over structs:
+    * (||c||² − 2·x·c, code), ascending — deterministic code tie-break.
+    */
+  private def pqNearest(xm: Column,
+      cents: Array[(Int, Array[Double])]): Column =
+    least(cents.map { case (i, c) =>
+      val cl = typedLit(c.toSeq)
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * Vectors.dot(xm, cl)).as("d"),
+        lit(i).as("code"))
+    }.toIndexedSeq: _*).getField("code")
+
+  /** Encode the corpus against trained codebooks: per vector the m
+    * subspace codes plus the exact L2 reconstruction distortion
+    * (Σ_sub ||x_sub − c_code||²) — the number that says whether the
+    * compressed index is usable at a given recall target. Pure
+    * map-side column algebra over broadcast-literal codebooks; the
+    * corpus never shuffles.
+    */
+  def pqEncode(e: DataFrame, books: Array[(Int, Int, Array[Double])],
+      dims0: Int = -1): DataFrame = {
+    val dims = dimsOf(e, dims0)
+    val m = books.map(_._1).max + 1
+    val dsub = dims / m
+    val ed = col("embedding").cast("array<double>")
+    val bests = (0 until m).map { sub =>
+      val xm = slice(ed, sub * dsub + 1, dsub)
+      val cents = books.collect { case (s, i, c) if s == sub => (i, c) }
+      // carry (distance, code) so distortion needs no second argmin
+      val best = least(cents.map { case (i, c) =>
+        val cl = typedLit(c.toSeq)
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * Vectors.dot(xm, cl)).as("d"),
+          lit(i).as("code"))
+      }.toIndexedSeq: _*)
+      // ||x−c||² = (||c||² − 2x·c) + ||x||²
+      (best.getField("code"), best.getField("d") + Vectors.dot(xm, xm))
+    }
+    e.select(col("vec_id"),
+      array(bests.map(_._1): _*).as("codes"),
+      round(bests.map(_._2).reduce(_ + _), 4).as("distortion"))
+  }
+
+  /** Driver contract `embed_pq`: corpus-wide PQ calibration summary —
+    * ONE row (m, ksub, n, mean/max distortion). Rows-checked (k-means
+    * centroid averages carry partition-order FP, so exact values are
+    * run-local; the SHAPE and magnitude are the stable signal).
+    */
+  def pqCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val books = pqTrain(e, m = 8, ksub = 16, dims0 = 64)
+    pqEncode(e, books, dims0 = 64)
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("distortion")), 4).as("mean_distortion"),
+        round(max(col("distortion")), 4).as("max_distortion"))
+      .select(lit(8L).as("m"), lit(16L).as("ksub"), col("n_vectors"),
+        col("mean_distortion"), col("max_distortion"))
   }
 
   private def assignToNearest(e: DataFrame,

@@ -221,4 +221,48 @@ class SimilaritySpec extends GraftSpecBase {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("PQ: planted subspace clusters encode together, distortion sane") {
+    initLog()
+    // 8 dims, m=2 subspaces of 4: vectors whose FIRST half matches
+    // must share code_0 regardless of their second half (and vice
+    // versa) once training has a centroid near each planted cluster
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val rows = (0 until 16).map { i =>
+      val h1 = if (i % 2 == 0) a else b
+      val h2 = if (i / 8 == 0) a else b
+      (i.toLong, h1 ++ h2, 0)
+    }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val books = Similarity.pqTrain(e, m = 2, ksub = 2, iters = 4, dims0 = 8)
+    assert(books.length == 4) // 2 subspaces x 2 codes
+    val enc = Similarity.pqEncode(e, books, dims0 = 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getDouble(2))).toMap
+    // same first half -> same code_0; different -> different
+    assert(enc(0L)._1(0) == enc(2L)._1(0))
+    assert(enc(0L)._1(0) != enc(1L)._1(0))
+    // same second half -> same code_1
+    assert(enc(0L)._1(1) == enc(1L)._1(1))
+    assert(enc(0L)._1(1) != enc(8L)._1(1))
+    // two perfect clusters per subspace -> near-zero reconstruction
+    assert(enc.values.forall(_._2 < 1e-6))
+    // and the codebook really is the m-bytes-per-vector contract
+    assert(enc.values.forall(_._1.size == 2))
+  }
+
+  test("PQ calibration summary has the documented shape at sf") {
+    initLog()
+    val r = Similarity.pqCalibration(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("m") == 8L && row.getAs[Long]("ksub") == 16L)
+    assert(row.getAs[Long]("n_vectors") > 0)
+    // distortion is a mean of squared L2 residuals: nonnegative, and
+    // bounded by the corpus's own max norm squared (codebooks at
+    // least beat the zero vector for SOME assignment)
+    assert(row.getAs[Double]("mean_distortion") >= 0.0)
+    assert(row.getAs[Double]("max_distortion") >=
+      row.getAs[Double]("mean_distortion"))
+  }
 }
