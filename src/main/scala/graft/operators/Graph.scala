@@ -171,7 +171,8 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
     val counts = edges.agg(count(lit(1)).as("n_edges"))
     val wedges = deg.agg(count(lit(1)).as("n_nodes"),
-      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+      coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0.0))
+        .cast("long").as("n_wedges")) // empty graph: 0, not null
     wedges.crossJoin(counts).crossJoin(tri) // three one-row frames
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         col("n_wedges"),

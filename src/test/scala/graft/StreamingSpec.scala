@@ -570,4 +570,36 @@ class StreamingSpec extends GraftSpecBase {
       assert(math.abs(got("click").getDouble(1) - 3.75) < 1e-9)
     } finally q.stop()
   }
+
+  test("stream attribution: credits last touch, lookback, equal-ts order") {
+    initLog()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamAttribution
+    import graft.streaming.StreamAttribution.Ev
+    val lb = 1000000L // 1s lookback
+    val in = MemoryStream[Ev]
+    val q = StreamAttribution.attribute(in.toDS(), lb)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").start()
+    try {
+      in.addData(
+        Ev(1L, 100L, 1L, "click", 0.0),
+        Ev(1L, 200L, 2L, "purchase", 10.0),   // -> click
+        Ev(1L, 300L, 3L, "view", 0.0),
+        Ev(1L, 300L, 4L, "purchase", 20.0),   // equal ts: view first -> view
+        Ev(2L, 500L, 5L, "purchase", 5.0))    // no touch ever -> (none)
+      q.processAllAvailable()
+      // state persists across batches; a purchase far beyond lookback
+      // of the stored touch -> (none)
+      in.addData(Ev(1L, 5000000L, 6L, "purchase", 7.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_out").collect()
+        .map(r => r.getAs[Long]("purchase_id") ->
+          r.getAs[String]("touch_type")).toMap
+      assert(got == Map(2L -> "click", 4L -> "view",
+        5L -> "(none)", 6L -> "(none)"))
+    } finally q.stop()
+  }
 }
