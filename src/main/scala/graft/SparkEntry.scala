@@ -175,6 +175,7 @@ object SparkEntry {
     "q_decay_sum" -> ((s, d) => Temporal.decayedActivity(s, d)),
     "q_attribution" -> ((s, d) => Temporal.lastTouchAttribution(s, d)),
     "text_simpson" -> ((s, d) => TextAnalysis.simpsonDiversity(s, d)),
+    "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "sample_fixed" -> ((s, d) => Sampling.fixedDocuments(s, d)),
     "q_linreg" -> ((s, d) => BatchQueries.linearFit(s, d)),
     "dedup_fuzzy" -> ((s, d) => Fuzzy.customerNamePairs(s, d)),
@@ -1559,6 +1560,27 @@ object SparkEntry {
     "sample_fixed" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
          FROM documents ORDER BY h LIMIT 25""",
+    // lift (exp PMI) stays a pure product/quotient of counts with the
+    // multiplication order written identically on both engines
+    "text_collocations" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+         uni AS (SELECT unnest(t) AS tok FROM d),
+         u AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY 1),
+         n1 AS (SELECT COUNT(*) AS n FROM uni),
+         big AS (SELECT unnest(list_transform(range(1, len(t)),
+                   i -> array_to_string(t[i:i+1], ' '))) AS gram
+                 FROM d WHERE len(t) >= 2),
+         nb AS (SELECT COUNT(*) AS n FROM big),
+         bc AS (SELECT gram, COUNT(*) AS n_pair FROM big GROUP BY 1
+                HAVING COUNT(*) >= 5)
+         SELECT gram, bc.n_pair,
+           ROUND(CAST(bc.n_pair AS DOUBLE) * n1.n * n1.n /
+             (CAST(nb.n AS DOUBLE) * ua.c1 * ub.c1), 6) AS lift
+         FROM bc CROSS JOIN n1 CROSS JOIN nb
+         JOIN u ua ON ua.tok = split_part(gram, ' ', 1)
+         JOIN u ub ON ub.tok = split_part(gram, ' ', 2)
+         ORDER BY lift DESC, gram LIMIT 20""",
     "q_linreg" ->
       """SELECT l_returnflag,
          ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,

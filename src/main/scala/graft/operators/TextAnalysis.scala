@@ -443,6 +443,53 @@ object TextAnalysis {
           .as("top_share"))
   }
 
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocations(Tables.documents(spark, dir))
+
+  /** Top-k collocations: adjacent token pairs ranked by LIFT —
+    * P(ab) / (P(a)·P(b)), the exp of PMI. Ranking by the RATIO
+    * instead of its log keeps the score a pure product/quotient of
+    * counts: no transcendental in the compare path (the text_tfidf
+    * lesson), and the multiplication order is written identically on
+    * both engines so the doubles agree bit-for-bit before round(6).
+    *
+    * Scale shape: unigram and bigram counts are map-side-combined
+    * aggregates (shuffle volume = distinct grams per partition, not
+    * corpus positions); the two count totals ride one-row broadcasts;
+    * the unigram join-backs run AFTER the `minCount` floor cuts the
+    * pair table; top-k is TakeOrderedAndProject. A `minCount` floor
+    * is also the statistical guard — lift of a 1-occurrence pair is
+    * noise.
+    */
+  def collocations(docs: DataFrame, minCount: Int = 5,
+      k: Int = 20): DataFrame = {
+    val toks = split(col("text"), " ")
+    // totals derive from the ALREADY-AGGREGATED frames (vocabulary-/
+    // distinct-pair-sized inputs), not from extra corpus scans: the
+    // corpus is read exactly twice (unigram lane, bigram lane)
+    val uni = Par.ensure(docs).select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val n1 = uni.agg(sum(col("c1")).as("__n1"))
+    val bc = Par.ensure(docs)
+      .filter(size(toks) >= 2)
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("ta"),
+        slice(toks, lit(2), size(toks) - 1).as("tb"))).as("p"))
+      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .agg(count(lit(1)).as("n_pair"))
+    val nb = bc.agg(sum(col("n_pair")).as("__nb"))
+    bc.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("tok").as("ta"), col("c1").as("__ca")), Seq("ta"))
+      .join(uni.select(col("tok").as("tb"), col("c1").as("__cb")), Seq("tb"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(nb))
+      .select(concat_ws(" ", col("ta"), col("tb")).as("gram"),
+        col("n_pair"),
+        round(col("n_pair").cast("double") * col("__n1") * col("__n1") /
+          (col("__nb").cast("double") * col("__ca") * col("__cb")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("gram")).limit(k)
+  }
+
   def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
     simpsonDiversity(Tables.documents(spark, dir))
 

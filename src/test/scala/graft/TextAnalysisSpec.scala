@@ -291,4 +291,26 @@ class TextAnalysisSpec extends GraftSpecBase {
     // constant doc: probability 1 by definition
     assert(out(2L).getAs[Double]("simpson") == 1.0)
   }
+
+  test("collocations: planted pair tops by lift, floor drops noise") {
+    initLog()
+    // "x y" always adjacent (8 times, each its only occurrence of x/y)
+    // amid filler; the shuffled-filler docs reuse a..h in OTHER
+    // contexts so every filler pair's constituents out-count their
+    // pairing (lift < x y's); a 1-occurrence pair is cut by the floor
+    val filler = (0 until 8).map(i => (i.toLong, "a b c d e x y f g h"))
+    val dilute = (0 until 8).map(i => (50L + i, "a c e g b d f h"))
+    val noise = Seq((100L, "q r"))
+    val d = (filler ++ dilute ++ noise).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .collocations(d, minCount = 5, k = 5).collect()
+    assert(out.nonEmpty)
+    // x y: P(xy)=8/Nb, P(x)=P(y)=8/N1 -> lift = (8/Nb)·N1²/64 — the
+    // pair whose constituents occur ONLY together must rank first
+    assert(out.head.getAs[String]("gram") == "x y")
+    assert(out.head.getAs[Long]("n_pair") == 8L)
+    assert(!out.map(_.getAs[String]("gram")).contains("q r"))
+    // every emitted lift is positive and finite
+    assert(out.forall(r => r.getAs[Double]("lift") > 0))
+  }
 }
