@@ -170,6 +170,7 @@ object SparkEntry {
     "dq_expectations" -> ((s, d) => QualityChecks.lineitemExpectations(s, d)),
     "dq_key_skew" -> ((s, d) => QualityChecks.lineitemKeySkew(s, d)),
     "dq_referential" -> ((s, d) => QualityChecks.referentialGate(s, d)),
+    "dq_profile_drift" -> ((s, d) => QualityChecks.ordersProfileDrift(s, d)),
     "graph_triangles" -> ((s, d) => Graph.supplierTriangles(s, d)),
     "graph_jaccard" -> ((s, d) => Graph.supplierLinkPrediction(s, d)),
     "q_decay_sum" -> ((s, d) => Temporal.decayedActivity(s, d)),
@@ -1459,6 +1460,58 @@ object SparkEntry {
          FROM events c LEFT JOIN
            (SELECT DISTINCT c_custkey AS k FROM customer) p
            ON c.user_id = p.k""",
+    // the same synthetic version pair as q_snapshot_diff, profiled
+    // exactly on both engines and differenced
+    "dq_profile_drift" ->
+      """WITH a AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+                    FROM orders WHERE o_orderkey % 10 <> 0),
+         b AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0
+                   THEN ROUND(o_totalprice + 1.0, 2)
+                   ELSE o_totalprice END AS o_totalprice,
+                 o_orderpriority
+               FROM orders WHERE o_orderkey % 10 <> 1),
+         pa AS (
+           SELECT 'o_orderkey' AS col_name,
+             COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+             COUNT(DISTINCT o_orderkey) AS ndv,
+             CAST(MIN(o_orderkey) AS DOUBLE) AS mn,
+             CAST(MAX(o_orderkey) AS DOUBLE) AS mx,
+             CAST(NULL AS VARCHAR) AS mns, CAST(NULL AS VARCHAR) AS mxs
+           FROM a
+           UNION ALL
+           SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+             COUNT(DISTINCT o_totalprice),
+             MIN(o_totalprice), MAX(o_totalprice), NULL, NULL FROM a
+           UNION ALL
+           SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority), NULL, NULL,
+             MIN(o_orderpriority), MAX(o_orderpriority) FROM a),
+         pb AS (
+           SELECT 'o_orderkey' AS col_name,
+             COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+             COUNT(DISTINCT o_orderkey) AS ndv,
+             CAST(MIN(o_orderkey) AS DOUBLE) AS mn,
+             CAST(MAX(o_orderkey) AS DOUBLE) AS mx,
+             CAST(NULL AS VARCHAR) AS mns, CAST(NULL AS VARCHAR) AS mxs
+           FROM b
+           UNION ALL
+           SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+             COUNT(DISTINCT o_totalprice),
+             MIN(o_totalprice), MAX(o_totalprice), NULL, NULL FROM b
+           UNION ALL
+           SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority), NULL, NULL,
+             MIN(o_orderpriority), MAX(o_orderpriority) FROM b)
+         SELECT pa.col_name,
+           CAST(pb.n_nulls - pa.n_nulls AS BIGINT) AS d_nulls,
+           CAST(pb.ndv - pa.ndv AS BIGINT) AS d_ndv,
+           ROUND(pb.mn - pa.mn, 6) AS d_min_num,
+           ROUND(pb.mx - pa.mx, 6) AS d_max_num,
+           CAST(CASE WHEN pa.mns IS DISTINCT FROM pb.mns
+                  OR pa.mxs IS DISTINCT FROM pb.mxs
+                THEN 1 ELSE 0 END AS BIGINT) AS str_bounds_changed
+         FROM pa JOIN pb ON pa.col_name = pb.col_name""",
     // identical deterministic sample (key mod) + min-shared floor +
     // brute-force triple join — the Spark side's degree-ordered
     // orientation is an exact algorithm, so the counts coincide

@@ -135,6 +135,52 @@ object QualityChecks {
     }.reduce(_.unionByName(_))
   }
 
+  /** Profile drift between two versions of a table: per column, the
+    * deltas of null count, exact ndv and numeric bounds, plus a
+    * changed-flag for string bounds — the cross-VERSION member of the
+    * DQ gate family (expectations = row rules, key_skew =
+    * distribution, referential = cross-table). A silent upstream
+    * change (new null source, id-space jump, price re-scale) shows
+    * here before any query goes wrong.
+    *
+    * Both sides ride [[Profile.profile]]'s exact lane (drift needs
+    * comparable numbers — HLL++ estimate noise would masquerade as
+    * ndv drift); each profile is ONE pass, the join is
+    * column-count-sized. Doubles subtract the same stored values on
+    * both engines ⇒ exact oracle.
+    */
+  def profileDrift(old: DataFrame, cur: DataFrame): DataFrame = {
+    def side(df: DataFrame, p: String) =
+      Profile.profile(df, exact = true).select(col("col_name"),
+        col("n_nulls").as(s"${p}_nulls"), col("n_distinct").as(s"${p}_ndv"),
+        col("min_num").as(s"${p}_mn"), col("max_num").as(s"${p}_mx"),
+        col("min_str").as(s"${p}_mns"), col("max_str").as(s"${p}_mxs"))
+    side(old, "a").join(side(cur, "b"), Seq("col_name"))
+      .select(col("col_name"),
+        (col("b_nulls") - col("a_nulls")).as("d_nulls"),
+        (col("b_ndv") - col("a_ndv")).as("d_ndv"),
+        round(col("b_mn") - col("a_mn"), 6).as("d_min_num"),
+        round(col("b_mx") - col("a_mx"), 6).as("d_max_num"),
+        when(!(col("a_mns") <=> col("b_mns")) ||
+             !(col("a_mxs") <=> col("b_mxs")), 1L).otherwise(0L)
+          .as("str_bounds_changed"))
+  }
+
+  /** Driver contract: drift across the q_snapshot_diff synthetic
+    * version pair of orders (rows dropped, prices nudged).
+    */
+  def ordersProfileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val v1 = o.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val v2 = o.filter(col("o_orderkey") % 10 =!= 1)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, round(col("o_totalprice") + 1.0, 2))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderpriority"))
+    profileDrift(v1, v2)
+  }
+
   /** Driver contract: the three join edges every TPC-H-shaped query
     * crosses, plus the events→customer edge (which has REAL orphans —
     * event user_ids outrange the customer table).

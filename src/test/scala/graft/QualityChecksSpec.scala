@@ -95,4 +95,24 @@ class QualityChecksSpec extends GraftSpecBase {
     assert(approx.getAs[Double]("entropy") == exact.getAs[Double]("entropy"))
     assert(approx.getAs[Double]("p99_cnt") == 4.0)
   }
+
+  test("profileDrift: planted null/ndv/bounds drift surfaces per column") {
+    initLog()
+    val v1 = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "name")
+    val v2 = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"),
+      (null, "b"), (9L, "z"))
+      .toDF("id", "name")
+    val out = QualityChecks.profileDrift(v1, v2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert(id.getLong(1) == 1L)            // one new null
+    assert(id.getLong(2) == 0L)            // ndv 3 -> 3
+    assert(id.getDouble(4) == 6.0)         // max 3 -> 9
+    assert(id.getLong(5) == 0L)
+    val name = out("name")
+    assert(name.getLong(2) == 0L)          // {a,b,c} -> {a,b,z}: 3 -> 3
+    assert(name.getLong(5) == 1L)          // max str c -> z
+    assert(name.isNullAt(3) && name.isNullAt(4))
+  }
 }
