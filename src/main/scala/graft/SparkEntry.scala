@@ -173,6 +173,7 @@ object SparkEntry {
     "dq_profile_drift" -> ((s, d) => QualityChecks.ordersProfileDrift(s, d)),
     "graph_triangles" -> ((s, d) => Graph.supplierTriangles(s, d)),
     "graph_jaccard" -> ((s, d) => Graph.supplierLinkPrediction(s, d)),
+    "graph_kcore" -> ((s, d) => Graph.nearDupCore(s, d)),
     "q_decay_sum" -> ((s, d) => Temporal.decayedActivity(s, d)),
     "q_attribution" -> ((s, d) => Temporal.lastTouchAttribution(s, d)),
     "text_simpson" -> ((s, d) => TextAnalysis.simpsonDiversity(s, d)),
@@ -702,6 +703,57 @@ object SparkEntry {
                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
            FROM s a JOIN s b ON a.doc_id < b.doc_id) p
          WHERE jaccard >= 0.5""",
+    // identical near-dup pair graph (the dedup_ngram_jaccard CTE),
+    // then the SAME peeling recurrence unrolled 6 rounds: drop nodes
+    // with < 2 surviving neighbors, restrict edges, repeat. Rounds
+    // past the fixpoint are idempotent, so the fixed unrolling equals
+    // the Spark side's early-exit loop for ANY input, and the final
+    // degree >= k filter makes even a non-converged bound coincide.
+    "graph_kcore" ->
+      """WITH s AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 2),
+             i -> array_to_string(t[i:i+3], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 4) d),
+         e0 AS (SELECT id_a AS u, id_b AS v FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+           FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+           WHERE jaccard >= 0.5),
+         d1 AS (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e0
+           UNION ALL SELECT v AS node FROM e0) GROUP BY 1),
+         e1 AS (SELECT u, v FROM e0
+           WHERE u IN (SELECT node FROM d1 WHERE d >= 2)
+             AND v IN (SELECT node FROM d1 WHERE d >= 2)),
+         d2 AS (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e1
+           UNION ALL SELECT v AS node FROM e1) GROUP BY 1),
+         e2 AS (SELECT u, v FROM e1
+           WHERE u IN (SELECT node FROM d2 WHERE d >= 2)
+             AND v IN (SELECT node FROM d2 WHERE d >= 2)),
+         d3 AS (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e2
+           UNION ALL SELECT v AS node FROM e2) GROUP BY 1),
+         e3 AS (SELECT u, v FROM e2
+           WHERE u IN (SELECT node FROM d3 WHERE d >= 2)
+             AND v IN (SELECT node FROM d3 WHERE d >= 2)),
+         d4 AS (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e3
+           UNION ALL SELECT v AS node FROM e3) GROUP BY 1),
+         e4 AS (SELECT u, v FROM e3
+           WHERE u IN (SELECT node FROM d4 WHERE d >= 2)
+             AND v IN (SELECT node FROM d4 WHERE d >= 2)),
+         d5 AS (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e4
+           UNION ALL SELECT v AS node FROM e4) GROUP BY 1),
+         e5 AS (SELECT u, v FROM e4
+           WHERE u IN (SELECT node FROM d5 WHERE d >= 2)
+             AND v IN (SELECT node FROM d5 WHERE d >= 2)),
+         d6 AS (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e5
+           UNION ALL SELECT v AS node FROM e5) GROUP BY 1),
+         e6 AS (SELECT u, v FROM e5
+           WHERE u IN (SELECT node FROM d6 WHERE d >= 2)
+             AND v IN (SELECT node FROM d6 WHERE d >= 2))
+         SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         FROM (SELECT u AS node FROM e6 UNION ALL SELECT v AS node FROM e6)
+         GROUP BY 1 HAVING COUNT(*) >= 2""",
     "dedup_minhash_lsh" ->
       """WITH s AS (SELECT doc_id,
            list_distinct(list_transform(range(1, len(t) - 2),

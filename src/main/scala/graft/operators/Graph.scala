@@ -235,4 +235,68 @@ object Graph {
   /** Driver contract: top-20 predicted supplier partnerships. */
   def supplierLinkPrediction(spark: SparkSession, dir: String): DataFrame =
     neighborJaccard(supplierCoEdges(spark, dir))
+
+  /** k-core of an undirected graph by iterative peeling: repeatedly
+    * drop nodes with fewer than `k` surviving neighbors until
+    * fixpoint (or `maxRounds`). Returns each core member with its
+    * degree INSIDE the core subgraph. The dedup-graph hygiene
+    * operator: components over a near-dup pair graph happily merge
+    * whole clusters through one weak false-positive link, while the
+    * 2-core keeps only mutually-corroborated structure (a clique of
+    * real duplicates survives; leaf links, isolated pairs and chains
+    * peel away).
+    *
+    * Scale shape: each round is one map-combined degree aggregate
+    * plus two left-semi joins of the edge set against the surviving
+    * node set (endpoint-keyed shuffles; AQE broadcasts the keep set
+    * once it shrinks). The edge set only ever SHRINKS, so per-round
+    * cost is bounded by the first round's O(m). Lineage is truncated
+    * every round (plan depth stays O(1), the [[Dedup.canonicalIds]]
+    * convention; `reliable = true` swaps durable checkpoints for
+    * executor-loss resilience at 1000-executor scale — requires
+    * `setCheckpointDir`). The only driver scalar per round is one
+    * COUNT used for the fixpoint early-exit; peeling is deterministic
+    * (no tie-breaking — all sub-k nodes drop together), so a fixed
+    * `maxRounds` unrolling of the same recurrence is an exact oracle
+    * whenever it reaches the fixpoint, which the early-exit makes
+    * true for any sufficiently large bound.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12,
+      reliable: Boolean = false): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(maxRounds >= 1, s"kCore: maxRounds must be >= 1, got $maxRounds")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+    var e = truncate(edges.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var m = e.count()
+    var round = 0
+    var converged = m == 0L
+    while (!converged && round < maxRounds) {
+      val keep = degrees(e).filter(col("core_deg") >= k).select(col("node"))
+      val next = truncate(
+        e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi"))
+      val m2 = next.count()
+      converged = m2 == m || m2 == 0L
+      e = next; m = m2; round += 1
+    }
+    degrees(e).filter(col("core_deg") >= k)
+  }
+
+  /** Driver contract: 2-core of the exact near-duplicate graph on
+    * documents (n-gram Jaccard >= 0.5 pairs, [[Dedup.ngramJaccardPairs]]) —
+    * which duplicate clusters are corroborated by more than a lone
+    * pairwise link. The oracle peels the identical recurrence,
+    * unrolled.
+    */
+  def nearDupCore(spark: SparkSession, dir: String): DataFrame =
+    kCore(Dedup.ngramJaccardPairs(spark, dir)
+        .select(col("id_a").as("u"), col("id_b").as("v")),
+        k = 2, maxRounds = 6)
+      .select(col("node").as("doc_id"), col("core_deg"))
 }

@@ -107,6 +107,62 @@ class GraphSpec extends GraftSpecBase {
     assert(Graph.neighborJaccard(star, maxDeg = 3).count() == 0)
   }
 
+  test("kCore: cliques survive, chains/stars/pairs peel away") {
+    initLog()
+    // clique on 10..14 (deg 4) ∪ path 20-21-22-23 ∪ star 30→31,32,33
+    val clique = for { a <- 10L to 14L; b <- a + 1 to 14L } yield (a, b)
+    val path = Seq((20L, 21L), (21L, 22L), (22L, 23L))
+    val star = Seq((30L, 31L), (30L, 32L), (30L, 33L))
+    val edges = (clique ++ path ++ star).toDF("u", "v")
+    val core2 = Graph.kCore(edges, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the 2-core is exactly the clique, every member at degree 4;
+    // the path peels from both ends, the star from its leaves
+    assert(core2 == (10L to 14L).map(_ -> 4L).toMap)
+    // k above the clique degree empties the graph
+    assert(Graph.kCore(edges, k = 5).count() == 0)
+    // triangle is the minimal 2-core
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    assert(Graph.kCore(tri, k = 2).count() == 3)
+  }
+
+  test("property: kCore equals the plain-Scala peeling fixpoint") {
+    initLog()
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters, Result => ScResult}
+    def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      var es = edges.toSet
+      var changed = true
+      while (changed) {
+        val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, l) => n -> l.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter(e => keep(e._1) && keep(e._2))
+        changed = next != es
+        es = next
+      }
+      es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .collect { case (n, l) if l.size >= k => n -> l.size.toLong }
+    }
+    val genCase = for {
+      n <- Gen.choose(2, 12)
+      density <- Gen.choose(1, 9)
+      pairs = for { a <- 0 until n; b <- a + 1 until n } yield (a.toLong, b.toLong)
+      keep <- Gen.listOfN(pairs.size, Gen.choose(1, 10))
+      k <- Gen.choose(1, 5)
+    } yield (pairs.zip(keep).collect { case (p, kk) if kk <= density => p }, k)
+    val prop = Prop.forAllNoShrink(genCase) { case (edges, k) =>
+      edges.isEmpty || {
+        val got = Graph.kCore(edges.toDF("u", "v"), k).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == refKCore(edges, k)
+      }
+    }
+    val res: ScResult =
+      check(Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: triangle census and link prediction match plain-Scala references") {
     initLog()
     import org.scalacheck.{Gen, Prop}
