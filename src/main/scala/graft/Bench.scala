@@ -33,11 +33,20 @@ object Bench {
       Thread.sleep(seconds * 1000L)
       val p = q.recentProgress.drop(1)
       val rows = p.map(_.numInputRows).sum
-      val ms = p.map(_.durationMs.get("triggerExecution").longValue()).sum
+      // a progress entry may lack triggerExecution — don't NPE into
+      // the caller's blanket catch (which would read as stream failure)
+      val ms = p.map(pr => Option(pr.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(0L)).sum
       if (ms <= 0) 0.0 else rows * 1000.0 / ms
     } finally {
       try q.stop() catch { case _: Throwable => () }
+      deleteRecursively(tmp.toFile)
     }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    try f.delete() catch { case _: Throwable => () }
   }
 
   /** The driver captures only the LAST ~2000 chars of sbt stdout; the
@@ -67,6 +76,12 @@ object Bench {
     // failures still surface — the bench itself prints FAILED lines
     // and carries the penalty term.
     spark.sparkContext.setLogLevel("ERROR")
+    // loadavg at bench START, recorded in the header: in-suite times on
+    // a contended host run 10-40x the isolated cost (SURVEY §4.5), so
+    // round-over-round diffs need the contention context to be readable
+    // without manual adjudication. > ~2 on this box means "suspect".
+    val loadavg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // Force FULL computation of every output column. A bare count()
     // lets Catalyst prune unused branches — e.g. a report's left join
     // against a per-key-unique aggregate is ELIMINATED wholesale when
@@ -121,7 +136,7 @@ object Bench {
       if (only.isDefined) 0.0
       else try streamBench(spark) catch { case _: Throwable => -1.0 }
     def line(qs: String) =
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"stream_rows_per_sec":${fmt(streamRps, 0)},"full":"bench_full.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"stream_rows_per_sec":${fmt(streamRps, 0)},"loadavg":${fmt(loadavg, 2)},"full":"bench_full.json","sf":"$sfDir"}"""
     // Full map (4-decimal) to the file artifact; headline map
     // (3-decimal) to stdout, with a hard 1600-char guard: should
     // the headline set ever outgrow the tail budget, drop precision

@@ -709,46 +709,50 @@ object SparkEntry {
     // past the fixpoint are idempotent, so the fixed unrolling equals
     // the Spark side's early-exit loop for ANY input, and the final
     // degree >= k filter makes even a non-converged bound coincide.
+    // MATERIALIZED is load-bearing: DuckDB 1.0 inlines a CTE at each
+    // reference, and every round references the prior round 3 times,
+    // so the plain form expands to ~3^6 scans of the base pair join
+    // and dies on fd exhaustion (the r8 "Too many open files").
     "graph_kcore" ->
-      """WITH s AS (SELECT doc_id,
+      """WITH s AS MATERIALIZED (SELECT doc_id,
            list_distinct(list_transform(range(1, len(t) - 2),
              i -> array_to_string(t[i:i+3], ' '))) AS sh
            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
                  WHERE len(string_split(text, ' ')) >= 4) d),
-         e0 AS (SELECT id_a AS u, id_b AS v FROM (
+         e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
            FROM s a JOIN s b ON a.doc_id < b.doc_id) p
            WHERE jaccard >= 0.5),
-         d1 AS (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e0
+         d1 AS MATERIALIZED (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e0
            UNION ALL SELECT v AS node FROM e0) GROUP BY 1),
-         e1 AS (SELECT u, v FROM e0
+         e1 AS MATERIALIZED (SELECT u, v FROM e0
            WHERE u IN (SELECT node FROM d1 WHERE d >= 2)
              AND v IN (SELECT node FROM d1 WHERE d >= 2)),
-         d2 AS (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e1
+         d2 AS MATERIALIZED (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e1
            UNION ALL SELECT v AS node FROM e1) GROUP BY 1),
-         e2 AS (SELECT u, v FROM e1
+         e2 AS MATERIALIZED (SELECT u, v FROM e1
            WHERE u IN (SELECT node FROM d2 WHERE d >= 2)
              AND v IN (SELECT node FROM d2 WHERE d >= 2)),
-         d3 AS (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e2
+         d3 AS MATERIALIZED (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e2
            UNION ALL SELECT v AS node FROM e2) GROUP BY 1),
-         e3 AS (SELECT u, v FROM e2
+         e3 AS MATERIALIZED (SELECT u, v FROM e2
            WHERE u IN (SELECT node FROM d3 WHERE d >= 2)
              AND v IN (SELECT node FROM d3 WHERE d >= 2)),
-         d4 AS (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e3
+         d4 AS MATERIALIZED (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e3
            UNION ALL SELECT v AS node FROM e3) GROUP BY 1),
-         e4 AS (SELECT u, v FROM e3
+         e4 AS MATERIALIZED (SELECT u, v FROM e3
            WHERE u IN (SELECT node FROM d4 WHERE d >= 2)
              AND v IN (SELECT node FROM d4 WHERE d >= 2)),
-         d5 AS (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e4
+         d5 AS MATERIALIZED (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e4
            UNION ALL SELECT v AS node FROM e4) GROUP BY 1),
-         e5 AS (SELECT u, v FROM e4
+         e5 AS MATERIALIZED (SELECT u, v FROM e4
            WHERE u IN (SELECT node FROM d5 WHERE d >= 2)
              AND v IN (SELECT node FROM d5 WHERE d >= 2)),
-         d6 AS (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e5
+         d6 AS MATERIALIZED (SELECT node, COUNT(*) d FROM (SELECT u AS node FROM e5
            UNION ALL SELECT v AS node FROM e5) GROUP BY 1),
-         e6 AS (SELECT u, v FROM e5
+         e6 AS MATERIALIZED (SELECT u, v FROM e5
            WHERE u IN (SELECT node FROM d6 WHERE d >= 2)
              AND v IN (SELECT node FROM d6 WHERE d >= 2))
          SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg

@@ -306,13 +306,19 @@ object Similarity {
     * (||c||² − 2·x·c, code), ascending — deterministic code tie-break.
     */
   private def pqNearest(xm: Column,
-      cents: Array[(Int, Array[Double])]): Column =
-    least(cents.map { case (i, c) =>
+      cents: Array[(Int, Array[Double])]): Column = {
+    require(cents.nonEmpty,
+      "pqNearest: a subspace has an empty codebook (corpus too small?)")
+    // least() needs >= 2 args — a degenerate one-centroid codebook is
+    // a constant assignment, not an analysis-time arity error
+    if (cents.length == 1) lit(cents.head._1)
+    else least(cents.map { case (i, c) =>
       val cl = typedLit(c.toSeq)
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * Vectors.dot(xm, cl)).as("d"),
         lit(i).as("code"))
     }.toIndexedSeq: _*).getField("code")
+  }
 
   /** Encode the corpus against trained codebooks: per vector the m
     * subspace codes plus the exact L2 reconstruction distortion
@@ -331,12 +337,17 @@ object Similarity {
       val xm = slice(ed, sub * dsub + 1, dsub)
       val cents = books.collect { case (s, i, c) if s == sub => (i, c) }
       // carry (distance, code) so distortion needs no second argmin
-      val best = least(cents.map { case (i, c) =>
+      require(cents.nonEmpty,
+        s"pqEncode: subspace $sub has an empty codebook")
+      val entries = cents.map { case (i, c) =>
         val cl = typedLit(c.toSeq)
         val c2 = c.map(x => x * x).sum
         struct((lit(c2) - lit(2.0) * Vectors.dot(xm, cl)).as("d"),
           lit(i).as("code"))
-      }.toIndexedSeq: _*)
+      }.toIndexedSeq
+      // least() needs >= 2 args; a one-centroid codebook is constant
+      val best = if (entries.length == 1) entries.head
+        else least(entries: _*)
       // ||x−c||² = (||c||² − 2x·c) + ||x||²
       (best.getField("code"), best.getField("d") + Vectors.dot(xm, xm))
     }

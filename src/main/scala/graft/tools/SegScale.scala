@@ -45,7 +45,7 @@ object SegScale {
     results += time2("seq_pack_8", () => Packing.packDocs(docs))
     results += time2("seq_pack_64", () => Packing.packDocs(docs, nShards = 64))
     results += time2("profile_exact", () =>
-      Profile.profile(Tables.orders(spark, dir)))
+      Profile.profile(Tables.orders(spark, dir), exact = true))
     results += time2("profile_approx", () =>
       Profile.profile(Tables.orders(spark, dir), exact = false))
 
