@@ -453,40 +453,92 @@ object TextAnalysis {
     * lesson), and the multiplication order is written identically on
     * both engines so the doubles agree bit-for-bit before round(6).
     *
+    * Counting runs on native 128-bit ShingleHashes keys (tf lanes,
+    * multiplicity kept — bigrams ARE 2-shingles): no token or gram
+    * STRINGS ride the count shuffles, the (u1,u2)/(b1,b2) shuffle
+    * keys are 16 bytes each, and the unigram join-backs for the
+    * floored pair table are 128-bit equi-joins instead of string
+    * compares. Each bigram row carries its constituents' unigram
+    * hashes (sliced from the SAME n=1 lanes in the one explode pass
+    * — no corpus self-join to align positions) plus one
+    * deterministic representative location (min doc_id + a position
+    * in that doc); gram TEXT is recovered for the bounded survivor
+    * set only, via a broadcast join back to the corpus and one token
+    * slice — the [[topNgrams]] pattern. Survivors = every pair whose
+    * rounded lift ties-or-beats the k-th largest (the threshold
+    * VALUE is tie-break independent), so the final (lift desc, gram)
+    * ordering is exact — identical output to the string-keyed form
+    * on the ~2^-128 collision basis the dedup family documents.
+    *
     * Scale shape: unigram and bigram counts are map-side-combined
     * aggregates (shuffle volume = distinct grams per partition, not
-    * corpus positions); the two count totals ride one-row broadcasts;
-    * the unigram join-backs run AFTER the `minCount` floor cuts the
+    * corpus positions); the two count totals derive from the
+    * ALREADY-AGGREGATED frames and ride one-row broadcasts; the
+    * unigram join-backs run AFTER the `minCount` floor cuts the
     * pair table; top-k is TakeOrderedAndProject. A `minCount` floor
     * is also the statistical guard — lift of a 1-occurrence pair is
     * noise.
     */
   def collocations(docs: DataFrame, minCount: Int = 5,
       k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val toks = split(col("text"), " ")
-    // totals derive from the ALREADY-AGGREGATED frames (vocabulary-/
-    // distinct-pair-sized inputs), not from extra corpus scans: the
-    // corpus is read exactly twice (unigram lane, bigram lane)
-    val uni = Par.ensure(docs).select(explode(toks).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    def uh(lane: Int) = column(
+      graft.functions.ShingleHashes(expression(toks), 1, lane))
+    def bh(lane: Int) = column(
+      graft.functions.ShingleHashes(expression(toks), 2, lane))
+    val uni = Par.ensure(docs)
+      .select(explode(arrays_zip(uh(0).as("u1"), uh(1).as("u2"))).as("t"))
+      .groupBy(col("t.u1").as("u1"), col("t.u2").as("u2"))
+      .agg(count(lit(1)).as("c1"))
     val n1 = uni.agg(sum(col("c1")).as("__n1"))
+    // one explode pass per doc: bigram key lanes + the two
+    // constituent-token unigram key lanes (slices of the n=1 arrays
+    // align window i with tokens i and i+1) + 0-based window position
+    val zipped = arrays_zip(
+      bh(0).as("b1"), bh(1).as("b2"),
+      slice(uh(0), lit(1), size(toks) - 1).as("ua1"),
+      slice(uh(1), lit(1), size(toks) - 1).as("ua2"),
+      slice(uh(0), lit(2), size(toks) - 1).as("ub1"),
+      slice(uh(1), lit(2), size(toks) - 1).as("ub2"))
+    // constituent hashes are constant within a (b1,b2) group, so min
+    // is just a deterministic pick; min_by's pos is any occurrence in
+    // cand_doc — every occurrence recovers the same gram text. All
+    // agg buffers are plain longs — HashAggregate throughout.
     val bc = Par.ensure(docs)
-      .filter(size(toks) >= 2)
-      .select(explode(arrays_zip(
-        slice(toks, lit(1), size(toks) - 1).as("ta"),
-        slice(toks, lit(2), size(toks) - 1).as("tb"))).as("p"))
-      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
-      .agg(count(lit(1)).as("n_pair"))
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), posexplode(zipped).as(Seq("pos", "p")))
+      .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
+      .agg(count(lit(1)).as("n_pair"),
+        min(col("p.ua1")).as("ua1"), min(col("p.ua2")).as("ua2"),
+        min(col("p.ub1")).as("ub1"), min(col("p.ub2")).as("ub2"),
+        min(col("doc_id")).as("cand_doc"),
+        min_by(col("pos"), col("doc_id")).as("cand_pos"))
     val nb = bc.agg(sum(col("n_pair")).as("__nb"))
-    bc.filter(col("n_pair") >= minCount)
-      .join(uni.select(col("tok").as("ta"), col("c1").as("__ca")), Seq("ta"))
-      .join(uni.select(col("tok").as("tb"), col("c1").as("__cb")), Seq("tb"))
+    val scored = bc.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("u1").as("ua1"), col("u2").as("ua2"),
+        col("c1").as("__ca")), Seq("ua1", "ua2"))
+      .join(uni.select(col("u1").as("ub1"), col("u2").as("ub2"),
+        col("c1").as("__cb")), Seq("ub1", "ub2"))
       .crossJoin(broadcast(n1)).crossJoin(broadcast(nb))
-      .select(concat_ws(" ", col("ta"), col("tb")).as("gram"),
-        col("n_pair"),
+      .select(col("n_pair"),
         round(col("n_pair").cast("double") * col("__n1") * col("__n1") /
           (col("__nb").cast("double") * col("__ca") * col("__cb")), 6)
-          .as("lift"))
+          .as("lift"),
+        col("cand_doc"), col("cand_pos"))
+    // the k-th largest lift VALUE is independent of any tie-break, so
+    // survivors (lift >= it) ⊇ the true top-k; text recovery touches
+    // only this bounded set
+    val thresh = scored
+      .orderBy(col("lift").desc, col("cand_doc"), col("cand_pos")).limit(k)
+      .agg(min(col("lift")).as("__t"))
+    val cand = scored.join(broadcast(thresh), col("lift") >= col("__t"))
+      .select(col("n_pair"), col("lift"), col("cand_doc"), col("cand_pos"))
+    docs.join(broadcast(cand), col("doc_id") === col("cand_doc"))
+      .select(
+        array_join(slice(split(col("text"), " "), col("cand_pos") + 1,
+          lit(2)), " ").as("gram"),
+        col("n_pair"), col("lift"))
       .orderBy(col("lift").desc, col("gram")).limit(k)
   }
 
