@@ -107,6 +107,18 @@ object SparkEntry {
         Similarity.annIvfSearch(e, nQueries = 10, k = 10, dims0 = 64),
         Similarity.annBruteForce(e, nQueries = 10, k = 10), k = 10)
     }),
+    // PQ retrieval lane: ADC over pqEncode codes + exact refine of the
+    // bounded shortlist (rows-only — codebooks carry k-means FP); its
+    // recall row is the hard per-round signal, like the LSH/IVF twins
+    "ann_pq" -> ((s, d) =>
+      Similarity.annPqSearch(graft.sources.Tables.embeddings(s, d),
+        dims0 = 64)),
+    "ann_pq_recall" -> ((s, d) => {
+      val e = graft.sources.Tables.embeddings(s, d)
+      Similarity.annRecallSummary(
+        Similarity.annPqSearch(e, nQueries = 10, k = 10, dims0 = 64),
+        Similarity.annBruteForce(e, nQueries = 10, k = 10), k = 10)
+    }),
     "text_tokencount" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),

@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Dev-loop recall sweep for the approximate ANN lanes (IVF, PQ):
+  * prints recall@10 vs the exact brute-force lane across a parameter
+  * grid, at the driver's sf. How the shipped defaults were picked —
+  * see the ann_ivf/ann_pq Scaladoc for the chosen operating points.
+  *
+  * Usage: runMain graft.tools.AnnSweep [sfDir]
+  */
+object AnnSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = graft.GraftSession.local(cpus, "graft-ann-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables.embeddings(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = Similarity.annBruteForce(e, nQueries = 10, k = 10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    exact.count()
+
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.annRecallSummary(df, exact, k = 10)
+        .collect()(0).getAs[Double]("recall")
+
+    for (nlist <- Seq(8, 16, 32); nprobe <- Seq(2, 4, 8)
+         if nprobe < nlist) {
+      val r = recall(Similarity.annIvfSearch(e, nQueries = 10, k = 10,
+        nlist = nlist, nprobe = nprobe, dims0 = 64))
+      println(f"IVF nlist=$nlist%3d nprobe=$nprobe%2d  recall@10=$r%.3f  scanned~${nprobe.toDouble / nlist}%.2f")
+    }
+    for (m <- Seq(8, 16); ksub <- Seq(16, 32, 64); rr <- Seq(0, 50)) {
+      val r = recall(Similarity.annPqSearch(e, nQueries = 10, k = 10,
+        m = m, ksub = ksub, rerank = rr, dims0 = 64))
+      println(f"PQ  m=$m%2d ksub=$ksub%3d rerank=$rr%3d  recall@10=$r%.3f  bits=${m * (32 - Integer.numberOfLeadingZeros(ksub - 1))}%d")
+    }
+    spark.stop()
+  }
+}

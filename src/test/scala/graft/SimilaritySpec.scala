@@ -132,6 +132,46 @@ class SimilaritySpec extends GraftSpecBase {
     assert(recall >= 0.5, s"IVF recall@3 = $recall")
   }
 
+  test("IVF recall floor: shipped defaults stay >= 0.8 recall@10") {
+    initLog()
+    // the r9 operating point (nlist=16, nprobe=8 — tools/AnnSweep):
+    // regression in seeding, assignment, or probe selection that
+    // drops driver-scale recall below the documented floor fails here
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val r = Similarity.annRecallSummary(
+        Similarity.annIvfSearch(e, nQueries = 10, k = 10, dims0 = 64),
+        Similarity.annBruteForce(e, nQueries = 10, k = 10), k = 10)
+      .collect()(0).getAs[Double]("recall")
+    assert(r >= 0.8, s"IVF recall@10 = $r below the 0.8 floor")
+  }
+
+  test("PQ search recall floor: ADC+refine defaults stay >= 0.85 recall@10") {
+    initLog()
+    // m=16/ksub=32/rerank=50 measured 0.92 at sf0.01 (tools/AnnSweep);
+    // the floor guards the ADC table math and the refine join alike
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val r = Similarity.annRecallSummary(
+        Similarity.annPqSearch(e, nQueries = 10, k = 10, dims0 = 64),
+        Similarity.annBruteForce(e, nQueries = 10, k = 10), k = 10)
+      .collect()(0).getAs[Double]("recall")
+    assert(r >= 0.85, s"PQ recall@10 = $r below the 0.85 floor")
+  }
+
+  test("PQ pure-ADC ranking beats chance and refine only improves it") {
+    initLog()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    def recall(rr: Int): Double = Similarity.annRecallSummary(
+        Similarity.annPqSearch(e, nQueries = 10, k = 10, rerank = rr,
+          dims0 = 64),
+        Similarity.annBruteForce(e, nQueries = 10, k = 10), k = 10)
+      .collect()(0).getAs[Double]("recall")
+    val adc = recall(0)
+    // chance recall@10 over 499 candidates is ~0.02; pure ADC must
+    // carry real signal for the refine stage to have anything to find
+    assert(adc >= 0.3, s"pure-ADC recall@10 = $adc — ranking is noise")
+    assert(recall(50) >= adc, "exact refine must not lose recall")
+  }
+
   test("LSH search recall vs brute force on the test corpus") {
     initLog()
     val e = graft.sources.Tables.embeddings(spark, sf)
