@@ -107,6 +107,49 @@ class GraphSpec extends GraftSpecBase {
     assert(Graph.neighborJaccard(star, maxDeg = 3).count() == 0)
   }
 
+  test("neighborJaccard hub stress: maxDeg keeps non-hub evidence, " +
+      "kills the quadratic wedge fan-out") {
+    initLog()
+    // two 4-cliques each missing one edge (the prediction targets),
+    // plus a hub wired to ALL eight nodes — the 100 TB skew shape.
+    // Hub degree 8; removed-edge endpoints degree 3, the rest 4.
+    def cliqueMinus(ns: Seq[Long]): Seq[(Long, Long)] =
+      (for { a <- ns; b <- ns if a < b } yield (a, b))
+        .filterNot(p => p == (ns(0), ns(1)))
+    val hub = 100L
+    val edges = (cliqueMinus(Seq(1L, 2L, 3L, 4L)) ++
+      cliqueMinus(Seq(5L, 6L, 7L, 8L)) ++
+      (1L to 8L).map(n => (hub, n))).toDF("u", "v")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val full = asMap(Graph.neighborJaccard(edges, k = 1000))
+    val capped = asMap(Graph.neighborJaccard(edges, k = 1000, maxDeg = 7))
+    // the recall contract: capping only DROPS common-neighbor
+    // evidence (wedges centered on hubs) — never invents pairs, never
+    // inflates counts
+    assert(capped.keySet.subsetOf(full.keySet))
+    assert(capped.forall { case (p, (c, _)) => c <= full(p)._1 })
+    // the in-clique targets keep their non-hub evidence: (1,2) has
+    // common neighbors {3, 4, hub} unguarded (3/(3+3-3) = 1.0),
+    // {3, 4} capped; degrees (denominators) stay the FULL graph's —
+    // 2/(3+3-2) = 0.5
+    assert(full((1L, 2L)) == ((3L, 1.0)))
+    assert(capped((1L, 2L)) == ((2L, 0.5)))
+    // a cross-clique pair's ONLY witness is the hub: present
+    // unguarded, gone capped — this is the documented recall loss
+    assert(full.contains((1L, 5L)) && full((1L, 5L))._1 == 1L)
+    assert(!capped.contains((1L, 5L)))
+    // the wedge fan-out delta the cap buys: Σ_center C(deg, 2) drops
+    // by the hub's C(8,2) = 28 of 64 — the quadratic term is the
+    // hub's alone, and it carries the least-informative evidence
+    val deg = edges.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def wedges(m: Map[Long, Long]) = m.values.map(d => d * (d - 1) / 2).sum
+    assert(wedges(deg) == 64L)
+    assert(wedges(deg - hub) == 36L)
+  }
+
   test("kCore: cliques survive, chains/stars/pairs peel away") {
     initLog()
     // clique on 10..14 (deg 4) ∪ path 20-21-22-23 ∪ star 30→31,32,33

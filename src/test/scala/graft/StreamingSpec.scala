@@ -178,16 +178,20 @@ class StreamingSpec extends GraftSpecBase {
     import graft.sources.Tables
     val batch = EditAnalytics.editSizeByWindow(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4))).toSet
-    // stream the same parquet through the same transform; the nanos
-    // ts arrives as a long under nanosAsLong — apply the same
-    // normalization the batch reader does
+    // stream the same parquet through the same transform, mirroring
+    // Tables.events' conditional normalization: a TIMESTAMP(NANOS)
+    // file arrives as a long under nanosAsLong and needs the µs
+    // floor; a TIMESTAMP(MICROS) file (driver testdata generations
+    // vary) is already a proper timestamp
     val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
     val dir = tmp("graft_parity")
     Files.createSymbolicLink(Paths.get(dir, "events.parquet"),
       Paths.get(s"$sf/events.parquet"))
-    val streamed = spark.readStream.schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamedRaw = spark.readStream.schema(rawSchema).parquet(dir)
+    val streamed =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        streamedRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else streamedRaw
     val out = EditAnalytics.editSizeByWindow(streamed)
     val q = out.writeStream.outputMode("complete")
       .format("memory").queryName("parity_out").start()
