@@ -485,6 +485,82 @@ object Similarity {
     }
   }
 
+  /** Persist a PQ index: the corpus as m small codes per vector — the
+    * COMPRESSED form (raw embeddings are NOT stored; m=16/ksub=32
+    * stores 16 ints vs 64 floats, and a cluster deployment would
+    * shrink codes to bytes) — plus the m·ksub-row codebook table
+    * alongside. Completes the persisted-index trio: LSH = no
+    * training, L× storage, bucket pruning; IVF = 1× storage, nprobe
+    * pruning; PQ = sub-1× storage, NO pruning but every scanned byte
+    * is 'ksub'-ways smaller — the right trade when the index must fit
+    * in memory end-to-end.
+    */
+  def writePqIndex(e: DataFrame, path: String, m: Int = 16,
+      ksub: Int = 32, iters: Int = 3, dims0: Int = -1): Unit = {
+    val dims = dimsOf(e, dims0)
+    val books = pqTrain(e, m, ksub, iters, dims)
+    e.sparkSession.createDataFrame(
+        books.toSeq.map { case (s, i, c) => (s, i, c.toSeq) })
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncode(e, books, dims).select(col("vec_id"), col("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** ADC top-k probe against a persisted [[writePqIndex]] index: load
+    * the bounded codebook table, build the query's m×ksub lookup
+    * tables driver-side, scan ONLY the codes table — the raw corpus
+    * is never touched (single-query twin of [[annPqSearch]]'s scoring,
+    * same rounded reconstructed-cosine and id tie-break; top-k is
+    * TakeOrderedAndProject, no window). `refineFrom` re-scores the
+    * bounded `rerank` shortlist exactly against a caller-provided
+    * raw-vector frame (the refine raw read is the CALLER's trade —
+    * an index probe alone stays all-compressed).
+    */
+  def pqIndexProbe(spark: SparkSession, path: String, query: Seq[Double],
+      k: Int = 5, rerank: Int = 0, refineFrom: Option[DataFrame] = None,
+      excludeId: Option[Long] = None): DataFrame = {
+    val books = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = books.map(_._1).max + 1
+    val ksub = books.map(_._2).max + 1
+    val dsub = query.length / m
+    def tables(f: (Array[Double], Array[Double]) => Double): Seq[Seq[Double]] =
+      (0 until m).map { s =>
+        val qsub = query.slice(s * dsub, (s + 1) * dsub).toArray
+        val byCode = books.collect { case (ss, i, c) if ss == s =>
+          (i, f(qsub, c)) }.toMap
+        (0 until ksub).map(i => byCode.getOrElse(i, 0.0))
+      }
+    val dt = typedLit(tables((q, c) => c.indices.map(d => q(d) * c(d)).sum))
+    val cn = typedLit(tables((_, c) => c.map(x => x * x).sum))
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val terms = (0 until m).map { s =>
+      val c = element_at(col("codes"), s + 1) + 1
+      (element_at(element_at(dt, s + 1), c),
+        element_at(element_at(cn, s + 1), c))
+    }
+    val base = spark.read.parquet(s"$path/codes")
+    val scored = excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
+      .select(col("vec_id").as("neighbor_id"),
+        round(terms.map(_._1).reduce(_ + _) /
+          (lit(qn) * sqrt(terms.map(_._2).reduce(_ + _))), 6).as("adc_cos"))
+    val short = scored
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+      .limit(math.max(k, rerank))
+    refineFrom match {
+      case None => short.limit(k)
+      case Some(raw) =>
+        val q = typedLit(query)
+        raw.select(col("vec_id").as("neighbor_id"), col("embedding"))
+          .join(broadcast(short.select(col("neighbor_id"))),
+            Seq("neighbor_id"))
+          .select(col("neighbor_id"),
+            round(Vectors.cosine(col("embedding"), q), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id")).limit(k)
+    }
+  }
+
   private def assignToNearest(e: DataFrame,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
     // argmax cosine against each (constant) centroid via native dot;

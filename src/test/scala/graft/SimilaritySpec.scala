@@ -157,6 +157,44 @@ class SimilaritySpec extends GraftSpecBase {
     assert(r >= 0.85, s"PQ recall@10 = $r below the 0.85 floor")
   }
 
+  test("PQ index: codes-only probe matches the in-memory ADC lane, " +
+      "refine re-ranks exactly") {
+    initLog()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    Similarity.writePqIndex(e, dir, m = 16, ksub = 32)
+    val v0 = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    // deterministic training (hash-seeded) ⇒ a fresh in-memory train
+    // on the same corpus rebuilds the SAME codebooks, so the persisted
+    // probe must reproduce annPqSearch's pure-ADC ranking AND scores
+    val probe = Similarity.pqIndexProbe(spark, dir, v0, k = 10,
+      excludeId = Some(0L)).collect()
+    val mem = Similarity.annPqSearch(e, nQueries = 1, k = 10, m = 16,
+        ksub = 32, rerank = 0, dims0 = 64)
+      .filter(col("query_id") === 0L).orderBy(col("rank")).collect()
+    assert(probe.map(_.getLong(0)).toSeq ==
+      mem.map(_.getAs[Long]("neighbor_id")).toSeq)
+    assert(probe.map(_.getDouble(1)).toSeq ==
+      mem.map(_.getAs[Double]("adc_cos")).toSeq)
+    // refine against the raw corpus: exact cosines, descending, and
+    // the top-1 of a 50-wide shortlist must tie-or-beat pure ADC's
+    // top pick under the TRUE metric
+    val refined = Similarity.pqIndexProbe(spark, dir, v0, k = 5,
+      rerank = 50, refineFrom = Some(e), excludeId = Some(0L)).collect()
+    assert(refined.length == 5)
+    val cos = refined.map(_.getDouble(1)).toSeq
+    assert(cos == cos.sorted.reverse)
+    def trueCos(id: Long): Double = {
+      val v = e.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val d = v.indices.map(i => v(i) * v0(i)).sum
+      d / (math.sqrt(v.map(x => x * x).sum) *
+        math.sqrt(v0.map(x => x * x).sum))
+    }
+    assert(cos.head >= trueCos(probe.head.getLong(0)) - 1e-6)
+  }
+
   test("PQ pure-ADC ranking beats chance and refine only improves it") {
     initLog()
     val e = graft.sources.Tables.embeddings(spark, sf)
