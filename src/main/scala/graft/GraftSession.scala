@@ -39,13 +39,19 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
 
   /** Local session for tests/tools: `cores` threads, shuffle
-    * partitions = cores, no UI.
+    * partitions = cores (override with SPARK_GRAFT_SHUFFLE_PARTITIONS
+    * for scale experiments — at 100×+ data a fixed 32 means each
+    * partition carries 100× the rows, and wedge-/agg-heavy shuffles
+    * start spilling or OOM-ing per task; raising partitions trades
+    * extra waves for bounded per-task state, exactly what a cluster
+    * deploy does by sizing partitions to data, not cores), no UI.
     */
   def local(cores: Int, appName: String = "graft"): SparkSession =
     builder()
       .appName(appName)
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

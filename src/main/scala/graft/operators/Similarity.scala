@@ -507,6 +507,36 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  /** Append new vectors to a persisted [[writeIvfIndex]] index
+    * WITHOUT retraining: assign against the existing (bounded)
+    * centroid table and append into the list partitions — pure
+    * map-side, the steady-state ingest path (the LSH twin is
+    * [[appendToLshIndex]]). Centroids drift as the corpus grows;
+    * re-train on a rebuild cadence, not per batch.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, path: String): Unit = {
+    val cents = newVectors.sparkSession.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    assignToNearest(newVectors, cents)
+      .write.mode("append").partitionBy("list").parquet(s"$path/corpus")
+  }
+
+  /** Append new vectors to a persisted [[writePqIndex]] index WITHOUT
+    * retraining: encode against the existing codebooks (pure map —
+    * one PqArgmin per subspace) and append to the codes table.
+    * Codebook drift accumulates distortion as the corpus distribution
+    * moves; `pqCalibration` on a sample is the rebuild trigger.
+    */
+  def appendToPqIndex(newVectors: DataFrame, path: String,
+      dims0: Int = -1): Unit = {
+    val books = newVectors.sparkSession.read.parquet(s"$path/codebooks")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    pqEncode(newVectors, books, dims0)
+      .select(col("vec_id"), col("codes"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** ADC top-k probe against a persisted [[writePqIndex]] index: load
     * the bounded codebook table, build the query's m×ksub lookup
     * tables driver-side, scan ONLY the codes table — the raw corpus

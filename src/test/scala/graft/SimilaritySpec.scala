@@ -195,6 +195,34 @@ class SimilaritySpec extends GraftSpecBase {
     assert(cos.head >= trueCos(probe.head.getLong(0)) - 1e-6)
   }
 
+  test("IVF/PQ index append: new vectors become findable without retrain") {
+    initLog()
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val v0 = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val nv = v0.clone(); nv(0) = nv(0) + 0.01f
+    val newDf = Seq((999999L, nv.toSeq)).toDF("vec_id", "embedding")
+    // IVF: the near-dup of vec 0 assigns to vec 0's list, so probing
+    // with vec 0's embedding must surface it after the append
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_ivfapp").toString
+    Similarity.writeIvfIndex(e, ivfDir)
+    Similarity.appendToIvfIndex(newDf, ivfDir)
+    val ivfGot = Similarity.ivfIndexProbe(spark, ivfDir,
+        v0.map(_.toDouble).toSeq, k = 3, excludeId = Some(0L))
+      .collect().map(_.getLong(0))
+    assert(ivfGot.contains(999999L), ivfGot.mkString(","))
+    // PQ: near-identical vectors share codes (same nearest centroid
+    // per subspace), so ADC ranks the appended near-dup at the top
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_pqapp").toString
+    Similarity.writePqIndex(e, pqDir, m = 16, ksub = 32)
+    Similarity.appendToPqIndex(newDf, pqDir)
+    val pqGot = Similarity.pqIndexProbe(spark, pqDir,
+        v0.map(_.toDouble).toSeq, k = 3, excludeId = Some(0L))
+      .collect().map(_.getLong(0))
+    assert(pqGot.contains(999999L), pqGot.mkString(","))
+  }
+
   test("PQ pure-ADC ranking beats chance and refine only improves it") {
     initLog()
     val e = graft.sources.Tables.embeddings(spark, sf)
