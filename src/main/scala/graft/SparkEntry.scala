@@ -83,6 +83,10 @@ object SparkEntry {
     // production default is the xxhash64/64-bit lane (spec-tested)
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairsOracle(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    // SemDeDup-shaped cluster-then-prune (no_oracle: k-means FP in the
+    // cluster assignment); the hard signal is the deterministic
+    // survivor count + planted-cluster semantics spec
+    "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(s, d)),
     // dims0 = 64 is the embeddings-table schema constant (TESTDATA.md):
     // threading it through skips the per-call head() inference job.

@@ -485,6 +485,60 @@ object Similarity {
     }
   }
 
+  /** Semantic deduplication (the SemDeDup shape — Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster embeddings with the IVF coarse
+    * quantizer, then drop within-cluster semantic duplicates — any
+    * vector with a cosine-≥-tau neighbor of SMALLER id in its cluster
+    * (the dedup_exact keep-first convention generalized; one pass, no
+    * iteration — on a τ-chain a~b~c this drops b AND c, the
+    * all-but-one-per-group behavior the paper's greedy also
+    * converges to at high τ). Returns the SURVIVORS with their
+    * cluster id.
+    *
+    * Differs from [[embeddingNearDupPairs]] in kind, not degree: the
+    * near-dup operators find PAIRS exactly (quadratic work, however
+    * distributed); semantic dedup PRUNES, and accepts missing the
+    * rare cross-cluster twin (the paper's own trade) to make the
+    * quadratic per-cluster only — O(Σ|cluster|²) ≪ n² with clusters
+    * sized by `nlist` ≈ n/target_cluster_size at scale. The
+    * within-cluster compare is an equi-join on the cluster key,
+    * repartitioned by cluster for split-independent parallelism (the
+    * dedup_embedding lesson); cosine rides the native dot.
+    * Approximate by construction (cluster assignment carries k-means
+    * FP) → no_oracle driver lane; semantics spec'd on planted
+    * clusters.
+    */
+  def semanticDedup(e: DataFrame, tau: Double = 0.9, nlist: Int = 16,
+      dims0: Int = -1): DataFrame = {
+    val cents = ivfTrain(e, nlist, dims0 = dims0).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val assigned = assignToNearest(Par.ensure(e), cents)
+      .select(col("vec_id"), col("embedding"), col("list"),
+        Vectors.norm2(col("embedding")).as("nrm"))
+    val left = assigned.select(col("list"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .repartition(col("list"))
+    val dropped = left.join(assigned.select(col("list"),
+          col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("nrm").as("nb")),
+        Seq("list"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Vectors.dot(col("ea"), col("eb")) /
+        (col("na") * col("nb")), 6) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("list"))
+  }
+
+  /** Driver contract `dedup_semantic`: survivors of semantic dedup
+    * over the embeddings table at the corpus's near-dup tau (0.45 —
+    * the same threshold dedup_embedding finds 14 pairs at, so the
+    * prune provably bites at driver scale).
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(spark, dir), tau = 0.45)
+
   /** Persist a PQ index: the corpus as m small codes per vector — the
     * COMPRESSED form (raw embeddings are NOT stored; m=16/ksub=32
     * stores 16 ints vs 64 floats, and a cluster deployment would

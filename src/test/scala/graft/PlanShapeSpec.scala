@@ -157,6 +157,31 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(got.nonEmpty && got.forall(_.getLong(0) != 1L))
   }
 
+  test("persisted PQ index probe reads ONLY the compressed codes table") {
+    initLog()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidxp").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    Similarity.writePqIndex(emb, dir, m = 8, ksub = 16)
+    val query = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    val probe = Similarity.pqIndexProbe(spark, dir, query,
+      k = 5, excludeId = Some(0L))
+    // the probe's ONLY file scan is the codes table — neither the
+    // codebooks (driver-loaded, bounded) nor any raw-embedding file
+    // appears in the distributed plan; every scanned byte is
+    // compressed codes. This is the PQ index's storage thesis as a
+    // plan property.
+    val scans = allNodes(plan(probe)).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, names(probe).mkString(","))
+    val paths = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(paths.forall(_.contains("/codes")), paths.mkString(","))
+    // and no embedding column survives into any scan's schema
+    assert(scans.forall(!_.schema.fieldNames.contains("embedding")))
+    val got = probe.collect()
+    assert(got.length == 5 && got.forall(_.getLong(0) != 0L))
+  }
+
   test("lateral top-2 decorrelates to a window rank, not a per-row probe") {
     initLog()
     val ns = names(BatchQueries.topOrdersLateral(spark, sf))

@@ -195,6 +195,29 @@ class SimilaritySpec extends GraftSpecBase {
     assert(cos.head >= trueCos(probe.head.getLong(0)) - 1e-6)
   }
 
+  test("semanticDedup: planted near-identicals pruned keep-first, " +
+      "distinct directions survive") {
+    initLog()
+    import spark.implicits._
+    // three tight groups along distinct axes + one lone vector; tau
+    // high enough that only within-group cosines qualify
+    def jig(base: Array[Float], i: Int): Seq[Float] = {
+      val v = base.clone(); v(3) = v(3) + 0.001f * i; v.toSeq
+    }
+    val ex = Array(1f, 0f, 0f, 0f)
+    val ey = Array(0f, 1f, 0f, 0f)
+    val ez = Array(0f, 0f, 1f, 0f)
+    val d = (Seq.tabulate(3)(i => (10L + i, jig(ex, i))) ++
+      Seq.tabulate(3)(i => (20L + i, jig(ey, i))) ++
+      Seq((30L, ez.toSeq))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .semanticDedup(d, tau = 0.99, nlist = 3, dims0 = 4)
+      .collect().map(_.getLong(0)).toSet
+    // keep-first: the smallest id of each group survives; the lone
+    // direction is untouched
+    assert(out == Set(10L, 20L, 30L), out.mkString(","))
+  }
+
   test("IVF/PQ index append: new vectors become findable without retrain") {
     initLog()
     import spark.implicits._
