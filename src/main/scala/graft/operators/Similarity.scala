@@ -645,17 +645,31 @@ object Similarity {
     }
   }
 
+  /** argmax cosine against the (constant) centroid set via the native
+    * [[graft.functions.PqArgmin]] over NORMALIZED centroids: with
+    * ĉ = c/‖c‖ the expression's ‖ĉ‖² − 2·x·ĉ = 1 − 2·x·ĉ, whose
+    * argmin is the cosine argmax (‖x‖ is constant per row). The r8
+    * greatest-over-structs form generated one struct term per
+    * centroid — fine at nlist=16, but a 100 TB IVF wants nlist in the
+    * thousands (≈ n/target_cluster_size), where it would blow
+    * janino's method limit exactly like the PQ codebooks did; the
+    * native form's bytecode is constant in nlist. Ties break to the
+    * LOWER list id (the struct form broke to higher — an arbitrary
+    * convention either way, changed r9 with the rewrite).
+    * The embedding cast handles float corpora; centroids are always
+    * doubles.
+    */
   private def assignToNearest(e: DataFrame,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
-    // argmax cosine against each (constant) centroid via native dot;
-    // struct-max gives a deterministic argmin with id tie-break
-    val scored = centroids.map { case (i, c) =>
-      val cl = typedLit(c.toSeq)
-      val norm = math.sqrt(c.map(x => x * x).sum)
-      struct((Vectors.dot(col("embedding"), cl) / norm).as("s"),
-        lit(i).as("list"))
+    val maxList = centroids.map(_._1).max + 1
+    val cube = Array.fill(1)(Array.ofDim[Array[Double]](maxList))
+    centroids.foreach { case (i, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      cube(0)(i) = if (n == 0) c else c.map(_ / n)
     }
-    e.withColumn("list", greatest(scored.toIndexedSeq: _*).getField("list"))
+    e.withColumn("list",
+      pqArgminCol(lit(0), col("embedding").cast("array<double>"), cube)
+        .getField("code"))
   }
 
   /** Persist an IVF index: the corpus PARTITIONED BY coarse-quantizer

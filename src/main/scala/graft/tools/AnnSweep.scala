@@ -16,6 +16,22 @@ object AnnSweep {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus, "graft-ann-sweep")
     spark.sparkContext.setLogLevel("ERROR")
+    // semdedup mode: time semanticDedup at a given nlist (the knob
+    // that must scale ≈ n/target_cluster_size — this measures it)
+    if (args.lift(1).contains("semdedup")) {
+      val nlist = args.lift(2).map(_.toInt).getOrElse(16)
+      val n = args.lift(3).map(_.toInt).getOrElse(2)
+      val e = Tables.embeddings(spark, dir)
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        Similarity.semanticDedup(e, tau = 0.45, nlist = nlist, dims0 = 64)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SD nlist=$nlist%5d " +
+        times.map(t => f"$t%.3f").mkString(" ") + f"  min=${times.min}%.3f")
+      spark.stop(); return
+    }
     val e = Tables.embeddings(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = Similarity.annBruteForce(e, nQueries = 10, k = 10)
