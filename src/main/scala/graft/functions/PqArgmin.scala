@@ -33,9 +33,13 @@ object PqAlgs {
           d += 1
         }
         val dist = c2 - 2.0 * dot
-        if (dist < bestD || (dist == bestD && ci < bestC)) {
-          bestD = dist; bestC = ci
-        }
+        // first non-null code seeds the best unconditionally: a NaN
+        // distance (NaN component in x) must still yield a VALID code
+        // — the sentinel must never escape as code -1 (downstream
+        // element_at(code+1) would throw, and a persisted index would
+        // grow a phantom list). Ties keep the first (lowest) code via
+        // the strict <, matching least() over (d, code) structs.
+        if (bestC < 0 || dist < bestD) { bestD = dist; bestC = ci }
       }
       ci += 1
     }

@@ -516,6 +516,11 @@ object Similarity {
     val assigned = assignToNearest(Par.ensure(e), cents)
       .select(col("vec_id"), col("embedding"), col("list"),
         Vectors.norm2(col("embedding")).as("nrm"))
+    // the survivor set derives from the SAME repartitioned subtree
+    // that feeds the pair join's left side, so its exchange is
+    // planned once and reused (ReusedExchange) — the assignment
+    // lineage (scan + argmin + norm) runs twice total (left subtree +
+    // right side), not three times
     val left = assigned.select(col("list"), col("vec_id").as("id_a"),
         col("embedding").as("ea"), col("nrm").as("na"))
       .repartition(col("list"))
@@ -527,8 +532,8 @@ object Similarity {
       .filter(round(Vectors.dot(col("ea"), col("eb")) /
         (col("na") * col("nb")), 6) >= tau)
       .select(col("id_b").as("vec_id")).distinct()
-    assigned.join(dropped, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("list"))
+    left.select(col("id_a").as("vec_id"), col("list"))
+      .join(dropped, Seq("vec_id"), "left_anti")
   }
 
   /** Driver contract `dedup_semantic`: survivors of semantic dedup
@@ -569,9 +574,17 @@ object Similarity {
     * re-train on a rebuild cadence, not per batch.
     */
   def appendToIvfIndex(newVectors: DataFrame, path: String): Unit = {
-    val cents = newVectors.sparkSession.read.parquet(s"$path/centroids")
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // align to the persisted corpus's schema: parquet readers infer
+    // from an arbitrary footer, so appending a narrower frame would
+    // make later reads listing-order-dependent; a caller missing a
+    // persisted column fails HERE with a resolvable message instead
+    val corpusCols = spark.read.parquet(s"$path/corpus")
+      .schema.fieldNames.toIndexedSeq
     assignToNearest(newVectors, cents)
+      .select(corpusCols.map(col): _*)
       .write.mode("append").partitionBy("list").parquet(s"$path/corpus")
   }
 
@@ -738,16 +751,27 @@ object Similarity {
     val corpus = assignToNearest(e, centroids)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("list"))
-    // query probes: top-nprobe lists by centroid similarity
+    // query probes: top-nprobe lists by centroid similarity. Sorting
+    // ascending on (−s, list) makes score ties break to the LOWER
+    // list — the same side assignToNearest's PqArgmin takes — so a
+    // query's own list is always among its probes even when two
+    // centroids tie (duplicate centroids from converged seeds; the
+    // r9 assignment rewrite flipped its tie-break low, and a
+    // high-breaking probe side could leave the query's list unprobed
+    // at the nprobe cut). NOTE this per-row nlist-term expression is
+    // bounded by nQueries rows and stays fine at driver scale, but at
+    // the thousands-of-lists a 100 TB corpus wants, probe selection
+    // belongs driver-side against the bounded centroid table — which
+    // is exactly what the persisted-index path (ivfIndexProbe) does.
     val probeSets = centroids.map { case (i, c) =>
       val cl = typedLit(c.toSeq)
       val norm = math.sqrt(c.map(x => x * x).sum)
-      struct((Vectors.dot(col("embedding"), cl) / norm).as("s"),
+      struct((-Vectors.dot(col("embedding"), cl) / norm).as("s"),
         lit(i).as("list"))
     }
     val probes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(slice(reverse(array_sort(array(probeSets.toIndexedSeq: _*))), 1, nprobe)
+        explode(slice(array_sort(array(probeSets.toIndexedSeq: _*)), 1, nprobe)
           .getField("list")).as("list"))
     val scored = broadcast(probes).join(corpus,
         Seq("list")).filter(col("neighbor_id") =!= col("query_id"))

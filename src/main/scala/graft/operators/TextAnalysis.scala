@@ -133,9 +133,13 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("h1"), col("h2"),
         col("cand_doc"), col("cand_pos")).limit(k)
       .agg(min(col("df")).as("__t"))
+    // survivors are USUALLY ~k rows but a df plateau at the threshold
+    // can be wide — don't force the recovery join's strategy (AQE
+    // broadcasts the common case; the plateau degrades to a shuffle
+    // join instead of a driver OOM). Same contract as collocations.
     val cand = counts.join(broadcast(thresh), col("df") >= col("__t"))
       .select(col("df"), col("cand_doc"), col("cand_pos"))
-    docs.join(broadcast(cand), col("doc_id") === col("cand_doc"))
+    docs.join(cand, col("doc_id") === col("cand_doc"))
       .select(
         array_join(slice(split(col("text"), " "), col("cand_pos") + 1, lit(n)),
           " ").as("gram"),
@@ -527,14 +531,20 @@ object TextAnalysis {
           .as("lift"),
         col("cand_doc"), col("cand_pos"))
     // the k-th largest lift VALUE is independent of any tie-break, so
-    // survivors (lift >= it) ⊇ the true top-k; text recovery touches
-    // only this bounded set
+    // survivors (lift >= it) ⊇ the true top-k. The survivor set is
+    // USUALLY ~k rows, but a lift plateau at the threshold can be
+    // arbitrarily wide (pairs with identical count profiles — e.g.
+    // minCount-occurrence pairs of pair-only constituents — share one
+    // rounded lift), so the recovery join must NOT force a driver
+    // broadcast: leave the strategy to the planner (AQE broadcasts
+    // the ~k-row common case, shuffles the pathological plateau) and
+    // let TakeOrderedAndProject cut the final k.
     val thresh = scored
       .orderBy(col("lift").desc, col("cand_doc"), col("cand_pos")).limit(k)
       .agg(min(col("lift")).as("__t"))
     val cand = scored.join(broadcast(thresh), col("lift") >= col("__t"))
       .select(col("n_pair"), col("lift"), col("cand_doc"), col("cand_pos"))
-    docs.join(broadcast(cand), col("doc_id") === col("cand_doc"))
+    docs.join(cand, col("doc_id") === col("cand_doc"))
       .select(
         array_join(slice(split(col("text"), " "), col("cand_pos") + 1,
           lit(2)), " ").as("gram"),

