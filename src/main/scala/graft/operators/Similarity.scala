@@ -330,6 +330,42 @@ object Similarity {
       expression(sub.cast("int")), expression(xm), cube))
   }
 
+  /** Dense per-(sub, code) value table over a codebook — the shared
+    * shape of the ADC dot/norm lookup tables (codes a codebook never
+    * trained → 0.0). `f` sees the subspace index for query slicing.
+    */
+  private def bookTable(books: Array[(Int, Int, Array[Double])], m: Int,
+      ksub: Int)(f: (Int, Array[Double]) => Double): Seq[Seq[Double]] =
+    (0 until m).map { s =>
+      val byCode = books.collect { case (ss, i, c) if ss == s =>
+        (i, f(s, c)) }.toMap
+      (0 until ksub).map(i => byCode.getOrElse(i, 0.0))
+    }
+
+  /** dt[s][q_sub·c] per-query table, shared by the in-memory and
+    * persisted ADC lanes — dots accumulate left-to-right like
+    * Vectors.dot so both lanes score bit-identically.
+    */
+  private def dotTable(books: Array[(Int, Int, Array[Double])], m: Int,
+      ksub: Int, dsub: Int, q: IndexedSeq[Double]): Seq[Seq[Double]] =
+    bookTable(books, m, ksub) { (s, c) =>
+      val qsub = q.slice(s * dsub, (s + 1) * dsub)
+      c.indices.map(d => qsub(d) * c(d)).sum
+    }
+
+  /** (Σ_s dt[s][code_s], Σ_s cn[s][code_s]) lookup sums over a
+    * `codes` column — ADC's numerator and squared-norm accumulator,
+    * m element_at lookups each.
+    */
+  private def adcSums(dt: Column, cn: Column, m: Int): (Column, Column) = {
+    val terms = (0 until m).map { s =>
+      val c = element_at(col("codes"), s + 1) + 1
+      (element_at(element_at(dt, s + 1), c),
+        element_at(element_at(cn, s + 1), c))
+    }
+    (terms.map(_._1).reduce(_ + _), terms.map(_._2).reduce(_ + _))
+  }
+
   /** Encode the corpus against trained codebooks: per vector the m
     * subspace codes plus the exact L2 reconstruction distortion
     * (Σ_sub ||x_sub − c_code||²) — the number that says whether the
@@ -420,11 +456,7 @@ object Similarity {
     val codes = pqEncode(e, books, dims0 = dims)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     // code-norm table cn[s][i] = ||c_{s,i}||² — query-independent
-    val cn: Seq[Seq[Double]] = (0 until m).map { s =>
-      val byCode = books.collect { case (ss, i, c) if ss == s =>
-        (i, c.map(x => x * x).sum) }.toMap
-      (0 until ksub).map(i => byCode.getOrElse(i, 0.0))
-    }
+    val cn = bookTable(books, m, ksub)((_, c) => c.map(x => x * x).sum)
     val qs = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
@@ -432,35 +464,24 @@ object Similarity {
       .sortBy(_._1)
     // per-query dot tables dt[s][i] = q_sub · c_{s,i}
     val qRows = qs.toSeq.map { case (qid, q) =>
-      val dt: Seq[Seq[Double]] = (0 until m).map { s =>
-        val qsub = q.slice(s * dsub, (s + 1) * dsub)
-        val byCode = books.collect { case (ss, i, c) if ss == s =>
-          (i, c.indices.map(d => qsub(d) * c(d)).sum) }.toMap
-        (0 until ksub).map(i => byCode.getOrElse(i, 0.0))
-      }
-      (qid, dt, math.sqrt(q.map(x => x * x).sum))
+      (qid, dotTable(books, m, ksub, dsub, q.toIndexedSeq),
+        math.sqrt(q.map(x => x * x).sum))
     }
     val queries = broadcast(e.sparkSession.createDataFrame(qRows)
       .toDF("query_id", "dt", "qn"))
-    val cnl = typedLit(cn)
-    val terms = (0 until m).map { s =>
-      val c = element_at(col("codes"), s + 1) + 1
-      (element_at(element_at(col("dt"), s + 1), c),
-        element_at(element_at(cnl, s + 1), c))
-    }
+    val (num, den) = adcSums(col("dt"), typedLit(cn), m)
     val scored = codes.join(queries, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(terms.map(_._1).reduce(_ + _) /
-          (col("qn") * sqrt(terms.map(_._2).reduce(_ + _))), 6).as("adc_cos"))
+        round(num / (col("qn") * sqrt(den)), 6).as("adc_cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_cos").desc, col("neighbor_id"))
     val adcTopN = scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= math.max(k, rerank))
     if (rerank <= 0)
-      adcTopN.filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          col("adc_cos"))
+      // adcTopN is already cut at max(k, rerank) = k here
+      adcTopN.select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc_cos"))
     else {
       // exact refine: nQueries×rerank shortlist rows join back to the
       // corpus (broadcast — driver-bounded by construction) and the
@@ -622,26 +643,15 @@ object Similarity {
     val m = books.map(_._1).max + 1
     val ksub = books.map(_._2).max + 1
     val dsub = query.length / m
-    def tables(f: (Array[Double], Array[Double]) => Double): Seq[Seq[Double]] =
-      (0 until m).map { s =>
-        val qsub = query.slice(s * dsub, (s + 1) * dsub).toArray
-        val byCode = books.collect { case (ss, i, c) if ss == s =>
-          (i, f(qsub, c)) }.toMap
-        (0 until ksub).map(i => byCode.getOrElse(i, 0.0))
-      }
-    val dt = typedLit(tables((q, c) => c.indices.map(d => q(d) * c(d)).sum))
-    val cn = typedLit(tables((_, c) => c.map(x => x * x).sum))
+    val dt = typedLit(dotTable(books, m, ksub, dsub, query.toIndexedSeq))
+    val cn = typedLit(bookTable(books, m, ksub)((_, c) =>
+      c.map(x => x * x).sum))
     val qn = math.sqrt(query.map(x => x * x).sum)
-    val terms = (0 until m).map { s =>
-      val c = element_at(col("codes"), s + 1) + 1
-      (element_at(element_at(dt, s + 1), c),
-        element_at(element_at(cn, s + 1), c))
-    }
+    val (num, den) = adcSums(dt, cn, m)
     val base = spark.read.parquet(s"$path/codes")
     val scored = excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
       .select(col("vec_id").as("neighbor_id"),
-        round(terms.map(_._1).reduce(_ + _) /
-          (lit(qn) * sqrt(terms.map(_._2).reduce(_ + _))), 6).as("adc_cos"))
+        round(num / (lit(qn) * sqrt(den)), 6).as("adc_cos"))
     val short = scored
       .orderBy(col("adc_cos").desc, col("neighbor_id"))
       .limit(math.max(k, rerank))
