@@ -182,6 +182,22 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(got.length == 5 && got.forall(_.getLong(0) != 0L))
   }
 
+  test("semantic dedup: survivor branch reuses the pair join's " +
+      "repartitioned assignment exchange") {
+    initLog()
+    val df = Similarity.semanticDedup(
+      graft.sources.Tables.embeddings(spark, sf), tau = 0.45, dims0 = 64)
+    df.collect()
+    // the anti-join's survivor side and the pair join's left side are
+    // the SAME repartition(list) subtree — one exchange, reused; if
+    // this breaks, the assignment lineage (scan + argmin + norm) runs
+    // a third time
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    assert(countNodes(plan(df), n => n.isInstanceOf[ReusedExchangeExec] ||
+      n.nodeName.contains("ReusedExchange")) >= 1,
+      names(df).mkString(","))
+  }
+
   test("lateral top-2 decorrelates to a window rank, not a per-row probe") {
     initLog()
     val ns = names(BatchQueries.topOrdersLateral(spark, sf))
