@@ -23,19 +23,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads
-    * via the nanosAsLong legacy conf (as a raw long). Normalize to a
-    * proper TimestampType (µs precision, floor like every µs engine)
-    * with exact integer division — `/` on longs would go through
-    * double and lose precision above 2^53.
+  /** `events.ts` physical type varies by testdata generation:
+    * TIMESTAMP(NANOS) (Spark only reads it via the nanosAsLong
+    * legacy conf, as a raw long) or TIMESTAMP(MICROS) (which a
+    * session with `parquet.inferTimestampNTZ` at its Spark-4 default
+    * reads as TIMESTAMP_NTZ — breaking every `unix_micros`/window
+    * consumer downstream). Normalize BOTH to a proper session-local
+    * TimestampType here, so callers — including a bare driver
+    * session with none of GraftSession's configs — always see one
+    * type: nanos → exact integer division (`/` on longs would go
+    * through double and lose precision above 2^53), NTZ → cast
+    * (wall-clock reinterpreted in the session zone, UTC under
+    * GraftSession — the same instant semantics the LTZ read gives).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
