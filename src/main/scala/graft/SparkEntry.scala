@@ -87,6 +87,10 @@ object SparkEntry {
     // cluster assignment); the hard signal is the deterministic
     // survivor count + planted-cluster semantics spec
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    // planted-exact-copy catch rate as ONE deterministic row — the
+    // hard per-round signal for the no_oracle SemDeDup lane (the
+    // ann_*_recall pattern; catch_rate is 1.0 by construction)
+    "dedup_semantic_effect" -> ((s, d) => Similarity.semanticDedupEffect(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(s, d)),
     // dims0 = 64 is the embeddings-table schema constant (TESTDATA.md):
     // threading it through skips the per-call head() inference job.
@@ -132,6 +136,9 @@ object SparkEntry {
     "text_top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(s, d)),
     "text_fluency" -> ((s, d) =>
       TextAnalysis.fluencyScores(graft.sources.Tables.documents(s, d))),
+    // planted-gibberish margin as ONE summary row — the hard
+    // per-round signal for the no_oracle fluency lane
+    "text_fluency_margin" -> ((s, d) => TextAnalysis.fluencyMargin(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionScores(s, d)),
     "text_normalize" -> ((s, d) => TextAnalysis.normalizeDocs(s, d)),

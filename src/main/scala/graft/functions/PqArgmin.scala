@@ -37,9 +37,17 @@ object PqAlgs {
         // distance (NaN component in x) must still yield a VALID code
         // — the sentinel must never escape as code -1 (downstream
         // element_at(code+1) would throw, and a persisted index would
-        // grow a phantom list). Ties keep the first (lowest) code via
-        // the strict <, matching least() over (d, code) structs.
-        if (bestC < 0 || dist < bestD) { bestD = dist; bestC = ci }
+        // grow a phantom list). NaN orders LARGEST, matching least()
+        // over (d, code) structs (Spark's double ordering puts NaN
+        // above every value): a NaN-seeded best is replaced by the
+        // first FINITE distance (strict < alone would have kept code 0
+        // forever, e.g. Inf·0.0 in the first code's dot), a NaN dist
+        // never beats a finite best, and all-NaN keeps the first
+        // (lowest) code — least() returns the same. Finite ties keep
+        // the first code via the strict <.
+        if (bestC < 0 ||
+            (java.lang.Double.isNaN(bestD) && !java.lang.Double.isNaN(dist)) ||
+            dist < bestD) { bestD = dist; bestC = ci }
       }
       ci += 1
     }

@@ -439,16 +439,22 @@ object Similarity {
     * Recall@k then measures P(true top-k ⊆ ADC top-rerank), the
     * number that actually governs a deployed PQ index.
     *
-    * Defaults are the measured driver-scale operating point (r9
-    * sweep, tools/AnnSweep, recall@10 vs exact at sf0.01): pure ADC
-    * tops out at 0.61 on the synthetic near-random vectors (PQ's
-    * worst case — no inter-dim structure to exploit); with the
-    * refine stage m=16/ksub=32/rerank=50 measures 0.92 at 80
-    * bits/vector (m=8/ksub=64/rerank=50: 0.89 at 48 bits). Spec'd
-    * as a floor.
+    * Defaults are the measured driver-scale operating point (r9/r10
+    * sweeps, tools/AnnSweep, recall@10 vs exact at sf0.01): with the
+    * refine stage m=16/ksub=64/rerank=50 measures 1.00 at 96
+    * bits/vector (ksub=32: 0.92 at 80 bits; m=8/ksub=64: 0.89 at 48
+    * bits). Spec'd as a floor. PURE ADC (rerank=0) on the synthetic
+    * near-random vectors — PQ's worst case, no inter-dim structure —
+    * is governed by codebook resolution: 0.61 at the old m=16/
+    * ksub=32, 0.66 at m=16/ksub=64, and ≥0.78 only at m=32 (0.83 at
+    * m=32/ksub=64, 192 bits; [[rotateEmbeddings]] adds ~+0.03-0.05
+    * at m=16 and is ~neutral at m=32 — an isotropic cloud has no
+    * correlated energy for OPQ to spread). The r10 measurement: ADC-
+    * only retrieval at a useful recall needs either ~2.4× the bits or
+    * the refine stage — refine stays the shipped default.
     */
   def annPqSearch(e: DataFrame, nQueries: Int = 10, k: Int = 5,
-      m: Int = 16, ksub: Int = 32, rerank: Int = 50,
+      m: Int = 16, ksub: Int = 64, rerank: Int = 50,
       dims0: Int = -1): DataFrame = {
     val dims = dimsOf(e, dims0)
     val books = pqTrain(e, m, ksub, dims0 = dims)
@@ -506,6 +512,65 @@ object Similarity {
     }
   }
 
+  /** Deterministic random orthonormal rotation of the embedding
+    * column — OPQ-lite (the R-only / random-rotation variant of Ge et
+    * al., "Optimized Product Quantization", CVPR 2013): rotating
+    * before the PQ subspace split spreads correlated energy across
+    * subspaces so per-subspace k-means quantizes better. A rotation
+    * preserves inner products and norms, so ADC rankings computed
+    * against rotated vectors approximate the ORIGINAL cosine ranking
+    * — compose as `annPqSearch(rotateEmbeddings(e), ...)`.
+    *
+    * Q is seeded Gaussian → Gram–Schmidt, built driver-side (dims²
+    * doubles — bounded) and applied as `dims` native dot products
+    * against literal rows: pure map-side, whole-stage codegen, the
+    * corpus never shuffles. java.util.Random's sequence is fixed by
+    * spec, so the matrix — hence every downstream code — is
+    * deterministic across JVMs.
+    *
+    * Measured (tools/AnnSweep, sf0.01, pure-ADC recall@10 vs exact):
+    * on the synthetic near-uniform embeddings rotation lifts coarse
+    * codebooks a little (m=16/ksub=32: 0.54 → 0.57; m=16/ksub=64:
+    * 0.61 → 0.66) and is ~neutral once the codebook is fine
+    * (m=32/ksub=64: 0.83 → 0.85; m=32/ksub=32: 0.78 → 0.77) — an
+    * isotropic cloud has little correlated energy to spread, so the
+    * big lever there is codebook resolution (see the ann_pq
+    * Scaladoc). On real (structured) embeddings the rotation is the
+    * standard cheap pre-step and this helper is the supported path.
+    */
+  def rotateEmbeddings(e: DataFrame, dims0: Int = -1,
+      seed: Int = 7): DataFrame = {
+    val dims = dimsOf(e, dims0)
+    val q = rotationMatrix(dims, seed)
+    val ed = col("embedding").cast("array<double>")
+    e.withColumn("embedding",
+      array(q.toIndexedSeq.map(row => Vectors.dot(ed, typedLit(row.toSeq))): _*))
+  }
+
+  /** dims×dims orthonormal matrix: seeded Gaussian rows, Gram–Schmidt
+    * orthonormalized. Deterministic for a (dims, seed) pair.
+    */
+  private def rotationMatrix(dims: Int, seed: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed.toLong * 0x9E3779B97F4A7C15L + dims)
+    val m = Array.fill(dims, dims)(rnd.nextGaussian())
+    var i = 0
+    while (i < dims) {
+      var j = 0
+      while (j < i) {
+        val d = (0 until dims).map(k => m(i)(k) * m(j)(k)).sum
+        (0 until dims).foreach(k => m(i)(k) -= d * m(j)(k))
+        j += 1
+      }
+      val n = math.sqrt(m(i).map(x => x * x).sum)
+      // a degenerate draw (norm ~ 0 after projection) cannot happen at
+      // fp precision for dims ≪ 2^52, but guard the division anyway
+      require(n > 1e-12, s"rotationMatrix: degenerate basis at row $i")
+      (0 until dims).foreach(k => m(i)(k) /= n)
+      i += 1
+    }
+    m
+  }
+
   /** Semantic deduplication (the SemDeDup shape — Abbas et al.,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", 2023): cluster embeddings with the IVF coarse
@@ -529,10 +594,21 @@ object Similarity {
     * Approximate by construction (cluster assignment carries k-means
     * FP) → no_oracle driver lane; semantics spec'd on planted
     * clusters.
+    *
+    * DEFAULT `nlist <= 0` derives the cluster count from the corpus:
+    * nlist = max(16, ceil(n / targetClusterSize)) via one count-only
+    * job. A FIXED nlist is the measured scale trap (SURVEY §4.5: at
+    * nlist=16 the last decade to 100× runs 24.6× — cluster size grows
+    * with the corpus, so the per-cluster quadratic compounds — while
+    * nlist=256 ≈ n/2000 restores the linear envelope, 114.4 → 20.3 s).
+    * The explicit knob remains for callers that already know n or want
+    * a different cluster-size/recall trade.
     */
-  def semanticDedup(e: DataFrame, tau: Double = 0.9, nlist: Int = 16,
-      dims0: Int = -1): DataFrame = {
-    val cents = ivfTrain(e, nlist, dims0 = dims0).collect()
+  def semanticDedup(e: DataFrame, tau: Double = 0.9, nlist: Int = -1,
+      targetClusterSize: Int = 2000, dims0: Int = -1): DataFrame = {
+    val lists = if (nlist > 0) nlist
+      else derivedNlist(e.count(), targetClusterSize)
+    val cents = ivfTrain(e, lists, dims0 = dims0).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     val assigned = assignToNearest(Par.ensure(e), cents)
       .select(col("vec_id"), col("embedding"), col("list"),
@@ -557,13 +633,59 @@ object Similarity {
       .join(dropped, Seq("vec_id"), "left_anti")
   }
 
+  /** The scale-safe default cluster count: ≈ n/targetClusterSize,
+    * floored at 16 so tiny corpora still train a meaningful
+    * quantizer. Visible for specs and for callers that know n already
+    * and want to skip [[semanticDedup]]'s count-only job by passing
+    * the result as the explicit `nlist`.
+    */
+  def derivedNlist(n: Long, targetClusterSize: Int = 2000): Int =
+    math.max(16, math.ceil(n.toDouble / targetClusterSize).toInt)
+
   /** Driver contract `dedup_semantic`: survivors of semantic dedup
     * over the embeddings table at the corpus's near-dup tau (0.45 —
     * the same threshold dedup_embedding finds 14 pairs at, so the
-    * prune provably bites at driver scale).
+    * prune provably bites at driver scale). dims0 = 64 is the
+    * embeddings-table schema constant — threading it skips the
+    * per-call head() inference job, like every other similarity lane.
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
-    semanticDedup(Tables.embeddings(spark, dir), tau = 0.45)
+    semanticDedup(Tables.embeddings(spark, dir), tau = 0.45, dims0 = 64)
+
+  /** Driver contract `dedup_semantic_effect`: the hard per-round
+    * signal for the `no_oracle` SemDeDup lane (the ann_*_recall
+    * pattern) — plant `nPlanted` EXACT copies of existing vectors
+    * (new ids above any real id), run the dedup at the driver tau,
+    * and report ONE deterministic row: input/survivor/dropped counts
+    * plus the planted-duplicate catch rate. An identical vector gets
+    * an identical cluster assignment (the argmin is a pure function
+    * of the embedding), its cosine to the original is exactly 1, and
+    * its id is larger — so keep-first MUST drop it: catch_rate is
+    * 1.0 by construction, and any regression in assignment, the
+    * pair join, or the anti-join moves the scalar. Rows-checked by
+    * the driver; the 1.0 floor is spec'd (SimilaritySpec).
+    */
+  def semanticDedupEffect(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val nPlanted = 20
+    val planted = e.filter(col("vec_id") < nPlanted)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val all = e.unionByName(planted)
+    val kept = semanticDedup(all, tau = 0.45, dims0 = 64)
+      .select(col("vec_id")).withColumn("__kept", lit(1L))
+    all.select(col("vec_id"))
+      .join(kept, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_input"),
+        sum(coalesce(col("__kept"), lit(0L))).as("n_survivors"),
+        sum(when(col("vec_id") >= 1000000L && col("__kept").isNull, 1L)
+          .otherwise(0L)).as("planted_dropped"))
+      .select(col("n_input"), col("n_survivors"),
+        (col("n_input") - col("n_survivors")).as("n_dropped"),
+        lit(nPlanted.toLong).as("n_planted"), col("planted_dropped"),
+        round(col("planted_dropped").cast("double") / nPlanted, 6)
+          .as("catch_rate"))
+  }
 
   /** Persist a PQ index: the corpus as m small codes per vector — the
     * COMPRESSED form (raw embeddings are NOT stored; m=16/ksub=32
@@ -576,7 +698,7 @@ object Similarity {
     * in memory end-to-end.
     */
   def writePqIndex(e: DataFrame, path: String, m: Int = 16,
-      ksub: Int = 32, iters: Int = 3, dims0: Int = -1): Unit = {
+      ksub: Int = 64, iters: Int = 3, dims0: Int = -1): Unit = {
     val dims = dimsOf(e, dims0)
     val books = pqTrain(e, m, ksub, iters, dims)
     e.sparkSession.createDataFrame(
@@ -598,14 +720,17 @@ object Similarity {
     val spark = newVectors.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    // align to the persisted corpus's schema: parquet readers infer
-    // from an arbitrary footer, so appending a narrower frame would
-    // make later reads listing-order-dependent; a caller missing a
-    // persisted column fails HERE with a resolvable message instead
-    val corpusCols = spark.read.parquet(s"$path/corpus")
-      .schema.fieldNames.toIndexedSeq
+    // align to the persisted corpus's schema — NAMES and TYPES:
+    // parquet readers infer from an arbitrary footer, so appending a
+    // narrower frame would make later reads listing-order-dependent,
+    // and appending the right names at the WRONG types (array<double>
+    // embeddings into a float corpus, a long label) writes mixed-typed
+    // files into the same partitions — reads then fail or flip on
+    // footer order, the exact failure this guard exists to prevent. A
+    // caller missing a persisted column still fails HERE resolvably.
+    val corpusSchema = spark.read.parquet(s"$path/corpus").schema
     assignToNearest(newVectors, cents)
-      .select(corpusCols.map(col): _*)
+      .select(corpusSchema.map(f => col(f.name).cast(f.dataType)): _*)
       .write.mode("append").partitionBy("list").parquet(s"$path/corpus")
   }
 
@@ -617,11 +742,15 @@ object Similarity {
     */
   def appendToPqIndex(newVectors: DataFrame, path: String,
       dims0: Int = -1): Unit = {
-    val books = newVectors.sparkSession.read.parquet(s"$path/codebooks")
+    val spark = newVectors.sparkSession
+    val books = spark.read.parquet(s"$path/codebooks")
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    // same name-AND-type alignment as appendToIvfIndex: an int vec_id
+    // appended to a long-keyed codes table would mix parquet types
+    val codesSchema = spark.read.parquet(s"$path/codes").schema
     pqEncode(newVectors, books, dims0)
-      .select(col("vec_id"), col("codes"))
+      .select(codesSchema.map(f => col(f.name).cast(f.dataType)): _*)
       .write.mode("append").parquet(s"$path/codes")
   }
 
@@ -642,7 +771,14 @@ object Similarity {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = books.map(_._1).max + 1
     val ksub = books.map(_._2).max + 1
-    val dsub = query.length / m
+    // dims come from the INDEX (every stored centroid is one subspace
+    // slice), not from the query: a mis-sized query must fail here
+    // with a resolvable message, not throw IndexOutOfBounds deep in
+    // the dot tables or silently truncate trailing dims
+    val dsub = books.head._3.length
+    require(query.length == m * dsub,
+      s"pqIndexProbe: query has ${query.length} dims but the index at " +
+        s"$path was trained on ${m * dsub} (m=$m subspaces × dsub=$dsub)")
     val dt = typedLit(dotTable(books, m, ksub, dsub, query.toIndexedSeq))
     val cn = typedLit(bookTable(books, m, ksub)((_, c) =>
       c.map(x => x * x).sum))
@@ -747,15 +883,18 @@ object Similarity {
     * Defaults are the measured driver-scale operating point: on the
     * near-uniform synthetic embeddings the coarse quantizer separates
     * weakly, so recall tracks the scanned fraction almost directly —
-    * the r9 sweep (tools/AnnSweep) measured nlist=16/nprobe=4 → 0.55,
-    * nprobe=8 → 0.83 recall@10 at sf0.01. nprobe=8 is the default:
-    * ≥0.8 recall, spec'd as a floor. At real corpus sizes nlist grows
-    * ~√n (the probed FRACTION shrinks as cells localize); the
-    * driver-scale 50% scan is a property of 500 near-random vectors
-    * in 16 cells, not of the operator shape.
+    * the r9/r10 sweeps (tools/AnnSweep) measured nlist=16/nprobe=4 →
+    * 0.55, nprobe=8 → 0.83, nprobe=10 → 0.88, nprobe=12 → 0.92
+    * recall@10 at sf0.01. nprobe=10 is the default: the spec'd 0.8
+    * floor now clears by 0.08 — at nprobe=8 the 0.03 headroom was a
+    * flake risk, since Lloyd means carry partition-order FP that can
+    * flip near-boundary assignments (r9 ADVICE). At real corpus
+    * sizes nlist grows ~√n (the probed FRACTION shrinks as cells
+    * localize); the driver-scale 63% scan is a property of 500
+    * near-random vectors in 16 cells, not of the operator shape.
     */
   def annIvfSearch(e: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 8, dims0: Int = -1): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 10, dims0: Int = -1): DataFrame = {
     val centroids = ivfTrain(e, nlist, dims0 = dims0).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     val corpus = assignToNearest(e, centroids)

@@ -220,10 +220,23 @@ object TextAnalysis {
     * agg builds the profile (dimension-sized, broadcast); scoring is
     * explode → broadcast-join → per-doc mean — one shuffle on doc_id.
     */
-  def fluencyScores(docs: DataFrame, topM: Int = 2000): DataFrame = {
-    val d = Par.ensure(docs)
-    val bg = d.select(col("doc_id"), explode(charBigrams(col("text"))).as("bg"))
-    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+  def fluencyScores(docs: DataFrame, topM: Int = 2000): DataFrame =
+    fluencyScoresAgainst(docs, docs, topM)
+
+  /** Score `docs` under the bigram profile of `corpus` (the default
+    * lane scores a corpus against itself). Separated so the margin
+    * lane can score planted gibberish against the REAL corpus's
+    * profile — a plant must never shift the yardstick it is measured
+    * by (50 planted docs were enough to push their own bigrams into a
+    * driver-scale top-2000 profile and halve the margin).
+    */
+  def fluencyScoresAgainst(docs: DataFrame, corpus: DataFrame,
+      topM: Int = 2000): DataFrame = {
+    val bg = Par.ensure(docs)
+      .select(col("doc_id"), explode(charBigrams(col("text"))).as("bg"))
+    val counts = Par.ensure(corpus)
+      .select(explode(charBigrams(col("text"))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("__total"))
     val profile = counts
       .orderBy(col("n").desc, col("bg")).limit(topM)
@@ -234,6 +247,42 @@ object TextAnalysis {
       .agg(round(avg(
         log(coalesce(col("p"), lit(1e-9)))), 6).as("fluency"),
         count(lit(1)).as("n_bigrams"))
+  }
+
+  /** Driver contract `text_fluency_margin`: the hard per-round signal
+    * for the `no_oracle` fluency lane (the ann_*_recall pattern) —
+    * plant `nPlanted` deterministic GIBBERISH docs (md5 hex of the
+    * doc translated onto a rare-consonant alphabet, so their bigrams
+    * sit far outside the corpus profile), score the union AGAINST THE
+    * REAL corpus's profile, and report ONE row: mean fluency of real
+    * vs planted docs and the margin between them. Real text reuses
+    * top-profile bigrams (mean log-p near the corpus mode); the
+    * planted docs bottom out at the 1e-9 floor (ln ≈ −20.7) — the
+    * margin is large and stable run-to-run even
+    * though the absolute means carry FP sum-order noise (which is why
+    * the base lane has no oracle). Rows-checked by the driver; the
+    * ≥3.0 margin floor is spec'd (TextAnalysisSpec).
+    */
+  def fluencyMargin(spark: SparkSession, dir: String): DataFrame =
+    fluencyMargin(Tables.documents(spark, dir))
+
+  def fluencyMargin(docs: DataFrame, nPlanted: Int = 50): DataFrame = {
+    val planted = docs.filter(col("doc_id") < nPlanted)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        translate(md5(concat(col("doc_id"), col("text"))),
+          "0123456789abcdef", "qxzjvwkfhgbpmcyt").as("text"))
+    val all = docs.select(col("doc_id"), col("text")).unionByName(planted)
+    fluencyScoresAgainst(all, docs)
+      .agg(
+        count(when(col("doc_id") < 1000000L, 1)).as("n_real"),
+        count(when(col("doc_id") >= 1000000L, 1)).as("n_planted"),
+        round(avg(when(col("doc_id") < 1000000L, col("fluency"))), 6)
+          .as("mean_real"),
+        round(avg(when(col("doc_id") >= 1000000L, col("fluency"))), 6)
+          .as("mean_planted"))
+      .select(col("n_real"), col("n_planted"), col("mean_real"),
+        col("mean_planted"),
+        round(col("mean_real") - col("mean_planted"), 6).as("margin"))
   }
 
   def languageId(docs: DataFrame): DataFrame = {

@@ -42,7 +42,7 @@ object AnnSweep {
       Similarity.annRecallSummary(df, exact, k = 10)
         .collect()(0).getAs[Double]("recall")
 
-    for (nlist <- Seq(8, 16, 32); nprobe <- Seq(2, 4, 8)
+    for (nlist <- Seq(8, 16, 32); nprobe <- Seq(2, 4, 8, 10, 12)
          if nprobe < nlist) {
       val r = recall(Similarity.annIvfSearch(e, nQueries = 10, k = 10,
         nlist = nlist, nprobe = nprobe, dims0 = 64))
@@ -52,6 +52,17 @@ object AnnSweep {
       val r = recall(Similarity.annPqSearch(e, nQueries = 10, k = 10,
         m = m, ksub = ksub, rerank = rr, dims0 = 64))
       println(f"PQ  m=$m%2d ksub=$ksub%3d rerank=$rr%3d  recall@10=$r%.3f  bits=${m * (32 - Integer.numberOfLeadingZeros(ksub - 1))}%d")
+    }
+    // pure-ADC levers (r9 VERDICT item 6): OPQ-lite rotation before
+    // the subspace split, vs finer codebooks (larger m / ksub) at
+    // rerank=0 — what lifts ADC-only recall, and at what bit cost
+    val rot = Similarity.rotateEmbeddings(e, dims0 = 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for ((m, ksub) <- Seq((16, 32), (16, 64), (32, 32), (32, 64), (32, 128));
+         src <- Seq("raw" -> e, "rot" -> rot)) {
+      val r = recall(Similarity.annPqSearch(src._2, nQueries = 10, k = 10,
+        m = m, ksub = ksub, rerank = 0, dims0 = 64))
+      println(f"ADC m=$m%2d ksub=$ksub%3d ${src._1}%s  recall@10=$r%.3f  bits=${m * (32 - Integer.numberOfLeadingZeros(ksub - 1))}%d")
     }
     spark.stop()
   }

@@ -57,6 +57,21 @@ class SamplingSpec extends GraftSpecBase {
       s"gibberish ${scores(100L)} not below natural min $naturalMin")
   }
 
+  test("fluencyMargin: planted gibberish sits >= 3 nats below real text") {
+    initLog()
+    // the driver's rows-checked summary lane for the no_oracle
+    // fluency score: the floor is the per-round hard signal (measured
+    // 15.7 at sf0.01 — planted docs bottom out at the 1e-9 profile
+    // floor, ln ≈ −20.7, real text means sit near −5)
+    val row = graft.operators.TextAnalysis.fluencyMargin(spark, sf)
+      .collect()(0)
+    assert(row.getAs[Double]("margin") >= 3.0,
+      s"margin = ${row.getAs[Double]("margin")}")
+    assert(row.getAs[Long]("n_planted") == 50L)
+    assert(row.getAs[Long]("n_real") ==
+      Tables.documents(spark, sf).count())
+  }
+
   test("train/val split partitions every row, rates roughly honored") {
     initLog()
     val split = Sampling.trainValSplit(Tables.documents(spark, sf), "doc_id")
