@@ -10,13 +10,49 @@ object Bench {
     * per-trigger progress (first trigger dropped — it absorbs stream
     * start + state-store init).
     */
-  private def streamBench(spark: org.apache.spark.sql.SparkSession,
-      seconds: Int = 12): Double = {
+  /** Temp dirs holding stream checkpoints/docs are deleted only AFTER
+    * `spark.stop()` (see main): deleting while the session lives races
+    * the async ChecksumCheckpointFileManager future still writing the
+    * checkpoint — the resulting `createAtomic` [error] stack landed in
+    * the BENCH_r09 artifact tail and nearly crowded out the JSON line
+    * the driver parses. stop() + awaitTermination() quiesces the
+    * query; session stop quiesces the file manager; only then is the
+    * delete safe AND silent.
+    */
+  private val deferredTmps =
+    scala.collection.mutable.ArrayBuffer[java.io.File]()
+
+  /** Sleep through `seconds` of micro-batches, read the per-trigger
+    * progress (first trigger dropped — it absorbs stream start +
+    * state-store init), then stop and wait for full termination.
+    * A progress entry may lack triggerExecution — don't NPE into the
+    * caller's blanket catch (which would read as stream failure).
+    */
+  private def measureStream(q: org.apache.spark.sql.streaming.StreamingQuery,
+      seconds: Int): Double = {
+    val rps = try {
+      Thread.sleep(seconds * 1000L)
+      val p = q.recentProgress.drop(1)
+      val rows = p.map(_.numInputRows).sum
+      val ms = p.map(pr => Option(pr.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(0L)).sum
+      if (ms <= 0) 0.0 else rows * 1000.0 / ms
+    } finally {
+      try { q.stop(); q.awaitTermination() } catch { case _: Throwable => () }
+    }
+    rps
+  }
+
+  /** The over-provisioned (3 M rows/s, so micro-batches backlog and
+    * the figure is PIPELINE capacity, not source cadence) synthetic
+    * edit stream both streaming lanes read.
+    */
+  private def rateEdits(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench")
-    val edits = spark.readStream.format("rate")
+    spark.readStream.format("rate")
       .option("rowsPerSecond", 3000000L).option("numPartitions", 8).load()
-      .select(col("timestamp").as("ts"),
+      .select(col("timestamp").as("ts"), col("value"),
         when(pmod(col("value"), lit(10)) < 8, "human")
           .otherwise("bot").as("user_type"),
         when(pmod(col("value"), lit(5)) < 4, "Main Namespace")
@@ -24,24 +60,47 @@ object Bench {
         concat(lit("d"), pmod(col("value"), lit(100))).as("domain"),
         (pmod(col("value"), lit(1000)) * 7).as("new_length"),
         (pmod(col("value"), lit(900)) * 5).as("old_length"))
-    val out = graft.streaming.WikiEditPipeline.windowedEditSize(edits)
+  }
+
+  /** Structured-Streaming throughput of the reference pipeline's twin:
+    * rate source → editDeltas filter/project → 5-min event-time window
+    * agg (update mode) → DocStoreSink chunked/retried writes against
+    * DirDocStore. Returns rows/sec from the per-trigger progress.
+    */
+  private def streamBench(spark: org.apache.spark.sql.SparkSession,
+      seconds: Int = 12): Double = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench")
+    deferredTmps += tmp.toFile
+    val out = graft.streaming.WikiEditPipeline.windowedEditSize(rateEdits(spark))
     val q = graft.streaming.DocStoreSink.start(out,
       graft.streaming.DocStoreSink.DirDocStore(tmp.resolve("docs").toString),
       tmp.resolve("ckpt").toString, flushInterval = "1 second",
       outputMode = "update")
-    try {
-      Thread.sleep(seconds * 1000L)
-      val p = q.recentProgress.drop(1)
-      val rows = p.map(_.numInputRows).sum
-      // a progress entry may lack triggerExecution — don't NPE into
-      // the caller's blanket catch (which would read as stream failure)
-      val ms = p.map(pr => Option(pr.durationMs.get("triggerExecution"))
-        .map(_.longValue).getOrElse(0L)).sum
-      if (ms <= 0) 0.0 else rows * 1000.0 / ms
-    } finally {
-      try q.stop() catch { case _: Throwable => () }
-      deleteRecursively(tmp.toFile)
-    }
+    measureStream(q, seconds)
+  }
+
+  /** STATEFUL streaming throughput (r8 VERDICT item 10): the same rate
+    * source driven through StreamDecay's mapGroupsWithState (3-scalar
+    * managed state per key) — the state-store write path the windowed
+    * lane never exercises. Noop sink (full computation, nothing
+    * written) so the figure is the stateful operator's capacity.
+    */
+  private def streamBenchStateful(spark: org.apache.spark.sql.SparkSession,
+      seconds: Int = 12): Double = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench-st")
+    deferredTmps += tmp.toFile
+    val evs = rateEdits(spark)
+      .select(col("domain").as("event_type"),
+        (lit(1723600000000000L) + col("value") * 1000L).as("t_us"),
+        pmod(col("value"), lit(1000)).as("cents"))
+      .as[graft.streaming.StreamDecay.Ev]
+    val q = graft.streaming.StreamDecay.decayedCounters(evs)
+      .writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    measureStream(q, seconds)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -69,7 +128,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = GraftSession.local(cpus, "graft-bench")
+    // partitions sized to the benched data dir (the §5 rule as
+    // default behavior) — at sf0.1 this is still = cores; at the
+    // 100×/300× scale corpora it is what keeps per-task state bounded
+    val spark = GraftSession.localFor(cpus, sfDir, "graft-bench")
     // ERROR, not WARN: the driver parses the LAST stdout line as JSON,
     // and benign per-task WARNs (e.g. WindowExec on the bins-bounded
     // skyline window) flooded the r7 tail into `parsed: null`. Real
@@ -129,14 +191,27 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum +
       failed.size * 1000.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // one streaming throughput figure next to the batch seconds — the
-    // reference's actual modality is an unbounded stream; skipped in
-    // single-query dev loops
+    // two streaming throughput figures next to the batch seconds — the
+    // reference's actual modality is an unbounded stream; the windowed
+    // lane is the reference pipeline's twin, the stateful lane drives
+    // the mapGroupsWithState state-store path; skipped in single-query
+    // dev loops
     val streamRps =
       if (only.isDefined) 0.0
       else try streamBench(spark) catch { case _: Throwable => -1.0 }
+    val streamRpsStateful =
+      if (only.isDefined) 0.0
+      else try streamBenchStateful(spark) catch { case _: Throwable => -1.0 }
+    // loadavg gate (r9 VERDICT item 8): a contended host inflates
+    // in-suite times 10-40× unevenly (SURVEY §4.5) — when loadavg at
+    // START exceeds the threshold, the artifact says so up-front
+    // ("noisy":true) instead of leaving round-over-round diffs to
+    // manual contention adjudication. START only: once the suite
+    // runs, loadavg measures the bench's own local[N] threads, so an
+    // end sample would flag every healthy run.
+    val noisy = loadavg > 4.0
     def line(qs: String) =
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"stream_rows_per_sec":${fmt(streamRps, 0)},"loadavg":${fmt(loadavg, 2)},"full":"bench_full.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"stream_rows_per_sec":${fmt(streamRps, 0)},"stream_rows_per_sec_stateful":${fmt(streamRpsStateful, 0)},"loadavg":${fmt(loadavg, 2)},"noisy":$noisy,"full":"bench_full.json","sf":"$sfDir"}"""
     // Full map (4-decimal) to the file artifact; headline map
     // (3-decimal) to stdout, with a hard 1600-char guard: should
     // the headline set ever outgrow the tail budget, drop precision
@@ -156,5 +231,9 @@ object Bench {
         .find(_.length <= 1600).get)
     println(stdoutLine)
     spark.stop()
+    // the session (and its async checkpoint file manager) is down —
+    // deleting the stream temp dirs is now safe and silent, and any
+    // surprise would print AFTER the parsed JSON line anyway
+    deferredTmps.foreach(deleteRecursively)
   }
 }

@@ -39,12 +39,9 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
 
   /** Local session for tests/tools: `cores` threads, shuffle
-    * partitions = cores (override with SPARK_GRAFT_SHUFFLE_PARTITIONS
-    * for scale experiments — at 100×+ data a fixed 32 means each
-    * partition carries 100× the rows, and wedge-/agg-heavy shuffles
-    * start spilling or OOM-ing per task; raising partitions trades
-    * extra waves for bounded per-task state, exactly what a cluster
-    * deploy does by sizing partitions to data, not cores), no UI.
+    * partitions = cores (override with SPARK_GRAFT_SHUFFLE_PARTITIONS;
+    * prefer [[localFor]] when the input directory is known — it sizes
+    * partitions to DATA), no UI.
     */
   def local(cores: Int, appName: String = "graft"): SparkSession =
     builder()
@@ -54,4 +51,51 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+
+  /** Local session whose shuffle partitions are sized to the DATA
+    * about to be processed, not just the core count — the §5 scale
+    * rule ("partitions ≈ 2-3× cores AND bounded per-partition bytes")
+    * as default behavior instead of a hand-turned env knob. The r9
+    * 300× study measured why: with partitions fixed at 32, each task
+    * carries 300× the rows — graph_jaccard went superlinear
+    * (213.7 s) and graph_pagerank OOM'd on per-task hash-agg state;
+    * re-sized to data (128 partitions) both return to the linear
+    * envelope (185.0 s / completes at the default heap). AQE coalesces
+    * the extra partitions away on the stages that don't need them, so
+    * over-provisioning costs little; under-provisioning costs spills
+    * and OOMs. SPARK_GRAFT_SHUFFLE_PARTITIONS still overrides for
+    * experiments.
+    */
+  def localFor(cores: Int, dataDir: String,
+      appName: String = "graft"): SparkSession =
+    builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          dataSizedPartitions(dataDir, cores).toString))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  /** max(cores, ceil(input bytes / bytesPerPartition)): at small
+    * inputs parallelism floors at the core count (the 200 default
+    * just fragments a single-JVM run); as data grows, partition count
+    * grows linearly so PER-TASK shuffle state stays bounded —
+    * compressed parquet expands ~5-10× into row form, so 32 MiB of
+    * input per partition keeps in-flight task state in the low
+    * hundreds of MiB even for fan-out-heavy operators (graph edges,
+    * pair joins). Unreadable/missing dirs fall back to cores (the
+    * pre-r10 behavior). Local-fs walk — a cluster deploy would ask
+    * the Hadoop FileSystem for `getContentSummary` instead.
+    */
+  def dataSizedPartitions(dataDir: String, cores: Int,
+      bytesPerPartition: Long = 32L << 20): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
+    val total = try bytes(new java.io.File(dataDir)) catch {
+      case _: Throwable => 0L
+    }
+    math.max(cores, math.ceil(total.toDouble / bytesPerPartition).toInt)
+  }
 }

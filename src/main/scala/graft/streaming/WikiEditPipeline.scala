@@ -38,16 +38,39 @@ object WikiEditPipeline {
     * (DataStreamJob.java:84-108), with bounded out-of-orderness via
     * watermark (DataStreamJob.java:63). Output schema mirrors the
     * reference's Mongo document: {domain, edit_size, start, end}.
+    *
+    * `processingTime = false` (default) windows on EVENT time — the
+    * defensible re-expression (reproducible on replay, oracle-
+    * checkable; the reference configures event-time watermarks it
+    * never uses — r7 adjudication). `processingTime = true` is the
+    * LITERAL twin of the reference's
+    * `TumblingProcessingTimeWindows.of(Time.minutes(5))`
+    * (DataStreamJob.java:85): each row is assigned to the wall-clock
+    * window of the micro-batch that ingests it (`current_timestamp()`
+    * is the batch's timestamp — constant within a trigger, monotone
+    * across triggers, so the zero-delay watermark is exact and state
+    * for closed wall-clock windows expires). Values are wall-clock-
+    * dependent by definition — the spec checks schema, single-window
+    * collapse within one batch, and total-mass conservation, not
+    * window placements.
     */
   def windowedEditSize(edits: DataFrame,
-      watermarkDelay: String = "1 second"): DataFrame =
-    editDeltas(edits)
-      .withWatermark("ts", watermarkDelay)
+      watermarkDelay: String = "1 second",
+      processingTime: Boolean = false): DataFrame = {
+    val deltas =
+      if (!processingTime) editDeltas(edits)
+      else humanMainEdits(edits).select(col("domain"),
+        current_timestamp().as("ts"),
+        abs(col("new_length") - col("old_length")).as("delta"))
+    val delay = if (processingTime) "0 seconds" else watermarkDelay
+    deltas
+      .withWatermark("ts", delay)
       .groupBy(window(col("ts"), "5 minutes"), col("domain"))
       .agg(sum(col("delta")).as("edit_size"), count(lit(1)).as("n_edits"))
       .select(col("domain"), col("edit_size"),
         col("window.start").as("start"), col("window.end").as("end"),
         col("n_edits"))
+  }
 
   /** Streaming session aggregation via Spark's native session_window
     * (the streaming twin of EditAnalytics.sessionWindow's batch

@@ -13,7 +13,7 @@ object AbAffinity {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/sfx10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = graft.GraftSession.local(cpus, "graft-ab-affinity")
+    val spark = graft.GraftSession.localFor(cpus, sfDir, "graft-ab-affinity")
     spark.sparkContext.setLogLevel("WARN")
     // The noop write runs its OWN QueryExecution — reading
     // df.queryExecution.executedPlan would show the PRE-adaptive plan

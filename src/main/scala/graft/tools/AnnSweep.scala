@@ -14,7 +14,7 @@ object AnnSweep {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
-    val spark = graft.GraftSession.local(cpus, "graft-ann-sweep")
+    val spark = graft.GraftSession.localFor(cpus, dir, "graft-ann-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     // semdedup mode: time semanticDedup at a given nlist (the knob
     // that must scale ≈ n/target_cluster_size — this measures it)

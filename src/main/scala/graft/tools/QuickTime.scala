@@ -13,7 +13,7 @@ object QuickTime {
     val names = args.lift(2).map(_.split(",").toSeq)
       .getOrElse(Seq("q_filter_project"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = graft.GraftSession.local(cpus, "graft-quicktime")
+    val spark = graft.GraftSession.localFor(cpus, dir, "graft-quicktime")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()
     names.foreach { name =>

@@ -34,4 +34,44 @@ class GraftSessionSpec extends GraftSpecBase {
       SparkSession.setDefaultSession(prior)
     }
   }
+
+  test("dataSizedPartitions: floors at cores, grows linearly with bytes") {
+    initLog()
+    // small inputs: parallelism = cores (sf0.1 stays at 32 — identical
+    // bench behavior to every prior round)
+    assert(GraftSession.dataSizedPartitions(sf, 32) == 32)
+    // a dir of known size with a tiny divisor exercises the ceil path
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsp")
+    val sub = dir.resolve("nested"); java.nio.file.Files.createDirectory(sub)
+    java.nio.file.Files.write(dir.resolve("a.bin"), new Array[Byte](700))
+    java.nio.file.Files.write(sub.resolve("b.bin"), new Array[Byte](500))
+    assert(GraftSession.dataSizedPartitions(dir.toString, 2,
+      bytesPerPartition = 256) == 5)   // ceil(1200/256) = 5 > cores
+    assert(GraftSession.dataSizedPartitions(dir.toString, 8,
+      bytesPerPartition = 256) == 8)   // cores floor wins
+    // unreadable/missing dir falls back to cores, never throws
+    assert(GraftSession.dataSizedPartitions("/no/such/dir", 4) == 4)
+    // the r9 300× calibration point: the ~5.1 GiB 300× corpus derives
+    // ~160 partitions — at least the 128 that restored the linear
+    // envelope for graph_pagerank/graph_jaccard (SURVEY §4.5)
+    assert(GraftSession.dataSizedPartitions(sf, 32,
+      bytesPerPartition = 32L << 20) == 32)
+    val at300x = math.ceil(5.1 * (1L << 30).toDouble / (32L << 20)).toInt
+    assert(at300x >= 128, s"300×-sized corpus derives only $at300x")
+  }
+
+  test("localFor wires the derived partition count into the session") {
+    initLog()
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = GraftSession.localFor(2, sf, "graft-session-spec-dsp")
+      // sf0.001 is tiny — derived = cores
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "2")
+    } finally {
+      SparkSession.setActiveSession(prior)
+      SparkSession.setDefaultSession(prior)
+    }
+  }
 }

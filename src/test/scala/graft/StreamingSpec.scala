@@ -51,6 +51,54 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("processing-time window mode: literal TumblingProcessingTimeWindows twin") {
+    initLog()
+    val in = tmp("graft_in_pt")
+    // event timestamps DECADES apart — processing time must ignore
+    // them entirely and window every row at the ingesting batch's
+    // wall clock (values are wall-clock-dependent, so the spec checks
+    // schema, per-batch window collapse, alignment, and conservation
+    // of total mass — not window placements)
+    val lines = Seq(
+      editJson(1, "en.wikipedia.org", "human", "main namespace",
+        "2003-01-01T00:00:00Z", 100, 150),                       // +50
+      editJson(2, "en.wikipedia.org", "human", "main namespace",
+        "2013-06-01T00:00:00Z", 150, 120),                       // +30
+      editJson(3, "de.wikipedia.org", "HUMAN", "Main Namespace",
+        "1999-12-31T23:59:00Z", 400, 500))                       // +100
+    Files.write(Paths.get(in, "batch1.json"),
+      String.join("\n", lines: _*).getBytes)
+    val src = EditStream.readJsonFiles(spark, in)
+    val pt = WikiEditPipeline.windowedEditSize(src, processingTime = true)
+    // identical output schema to the event-time mode — a consumer can
+    // flip the flag without touching the sink
+    assert(pt.schema == WikiEditPipeline.windowedEditSize(src).schema)
+    val t0 = System.currentTimeMillis()
+    val q = pt.writeStream.outputMode("complete")
+      .format("memory").queryName("wiki_pt_out").start()
+    try {
+      q.processAllAvailable()
+      val t1 = System.currentTimeMillis()
+      val got = spark.table("wiki_pt_out").collect()
+      // one ingesting batch ⇒ exactly one wall-clock window per domain,
+      // whatever the event times said
+      assert(got.length == 2, got.mkString(";"))
+      got.foreach { r =>
+        val start = r.getAs[java.sql.Timestamp]("start").getTime
+        val end = r.getAs[java.sql.Timestamp]("end").getTime
+        assert(end - start == 300000L, s"window width ${end - start}")
+        assert(start % 300000L == 0, s"unaligned window start $start")
+        // the batch's timestamp falls inside [t0, t1] and its window
+        // must bracket it
+        assert(start <= t1 && end > t0, s"window [$start,$end) vs [$t0,$t1]")
+      }
+      // total mass conserved: the same rows pass the same filter, only
+      // the window assignment differs
+      assert(got.map(_.getAs[Long]("edit_size")).sum == 180L)
+      assert(got.map(_.getAs[Long]("n_edits")).sum == 3L)
+    } finally q.stop()
+  }
+
   test("JSON doc sink emits one document per window (Mongo-sink analog)") {
     initLog()
     val in = tmp("graft_in2")
