@@ -208,7 +208,11 @@ object SparkEntry {
     "graph_degree" -> ((s, d) => Graph.degreeHistogram(s, d)),
     "sample_weighted" -> ((s, d) => Sampling.weightedDocuments(s, d)),
     "dedup_fuzzy_scored" -> ((s, d) => Fuzzy.scoredCustomerNamePairs(s, d)),
-    "q_interval_merge" -> ((s, d) => Temporal.intervalCoverage(s, d)))
+    "q_interval_merge" -> ((s, d) => Temporal.intervalCoverage(s, d)),
+    "curate_dsir" -> ((s, d) => Importance.dsirSelect(s, d)),
+    "mix_token_budget" -> ((s, d) => Mixture.tokenBudgetMixture(s, d)),
+    "sample_temperature" -> ((s, d) => Mixture.temperatureSample(s, d)),
+    "graph_lpa" -> ((s, d) => Graph.supplierCommunities(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -1808,5 +1812,132 @@ object SparkEntry {
          SELECT user_id, COUNT(*) AS n_islands,
            CAST(SUM(is_e - is_s) AS BIGINT) AS covered_us,
            CAST(MAX(is_e - is_s) AS BIGINT) AS longest_us
-         FROM g GROUP BY 1""")
+         FROM g GROUP BY 1""",
+    // DSIR (Xie et al. 2023): the ratio inside ln is a quotient of
+    // EXACT integer products, so the double entering ln is identical
+    // cross-engine; ROUND(SUM,4) absorbs ln's last-ulp divergence
+    // (the q1_pricing_agg convention). Ranking is on the ROUNDED
+    // score with doc_id tie-break — deterministic top-100.
+    "curate_dsir" ->
+      """WITH toks0 AS (SELECT doc_id, lang,
+           unnest(string_split(text, ' ')) AS tok FROM documents),
+         tk AS (SELECT * FROM toks0 WHERE tok <> ''),
+         bc AS (SELECT tok, COUNT(*) AS b_cnt FROM tk GROUP BY tok),
+         tc AS (SELECT tok, COUNT(*) AS t_cnt FROM tk
+                WHERE lang = 'en' GROUP BY tok),
+         vocab AS (SELECT bc.tok, b_cnt, COALESCE(t_cnt, 0) AS t_cnt
+                   FROM bc LEFT JOIN tc ON bc.tok = tc.tok),
+         tot AS (SELECT SUM(b_cnt) AS b_tot, SUM(t_cnt) AS t_tot,
+                        COUNT(*) AS v FROM vocab),
+         w AS (SELECT tok,
+                 ln(CAST((t_cnt + 1) * (b_tot + v) AS DOUBLE) /
+                    CAST((b_cnt + 1) * (t_tot + v) AS DOUBLE)) AS w
+               FROM vocab CROSS JOIN tot),
+         sc AS (SELECT tk.doc_id, ROUND(SUM(w.w), 4) AS dsir_score
+                FROM tk JOIN w ON tk.tok = w.tok GROUP BY tk.doc_id),
+         top AS (SELECT doc_id, dsir_score FROM sc
+                 ORDER BY dsir_score DESC, doc_id LIMIT 100)
+         SELECT d.doc_id, d.lang, t.dsir_score
+         FROM top t JOIN documents d ON d.doc_id = t.doc_id
+         ORDER BY t.dsir_score DESC, d.doc_id""",
+    // dyadic weights × integer budget ⟹ every double here is either
+    // exact or the result of ONE correctly-rounded division; ×65536
+    // is a power-of-two multiply (exact) — membership is
+    // cross-engine bit-reproducible (the sample_weighted doctrine)
+    "mix_token_budget" ->
+      """WITH tok AS (SELECT source, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           FROM documents),
+         agg AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS toks_obs
+                 FROM tok GROUP BY source),
+         rates AS (SELECT source, toks_obs,
+           CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+             (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+               WHEN 'src2' THEN 0.125 WHEN 'src3' THEN 0.125
+               ELSE 0.0 END)
+             * 2000.0 / CAST(toks_obs AS DOUBLE)) * 65536.0) AS BIGINT)
+             AS rate_u16
+           FROM agg),
+         r2 AS (SELECT * FROM rates WHERE rate_u16 > 0),
+         u AS (SELECT source, n_toks,
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u16
+           FROM tok)
+         SELECT r2.source, r2.toks_obs, r2.rate_u16,
+           CAST(SUM(CASE WHEN u.u16 < r2.rate_u16 THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_kept,
+           CAST(SUM(CASE WHEN u.u16 < r2.rate_u16 THEN u.n_toks ELSE 0 END)
+             AS BIGINT) AS toks_kept
+         FROM u JOIN r2 ON u.source = r2.source
+         GROUP BY 1, 2, 3 ORDER BY r2.source""",
+    // T=2 temperature: sqrt is IEEE-correctly-rounded on both
+    // engines; √n quantized to integer hundredths makes the
+    // normalizer an exact integer sum (the cents doctrine)
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_obs
+                    FROM documents GROUP BY lang),
+         q AS (SELECT lang, n_obs,
+                 CAST(ROUND(sqrt(CAST(n_obs AS DOUBLE)) * 100.0, 0)
+                   AS BIGINT) AS sqrt_c FROM c),
+         t AS (SELECT CAST(SUM(sqrt_c) AS BIGINT) AS sqrt_tot FROM q),
+         r AS (SELECT lang, n_obs, sqrt_c,
+                 CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                   CAST(250 * sqrt_c AS DOUBLE) /
+                   CAST(sqrt_tot * n_obs AS DOUBLE)) * 65536.0) AS BIGINT)
+                   AS rate_u16
+               FROM q CROSS JOIN t),
+         u AS (SELECT lang,
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u16
+           FROM documents)
+         SELECT r.lang, r.n_obs, r.sqrt_c, r.rate_u16,
+           CAST(SUM(CASE WHEN u.u16 < r.rate_u16 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept
+         FROM u JOIN r ON u.lang = r.lang
+         GROUP BY 1, 2, 3, 4 ORDER BY r.lang""",
+    // synchronous LPA unrolled 3 rounds: row_number (cnt DESC, label
+    // ASC) = Spark's max(struct(cnt, -label)) argmax; MATERIALIZED
+    // stops DuckDB re-inlining each round's CTE into the next
+    "graph_lpa" ->
+      """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                     WHERE l_orderkey % 5 = 0),
+         e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+               FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 9),
+         adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
+                              UNION SELECT v, u FROM e),
+         l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+         c1 AS (SELECT a.node, l.label, COUNT(*) AS cnt
+                FROM adj a JOIN l0 l ON a.nbr = l.node GROUP BY 1, 2),
+         r1 AS MATERIALIZED (SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER
+                  (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+                FROM c1) WHERE rn = 1),
+         c2 AS (SELECT a.node, l.label, COUNT(*) AS cnt
+                FROM adj a JOIN r1 l ON a.nbr = l.node GROUP BY 1, 2),
+         r2 AS MATERIALIZED (SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER
+                  (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+                FROM c2) WHERE rn = 1),
+         c3 AS (SELECT a.node, l.label, COUNT(*) AS cnt
+                FROM adj a JOIN r2 l ON a.nbr = l.node GROUP BY 1, 2),
+         r3 AS (SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER
+                  (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+                FROM c3) WHERE rn = 1)
+         SELECT label AS community, COUNT(*) AS n_members
+         FROM r3 GROUP BY 1 ORDER BY 1""")
 }

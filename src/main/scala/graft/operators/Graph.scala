@@ -299,4 +299,68 @@ object Graph {
         .select(col("id_a").as("u"), col("id_b").as("v")),
         k = 2, maxRounds = 6)
       .select(col("node").as("doc_id"), col("core_deg"))
+
+  /** SYNCHRONOUS label propagation communities (Raghavan et al. 2007,
+    * made deterministic): labels start as node ids; each round every
+    * node adopts the MOST FREQUENT label among its neighbors, ties
+    * broken toward the SMALLEST label, all nodes updating from the
+    * same previous-round snapshot (the asynchronous original is
+    * order-dependent — useless under an exactness contract). A node
+    * with no neighbors keeps its label. Fixed `rounds`, not
+    * convergence: synchronous LPA can 2-cycle on bipartite-ish
+    * structure, and a fixed unrolling is what an oracle can replay.
+    *
+    * Communities differ from [[Dedup.canonicalIds]]' components:
+    * min-label flood-fill gives CONNECTIVITY classes; frequency
+    * propagation cuts weakly-bridged dense regions apart even when
+    * connected — the "near-dup neighborhoods inside one giant
+    * component" view curation wants when a hub string chains
+    * everything together.
+    *
+    * Scale shape: per round, ONE shuffle for the neighbor-label join
+    * (edges ⋈ labels on dst, pre-partitioned by dst so the edge side
+    * exchanges once across all rounds) + one (node, label) count agg
+    * (map-combined) + one argmax agg — all node/edge-linear; the
+    * frequency argmax rides `max(struct(cnt, −label))`, no window
+    * sort. Rounds are few and fixed; labels (node-sized) get the
+    * same lineage discipline as [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .distinct()
+      .repartition(col("node")).cache()
+    var labels = sym.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val nbrLabels = sym.join(
+        labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+      val adopted = nbrLabels.groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg")))
+          .as("best"))
+        .select(col("node"), (-col("best.neg")).as("label"))
+      labels = adopted.localCheckpoint(eager = true)
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Driver contract `graph_lpa`: communities of the supplier
+    * co-service graph after 3 synchronous rounds, reported as
+    * (community, n_members) — the oracle replays the unrolled
+    * recurrence (row_number argmax = the same (cnt DESC, label ASC)
+    * tie-break). minShared = 9: the default-2 graph is near-complete
+    * at driver scale (4.6 k edges over 100 suppliers) and LPA rightly
+    * collapses it to one community; the ≥9-recurring-orders cut
+    * (237 edges) has real neighborhood structure — 15 communities
+    * after 3 rounds — so the lane actually exercises the frequency
+    * argmax, not just the flood fill.
+    */
+  def supplierCommunities(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(supplierCoEdges(spark, dir, minShared = 9), rounds = 3)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("community"))
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+  * for Language Models via Importance Resampling"): score every raw
+  * document by the log-likelihood ratio of its tokens under a TARGET
+  * distribution vs the raw/base distribution, then keep the top
+  * scorers — the cheap feature-based proxy for "train on data that
+  * looks like the target domain" that selected The Pile subsets for
+  * GPT-class pretraining. graft uses unigram features (the hashed
+  * n-gram generalization is the same plan with `ShingleHashes` keys).
+  *
+  * Scale shape (the reason DSIR beats classifier-based selection at
+  * 100 TB): both distributions are ONE vocabulary-sized aggregate;
+  * the weight table is vocab-sized and BROADCAST onto the corpus-scale
+  * token stream, which shuffles once on (doc_id) for the per-doc sum —
+  * the corpus itself is read once and never joined against itself.
+  * Selection is a top-k (TakeOrdered — no full sort) or a threshold
+  * filter (map-side) depending on the caller.
+  *
+  * FP discipline (see [[Relevance]]): the ratio inside the log is a
+  * quotient of EXACT integer products — (t_cnt+1)·(b_tot+V) and
+  * (b_cnt+1)·(t_tot+V) are < 2^53 for any corpus whose token count
+  * fits a journal page — so the double entering `ln` is bit-identical
+  * on every IEEE engine; `ln` itself may differ in the last ulp
+  * between libm and java.lang.Math, which the ROUND(·,4) on the
+  * per-doc sum absorbs (the q1_pricing_agg convention).
+  */
+object Importance {
+
+  /** (doc_id, tok) token stream — the whitespace tokenizer every text
+    * lane shares (`len(string_split(text,' '))` on the oracle side),
+    * empties dropped.
+    */
+  private def toks(docs: DataFrame): DataFrame =
+    Par.ensure(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** Per-token log importance weight over the UNION vocabulary:
+    *
+    *   w(t) = ln( p̂_target(t) / p̂_base(t) )
+    *        = ln( (t_cnt+1)·(b_tot+V) / ((b_cnt+1)·(t_tot+V)) )
+    *
+    * with add-one smoothing on both sides (V = |vocab|), so a token
+    * seen only in the base corpus still gets a finite negative weight.
+    * Output is vocabulary-sized: (tok, w) — broadcast it downstream.
+    * Totals are computed FROM the vocab table (sum of its count
+    * columns), not by re-scanning either corpus.
+    */
+  def dsirWeights(target: DataFrame, base: DataFrame): DataFrame = {
+    val bc = toks(base).groupBy(col("tok")).agg(count(lit(1)).as("b_cnt"))
+    val tc = toks(target).groupBy(col("tok")).agg(count(lit(1)).as("t_cnt"))
+    val vocab = bc.join(tc, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("b_cnt"), lit(0L)).as("b_cnt"),
+        coalesce(col("t_cnt"), lit(0L)).as("t_cnt"))
+    val tot = vocab.agg(sum(col("b_cnt")).as("b_tot"),
+      sum(col("t_cnt")).as("t_tot"), count(lit(1)).as("v"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        log(((col("t_cnt") + lit(1L)) * (col("b_tot") + col("v")))
+          .cast("double") /
+          ((col("b_cnt") + lit(1L)) * (col("t_tot") + col("v")))
+            .cast("double")).as("w"))
+  }
+
+  /** Per-doc DSIR score: the sum of its tokens' log importance
+    * weights (with multiplicity — a doc that repeats a target-loved
+    * token scores higher, as the likelihood ratio dictates). Tokens
+    * absent from the weight table contribute 0 (callers scoring the
+    * corpus the weights were fit on never hit this; a held-out doc's
+    * unseen tokens are out-of-vocabulary for BOTH distributions and
+    * carry no evidence either way). The weight table is broadcast —
+    * the token stream shuffles once, on (doc_id).
+    */
+  def dsirScores(docs: DataFrame, weights: DataFrame): DataFrame =
+    toks(docs).join(broadcast(weights), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")), 4).as("dsir_score"))
+
+  /** Driver query `curate_dsir`: fit weights with the English slice
+    * as the target and the whole corpus as base, score every doc,
+    * return the top 100 with language — the "select raw docs that
+    * look like the target domain" step of a pretraining pipeline,
+    * end-to-end. Deterministic: score ROUNDS before ranking and ties
+    * break on doc_id.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val weights = dsirWeights(docs.filter(col("lang") === "en"), docs)
+    // top-k BEFORE the metadata join: TakeOrdered bounds the rank to
+    // k rows, and the 100-row winner set broadcasts back onto docs —
+    // the corpus is never sorted and never joined at full width
+    val top = dsirScores(docs, weights)
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(100)
+    broadcast(top).join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+  }
+}

@@ -78,4 +78,117 @@ object Mixture {
       .agg(sum(when(nibbleRank(col("doc_id")) < col("rate_sixteenths"), 1L)
         .otherwise(0L)).as("n_kept"))
   }
+
+  /** Whitespace token count of a doc — `len(string_split(text,' '))`,
+    * the convention every text lane and the oracle share.
+    */
+  private def nToks(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** TOKEN-budget mixture rates — what a pretraining run actually
+    * specifies ("web 50 %, code 25 % … of a 10 T-token budget"), not
+    * row proportions: `rate_d = min(1, w_d · budget / tokens_d)` at
+    * 1/65536 granularity via [[Sampling.hashUnit16]] (the sixteenths
+    * of [[mixtureRates]] are too coarse once rates come from token
+    * ratios). Domains absent from `weights` get 0 — a mixture is a
+    * whitelist. Same two-pass shape as [[mixtureRates]]: pass 1 is a
+    * column-pruned token-count aggregate (|domains| result rows),
+    * pass 2 broadcasts the rate table — the corpus never shuffles.
+    *
+    * Determinism doctrine: `w_d` should be DYADIC (0.5, 0.25, …) and
+    * the budget an integer — then `w·budget` is exact, the one
+    * division is IEEE-correctly-rounded (identical on every engine),
+    * ×65536 is exact (power of two), and the floor lands on the same
+    * integer everywhere: membership is cross-engine reproducible.
+    */
+  def tokenBudgetRates(docs: DataFrame, domainCol: String,
+      weights: Map[String, Double], tokenBudget: Long): DataFrame = {
+    val wCase = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
+      when(col(domainCol) === k, lit(w)).otherwise(acc)
+    }
+    docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(nToks(col("text"))).as("toks_obs"))
+      .select(col(domainCol), col("n_docs"), col("toks_obs"),
+        floor(least(lit(1.0),
+          wCase * lit(tokenBudget.toDouble) / col("toks_obs").cast("double"))
+          * lit(65536.0)).as("rate_u16"))
+      .filter(col("rate_u16") > 0)
+  }
+
+  /** Apply a token-budget rate table: keep a doc iff its hash-space
+    * position falls under its domain's u16 rate. Broadcast join —
+    * map-only over the corpus.
+    */
+  def applyTokenBudget(docs: DataFrame, rates: DataFrame, idCol: String,
+      domainCol: String): DataFrame =
+    docs.join(broadcast(rates.select(col(domainCol), col("rate_u16"))),
+        Seq(domainCol))
+      .filter(Sampling.hashUnit16(col(idCol)) < col("rate_u16"))
+      .drop("rate_u16")
+
+  /** Driver query `mix_token_budget`: compose a 2000-token corpus cut
+    * weighted 1/2 src0, 1/4 src1, 1/8 src2+src3 (dyadic on purpose —
+    * see [[tokenBudgetRates]]) and report, per kept source, the
+    * observed token mass, the derived u16 rate, and the docs/tokens
+    * actually kept.
+    */
+  def tokenBudgetMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val weights = Map("src0" -> 0.5, "src1" -> 0.25,
+      "src2" -> 0.125, "src3" -> 0.125)
+    val rates = tokenBudgetRates(docs, "source", weights, tokenBudget = 2000L)
+    docs.join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"), col("toks_obs"), col("rate_u16"))
+      .agg(
+        sum(when(Sampling.hashUnit16(col("doc_id")) < col("rate_u16"), 1L)
+          .otherwise(0L)).as("docs_kept"),
+        sum(when(Sampling.hashUnit16(col("doc_id")) < col("rate_u16"),
+          nToks(col("text"))).otherwise(0L)).as("toks_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Temperature-scaled mixture rates (the multilingual-pretraining
+    * rebalance of mBERT/XLM-R: sample domain d with probability
+    * ∝ n_d^(1/T), T > 1 flattening the head so low-resource domains
+    * survive). T = 2 exactly — p_d ∝ √n_d — because IEEE `sqrt` is
+    * CORRECTLY ROUNDED on every engine (general `pow` is not): graft
+    * trades the free-T knob for bit-reproducible membership.
+    *
+    * FP discipline ("cents" doctrine, see Temporal): each √n_d is
+    * quantized to integer hundredths — `sqrt_c = round(100·√n_d)` —
+    * so the normalizer Σ sqrt_c is an INTEGER sum, exact in any
+    * order; the expected kept count `budget·sqrt_c_d/Σ sqrt_c` then
+    * involves exact integer products and one correctly-rounded
+    * division. rate_d = min(1, that/n_d) at u16 granularity.
+    */
+  def temperatureRates(docs: DataFrame, domainCol: String,
+      docBudget: Long): DataFrame = {
+    val counts = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_obs"))
+      .select(col(domainCol), col("n_obs"),
+        round(sqrt(col("n_obs").cast("double")) * lit(100.0), 0)
+          .cast("long").as("sqrt_c"))
+    val tot = counts.agg(sum(col("sqrt_c")).as("sqrt_tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(domainCol), col("n_obs"), col("sqrt_c"),
+        floor(least(lit(1.0),
+          (lit(docBudget) * col("sqrt_c")).cast("double") /
+            (col("sqrt_tot") * col("n_obs")).cast("double"))
+          * lit(65536.0)).as("rate_u16"))
+  }
+
+  /** Driver query `sample_temperature`: rebalance the five-language
+    * corpus at T = 2 toward a 250-doc budget; report per language the
+    * observed count, the quantized √, the derived u16 rate, and the
+    * kept count — the head (en, 218 docs) downsamples hardest, the
+    * tail keeps proportionally more, exactly the temperature contract.
+    */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rates = temperatureRates(docs, "lang", docBudget = 250L)
+    docs.join(broadcast(rates), Seq("lang"))
+      .groupBy(col("lang"), col("n_obs"), col("sqrt_c"), col("rate_u16"))
+      .agg(sum(when(Sampling.hashUnit16(col("doc_id")) < col("rate_u16"), 1L)
+        .otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
 }

@@ -263,4 +263,40 @@ class GraphSpec extends GraftSpecBase {
       check(Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("labelPropagation: two triangles over a bridge -> two communities") {
+    initLog()
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4. Hand-run of the
+    // synchronous recurrence (mode of neighbor labels, tie -> min,
+    // all nodes from the SAME snapshot) converges by round 3 to
+    // label 1 on the left triangle, label 3 on the right.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val labels = Graph.labelPropagation(edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation is deterministic under re-partitioning") {
+    initLog()
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L), (6L, 7L)).toDF("u", "v")
+    val a = Graph.labelPropagation(edges, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.labelPropagation(edges.repartition(5), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("labelPropagation universe is the edge endpoints; star adopts hub-min") {
+    initLog()
+    // star: hub 10 with leaves 11..14 — every leaf sees only the hub
+    // (adopts 10); the hub sees 4 distinct leaf labels, tie -> min.
+    val edges = (11L to 14L).map(l => (10L, l)).toDF("u", "v")
+    val r1 = Graph.labelPropagation(edges, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(10L -> 11L, 11L -> 10L, 12L -> 10L,
+      13L -> 10L, 14L -> 10L))
+  }
 }

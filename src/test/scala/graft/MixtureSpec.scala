@@ -64,4 +64,74 @@ class MixtureSpec extends GraftSpecBase {
     // every original member survives; growth only ADDS members
     assert(keptSmall.subsetOf(keptGrown))
   }
+
+  private def md5U16(id: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Integer.parseInt(hex.substring(0, 4), 16)
+  }
+
+  // a: 4 docs x 4 tokens = 16 tokens; b: 8 docs x 2 tokens = 16;
+  // c: 4 docs x 1 token (not in the mixture)
+  private val tokDocs = ((0L until 4L).map(i => (i, "a", "t t t t")) ++
+    (100L until 108L).map(i => (i, "b", "t t")) ++
+    (200L until 204L).map(i => (i, "c", "t"))).toDF("doc_id", "domain", "text")
+
+  test("tokenBudgetRates: u16 rates from token mass, dyadic-exact") {
+    initLog()
+    val rates = Mixture.tokenBudgetRates(tokDocs, "domain",
+      Map("a" -> 0.5, "b" -> 0.25), tokenBudget = 16L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // a: min(1, .5*16/16)  = .5  -> 32768 exactly (all dyadic)
+    // b: min(1, .25*16/16) = .25 -> 16384
+    // c: weight 0 -> rate 0 -> filtered out (whitelist)
+    assert(rates == Map("a" -> 32768L, "b" -> 16384L))
+  }
+
+  test("applyTokenBudget membership is hashUnit16 — pure function of id") {
+    initLog()
+    val rates = Mixture.tokenBudgetRates(tokDocs, "domain",
+      Map("a" -> 0.5, "b" -> 0.25), tokenBudget = 16L)
+    val kept = Mixture.applyTokenBudget(tokDocs, rates, "doc_id", "domain")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val expected = ((0L until 4L).filter(md5U16(_) < 32768) ++
+      (100L until 108L).filter(md5U16(_) < 16384)).toSet
+    assert(kept == expected)
+    assert(!kept.exists(_ >= 200L))
+  }
+
+  test("temperatureRates: T=2 flattens the head, tail keeps full rate") {
+    initLog()
+    val docs = ((0L until 16L).map(i => (i, "big")) ++
+      (100L until 104L).map(i => (i, "mid")) ++
+      (200L until 201L).map(i => (i, "rare"))).toDF("doc_id", "domain")
+    val rates = Mixture.temperatureRates(docs, "domain", docBudget = 7L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // sqrt_c: big 400, mid 200, rare 100; tot 700
+    // big:  7*400/700 = 4 of 16 -> rate .25 -> 16384
+    // mid:  7*200/700 = 2 of 4  -> rate .5  -> 32768
+    // rare: 7*100/700 = 1 of 1  -> rate 1   -> 65536 (kept in full)
+    assert(rates == Map(
+      "big" -> ((16L, 400L, 16384L)),
+      "mid" -> ((4L, 200L, 32768L)),
+      "rare" -> ((1L, 100L, 65536L))))
+    // the temperature contract: head keep-RATE strictly below tail's
+    assert(rates("big")._3 < rates("mid")._3)
+    assert(rates("mid")._3 < rates("rare")._3)
+  }
+
+  test("driver lanes: token budget and temperature summaries are stable") {
+    initLog()
+    val tb = Mixture.tokenBudgetMixture(spark, sf).collect()
+    assert(tb.length == 4) // the four whitelisted sources
+    tb.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(2) <= 65536L)
+      assert(r.getLong(4) <= r.getLong(1)) // kept tokens <= observed
+    }
+    val ts = Mixture.temperatureSample(spark, sf).collect()
+    assert(ts.length == 5) // five languages
+    ts.foreach(r => assert(r.getLong(4) <= r.getLong(1)))
+  }
 }
