@@ -210,6 +210,8 @@ object SparkEntry {
     "dedup_fuzzy_scored" -> ((s, d) => Fuzzy.scoredCustomerNamePairs(s, d)),
     "q_interval_merge" -> ((s, d) => Temporal.intervalCoverage(s, d)),
     "curate_dsir" -> ((s, d) => Importance.dsirSelect(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.substringProfile(s, d)),
+    "embed_pca" -> ((s, d) => Similarity.pcaSummary(s, d)),
     "mix_token_budget" -> ((s, d) => Mixture.tokenBudgetMixture(s, d)),
     "sample_temperature" -> ((s, d) => Mixture.temperatureSample(s, d)),
     "graph_lpa" -> ((s, d) => Graph.supplierCommunities(s, d)))
@@ -1907,6 +1909,43 @@ object SparkEntry {
              AS BIGINT) AS n_kept
          FROM u JOIN r ON u.lang = r.lang
          GROUP BY 1, 2, 3, 4 ORDER BY r.lang""",
+    // substring dedup (Lee et al. 2021) at window n=8: the oracle
+    // joins on gram TEXT where graft joins on the 128-bit shingle
+    // hash — the ~2^-128 collision basis of the hash-keyed family.
+    // Span merge = interval islands (q_interval_merge pattern);
+    // windows at pos p<q merge iff q-p <= 8 (overlap or adjacency)
+    "dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents),
+         pos8 AS (SELECT doc_id, tk,
+                    unnest(range(0, len(tk) - 7)) AS pos
+                  FROM toks WHERE len(tk) >= 8),
+         wins AS (SELECT doc_id, pos,
+                    array_to_string(tk[pos+1:pos+8], ' ') AS gram
+                  FROM pos8),
+         dup AS (SELECT gram FROM (
+                   SELECT gram, COUNT(DISTINCT doc_id) AS df
+                   FROM wins GROUP BY 1) WHERE df >= 2),
+         mk AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (gram)),
+         isl AS (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER
+                     (PARTITION BY doc_id ORDER BY pos) <= 8
+                   THEN 0 ELSE 1 END AS brk FROM mk),
+         grp AS (SELECT doc_id, pos, SUM(brk) OVER
+                   (PARTITION BY doc_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS g FROM isl),
+         spans AS (SELECT doc_id, g, MAX(pos) + 8 - MIN(pos)
+                     AS span_tokens FROM grp GROUP BY 1, 2),
+         pd AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+                  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+                FROM spans GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(pd.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(pd.dup_tokens, 0) AS dup_tokens,
+           ROUND(CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE) /
+             len(string_split(d.text, ' ')), 6) AS dup_ratio
+         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
     // synchronous LPA unrolled 3 rounds: row_number (cnt DESC, label
     // ASC) = Spark's max(struct(cnt, -label)) argmax; MATERIALIZED
     // stops DuckDB re-inlining each round's CTE into the next

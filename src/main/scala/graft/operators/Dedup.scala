@@ -384,4 +384,88 @@ object Dedup {
   def simhashPairsOracle(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir),
       maxDist = 3, tokenHash = md5Hash60, nBits = 60)
+
+  /** SUBSTRING-level duplication profile (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): the
+    * doc-level near-dup family misses the boilerplate case — two
+    * mostly-different documents sharing one long verbatim span
+    * (licenses, headers, quoted chunks). Here every n-token window
+    * whose text occurs in ≥2 DISTINCT docs marks its positions;
+    * overlapping-or-adjacent marked windows merge into maximal
+    * duplicated spans per doc (the paper's suffix-array span find,
+    * re-expressed relationally at fixed granularity n — windows of a
+    * shared span of length L ≥ n are themselves all shared, so the
+    * merged spans recover the span up to n-1 boundary tokens).
+    *
+    * Scale shape: windows ride the native 128-bit [[graft.functions
+    * .ShingleHashes]] lanes — the cross-doc equality join never
+    * shuffles gram STRINGS, only (h1, h2, pos); the dup-window set is
+    * found from per-doc DISTINCT windows (ShingleWindows — repeats
+    * don't inflate df) and joined back hash-keyed; the span merge is
+    * the interval-islands window (one (doc) partition sort of the
+    * MARKED positions only — duplicated windows, not the corpus).
+    * 128-bit collisions (~2^-128) are the same exactness basis as the
+    * rest of the hash-keyed dedup family — the oracle joins on gram
+    * TEXT and hash-matches.
+    */
+  def substringDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val toks = split(col("text"), " ")
+    val eligible = Par.ensure(docs)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= n)
+    // per-doc DISTINCT windows -> df per 128-bit window key
+    val dupKeys = eligible
+      .select(col("doc_id"),
+        explode(column(graft.functions.ShingleWindows(
+          expression(col("tk")), n))).as("w"))
+      .groupBy(col("w.h1").as("h1"), col("w.h2").as("h2"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h1"), col("h2"))
+    // ALL window positions (repeats included), marked by key join
+    val allWins = eligible.select(col("doc_id"),
+      posexplode(arrays_zip(
+        column(graft.functions.ShingleHashes(expression(col("tk")), n, 0))
+          .as("h1"),
+        column(graft.functions.ShingleHashes(expression(col("tk")), n, 1))
+          .as("h2"))))
+      .select(col("doc_id"), col("pos"),
+        col("col.h1").as("h1"), col("col.h2").as("h2"))
+    val marked = allWins.join(dupKeys, Seq("h1", "h2"))
+      .select(col("doc_id"), col("pos"))
+    // interval islands over marked positions: windows at pos p and q
+    // (p < q) merge iff q - p <= n (overlap OR exact adjacency — a
+    // contiguous duplicated region is one span)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = marked
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("g", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg((max(col("pos")) + lit(n) - min(col("pos"))).as("span_tokens"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("span_tokens")).as("dup_tokens"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_ratio"))
+  }
+
+  /** Driver contract `dedup_substring`: the per-doc duplicated-span
+    * profile of the corpus at n = 8 (the paper's 50-token threshold
+    * scaled to the synthetic corpus's ~60-token docs).
+    */
+  def substringProfile(spark: SparkSession, dir: String): DataFrame =
+    substringDupSpans(Tables.documents(spark, dir), n = 8)
 }

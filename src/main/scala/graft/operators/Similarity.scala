@@ -1141,4 +1141,94 @@ object Similarity {
               / size(ed), 6))
           .as("mean_abs_err"))
   }
+
+  /** Result of [[pc1]]: the dominant principal direction (unit norm),
+    * its eigenvalue (variance along it), the total variance, and n.
+    */
+  final case class Pc1(v: Array[Double], eigenvalue: Double,
+      totalVariance: Double, n: Long)
+
+  /** Dominant principal component by DISTRIBUTED POWER ITERATION —
+    * the first step of embedding whitening / anisotropy diagnosis
+    * (all-but-the-top post-processing, Mu & Viswanath 2018: embedding
+    * sets concentrate mass on a few directions; knowing λ1/Σλ tells
+    * you whether cosine similarities are dominated by a common
+    * component worth projecting out).
+    *
+    * Per iteration, v ← normalize(Σᵢ sᵢ·(xᵢ−μ)) with sᵢ = ⟨xᵢ−μ, v⟩,
+    * expressed so the corpus NEVER materializes centered copies:
+    * sᵢ = dot(xᵢ,v) − ⟨μ,v⟩ (one native dot against the literal v,
+    * scalar shift), and Σ sᵢ·xᵢ accumulates via posexplode →
+    * (dim)-keyed sum — a map-combined aggregate onto `dims` keys, the
+    * cheapest shuffle Spark has; Σ sᵢ·μ is a driver-side correction
+    * (Σ sᵢ rides the same pass). Driver state is two dims-length
+    * vectors — bounded like the k-means codebooks. iters is small and
+    * fixed: convergence is (λ2/λ1)^k and the operator's contract is
+    * "dominant direction", not a full spectrum.
+    *
+    * Deterministic start (all-ones/√d) and deterministic arithmetic
+    * per partitioning; across partitionings the per-dim float sums
+    * carry association-order FP like every mean/centroid in this file
+    * → no_oracle driver lane, planted-direction recovery spec'd.
+    */
+  def pc1(e: DataFrame, dims0: Int = -1, iters: Int = 4): Pc1 = {
+    val dims = dimsOf(e, dims0)
+    val emb = e.select(col("embedding").cast("array<double>").as("x"))
+      .cache()
+    try {
+      val n = emb.count()
+      require(n > 0, "pc1: empty embedding set")
+      val sums = emb.select(posexplode(col("x")).as(Seq("d", "xv")))
+        .groupBy(col("d")).agg(sum(col("xv")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val mean = Array.tabulate(dims)(d => sums.getOrElse(d, 0.0) / n)
+      // total variance = E‖x‖² − ‖μ‖² (one corpus pass)
+      val e2 = emb.select(sum(Vectors.dot(col("x"), col("x"))).as("s"))
+        .head.getDouble(0) / n
+      val totVar = e2 - mean.map(m => m * m).sum
+      var v = Array.fill(dims)(1.0 / math.sqrt(dims))
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val vLit = typedLit(v.toSeq)
+        val muV = mean.zip(v).map { case (m, w) => m * w }.sum
+        val s = Vectors.dot(col("x"), vLit) - lit(muV)
+        val agg = emb.select(col("x"), s.as("s"))
+          .select(posexplode(col("x")).as(Seq("d", "xv")), col("s"))
+          .groupBy(col("d"))
+          .agg(sum(col("xv") * col("s")).as("num"), sum(col("s")).as("ssum"))
+          .collect()
+        val sTot = if (agg.isEmpty) 0.0 else agg.head.getDouble(2)
+        val raw = Array.tabulate(dims) { d =>
+          val row = agg.find(_.getInt(0) == d)
+          row.map(_.getDouble(1)).getOrElse(0.0) - sTot * mean(d)
+        }
+        val nrm = math.sqrt(raw.map(x => x * x).sum)
+        require(nrm > 1e-12, "pc1: degenerate direction (zero variance?)")
+        v = raw.map(_ / nrm)
+        // Rayleigh quotient: λ = ‖Σ sᵢ(xᵢ−μ)‖ / n at unit v
+        lambda = nrm / n
+      }
+      Pc1(v, lambda, totVar, n)
+    } finally emb.unpersist()
+  }
+
+  /** Driver contract `embed_pca`: ONE summary row — n, the dominant
+    * eigenvalue, total variance, the explained-variance ratio, and
+    * the index of the heaviest |loading| dim. Rows-checked
+    * (no_oracle: per-dim sums carry association-order FP); the
+    * planted-direction recovery floor is spec'd (SimilaritySpec).
+    */
+  def pcaSummary(spark: SparkSession, dir: String): DataFrame = {
+    val r = pc1(Tables.embeddings(spark, dir), dims0 = 64)
+    val top = r.v.map(math.abs).zipWithIndex.maxBy(x => (x._1, -x._2))._2
+    import spark.implicits._
+    Seq((r.n, BigDecimal(r.eigenvalue).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(r.totalVariance).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(r.eigenvalue / r.totalVariance).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      top.toLong))
+      .toDF("n", "eigenvalue", "total_variance", "evr", "top_dim")
+  }
 }

@@ -212,4 +212,54 @@ class DedupSpec extends GraftSpecBase {
     val bad = sigs.filter(col("sig") < 0L || col("sig") >= (1L << 60)).count()
     assert(bad == 0L)
   }
+
+  test("substringDupSpans recovers a shared 10-token span exactly") {
+    initLog()
+    // docs 1 and 2 share S1..S10 verbatim inside otherwise-unique
+    // text; doc 3 repeats an 8-window INTERNALLY only (df=1 -> no
+    // cross-doc duplication). n=8 windows of the 10-token span sit at
+    // offsets {0,1,2}; merged, they recover the span: 10 tokens.
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 S1 S2 S3 S4 S5 S6 S7 S8 S9 S10 b1 b2 b3 b4 b5"),
+      (2L, "c1 c2 c3 S1 S2 S3 S4 S5 S6 S7 S8 S9 S10 d1 d2 d3 d4 d5 d6 d7"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8 y1 y2 y3 y4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((20L, 1L, 10L, 0.5)))
+    assert(out(2L) == ((20L, 1L, 10L, 0.5)))
+    assert(out(3L) == ((20L, 0L, 0L, 0.0)))
+  }
+
+  test("substringDupSpans: disjoint shared spans stay separate islands") {
+    initLog()
+    // S and T spans shared, separated by unique gaps wider than n in
+    // both docs -> two spans of 10 tokens each per doc
+    val docs = Seq(
+      (4L, "S1 S2 S3 S4 S5 S6 S7 S8 S9 S10 e1 e2 e3 e4 e5 e6 e7 e8 e9 " +
+        "T1 T2 T3 T4 T5 T6 T7 T8 T9 T10"),
+      (5L, "S1 S2 S3 S4 S5 S6 S7 S8 S9 S10 f1 f2 f3 f4 f5 f6 f7 f8 f9 " +
+        "T1 T2 T3 T4 T5 T6 T7 T8 T9 T10")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // NOTE both docs also share the boundary windows? No: the 9-token
+    // unique gaps differ between the docs, so only the pure-S and
+    // pure-T windows are cross-doc; spans = exactly the two plants.
+    assert(out(4L) == ((2L, 20L)))
+    assert(out(5L) == ((2L, 20L)))
+  }
+
+  test("substringDupSpans: verbatim whole-doc copy has dup_ratio 1.0") {
+    initLog()
+    val docs = Seq(
+      (6L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (7L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (8L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(6L) == 1.0 && out(7L) == 1.0 && out(8L) == 0.0)
+  }
 }

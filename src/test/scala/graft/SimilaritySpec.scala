@@ -503,4 +503,56 @@ class SimilaritySpec extends GraftSpecBase {
     assert(row.getAs[Double]("max_distortion") >=
       row.getAs[Double]("mean_distortion"))
   }
+
+  test("pc1 recovers a planted dominant direction (cos >= 0.99)") {
+    initLog()
+    import spark.implicits._
+    // x_i = t_i * u + small isotropic noise, t_i in [-5, 5]: the
+    // covariance's top eigenvector IS u (up to sign)
+    val dims = 16
+    val rnd = new java.util.Random(11L)
+    val u0 = Array.fill(dims)(rnd.nextGaussian())
+    val un = math.sqrt(u0.map(x => x * x).sum)
+    val u = u0.map(_ / un)
+    val rows = (0 until 400).map { i =>
+      val t = (i % 101 - 50) / 10.0
+      val x = Array.tabulate(dims)(d =>
+        (t * u(d) + 0.05 * rnd.nextGaussian()).toFloat)
+      (i.toLong, x.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val r = Similarity.pc1(df, dims0 = dims, iters = 6)
+    val cos = math.abs(r.v.zip(u).map { case (a, b) => a * b }.sum)
+    assert(cos >= 0.99, s"cosine with planted direction = $cos")
+    // eigenvalue ~ Var(t) >> noise variance; evr near 1
+    assert(r.eigenvalue / r.totalVariance > 0.9,
+      s"evr = ${r.eigenvalue / r.totalVariance}")
+    assert(r.n == 400L)
+  }
+
+  test("pc1 centering: a constant offset does not change the direction") {
+    initLog()
+    import spark.implicits._
+    val dims = 8
+    val rows = (0 until 200).map { i =>
+      val t = (i - 100) / 20.0
+      // direction e0, offset +100 on every dim: uncentered moment
+      // would point at the all-ones diagonal; centered PCA must not
+      (i.toLong, Array.tabulate(dims)(d =>
+        (100.0 + (if (d == 0) t else 0.0)).toFloat).toSeq)
+    }
+    val r = Similarity.pc1(rows.toDF("vec_id", "embedding"),
+      dims0 = dims, iters = 5)
+    assert(math.abs(r.v(0)) > 0.999, s"v = ${r.v.mkString(",")}")
+  }
+
+  test("embed_pca driver lane: one sane summary row") {
+    initLog()
+    val row = Similarity.pcaSummary(spark, sf).head()
+    assert(row.getAs[Long]("n") > 0)
+    val ev = row.getAs[Double]("eigenvalue")
+    val tv = row.getAs[Double]("total_variance")
+    val evr = row.getAs[Double]("evr")
+    assert(ev > 0 && tv >= ev && evr > 0 && evr <= 1.0)
+  }
 }
