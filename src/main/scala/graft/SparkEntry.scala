@@ -212,6 +212,8 @@ object SparkEntry {
     "curate_dsir" -> ((s, d) => Importance.dsirSelect(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringProfile(s, d)),
     "embed_pca" -> ((s, d) => Similarity.pcaSummary(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containedDocuments(s, d)),
+    "curate_gopher" -> ((s, d) => TextAnalysis.gopherSummary(s, d)),
     "mix_token_budget" -> ((s, d) => Mixture.tokenBudgetMixture(s, d)),
     "sample_temperature" -> ((s, d) => Mixture.temperatureSample(s, d)),
     "graph_lpa" -> ((s, d) => Graph.supplierCommunities(s, d)))
@@ -1909,6 +1911,56 @@ object SparkEntry {
              AS BIGINT) AS n_kept
          FROM u JOIN r ON u.lang = r.lang
          GROUP BY 1, 2, 3, 4 ORDER BY r.lang""",
+    // containment (Broder's second measure): |A∩B| / min(|A|,|B|)
+    // over 4-token shingle sets — brute-force list_intersect oracle
+    // (the dedup_ngram_jaccard CTE with the asymmetric denominator)
+    "dedup_containment" ->
+      """WITH s AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 2),
+             i -> array_to_string(t[i:i+3], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 4) d)
+         SELECT id_a, id_b, common, containment FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               LEAST(len(a.sh), len(b.sh)), 6) AS containment
+           FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+         WHERE containment >= 0.9""",
+    // Gopher rules (Rae et al. 2021 A1.1): all integer/ratio
+    // arithmetic; mean word length EXACTLY as
+    // (chars - separators)/words — no per-token length sum needed
+    "curate_gopher" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1)
+             AS DOUBLE) / len(string_split(text, ' ')) AS mean_len
+           FROM documents),
+         e AS (SELECT doc_id,
+           SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]')
+             THEN 1 ELSE 0 END) AS n_alpha,
+           SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is',
+             'it','on','for') THEN 1 ELSE 0 END) AS n_stop
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents) GROUP BY 1),
+         f AS (SELECT b.doc_id,
+           (n_words >= 40 AND n_words <= 100000) AS f_wc,
+           (mean_len >= 3.0 AND mean_len <= 10.0) AS f_ml,
+           (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS f_al,
+           (n_stop >= 2) AS f_st
+           FROM b JOIN e ON b.doc_id = e.doc_id)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT f_wc THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_word_count,
+           CAST(SUM(CASE WHEN NOT f_ml THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_mean_len,
+           CAST(SUM(CASE WHEN NOT f_al THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_alpha,
+           CAST(SUM(CASE WHEN NOT f_st THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_stop,
+           CAST(SUM(CASE WHEN f_wc AND f_ml AND f_al AND f_st
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         FROM f""",
     // substring dedup (Lee et al. 2021) at window n=8: the oracle
     // joins on gram TEXT where graft joins on the 128-bit shingle
     // hash — the ~2^-128 collision basis of the hash-keyed family.

@@ -468,4 +468,56 @@ object Dedup {
     */
   def substringProfile(spark: SparkSession, dir: String): DataFrame =
     substringDupSpans(Tables.documents(spark, dir), n = 8)
+
+  /** CONTAINMENT near-dup pairs (Broder 1997's second resemblance
+    * measure): C = |A∩B| / min(|A|,|B|) over n-token shingle sets —
+    * the asymmetric relation [[ngramJaccardPairs]] cannot see. A doc
+    * quoted whole inside a much larger one has Jaccard ≈ |A|/|B| ≈ 0
+    * but containment ≈ 1; it is the right lens for quote extraction,
+    * wrapper pages, and forum-thread accretion, where the duplicated
+    * unit is one side's entirety.
+    *
+    * Same inverted-index shape as Jaccard — 128-bit ShingleWindows
+    * keys, single-doc shingles dropped before the self-join — but the
+    * size-ratio prune is structurally UNAVAILABLE (any size gap can
+    * still contain: that asymmetry is the point), so the skew guard
+    * does the bounding instead: `maxDf` caps the per-shingle fan-out
+    * exactly as the LSH family's mega-bucket guard does, with the
+    * same stated recall trade (shingles shared by > maxDf docs stop
+    * generating candidate pairs).
+    */
+  def containmentPairs(docs: DataFrame,
+      n: Int = 4, tau: Double = 0.9,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val toks = split(col("text"), " ")
+    val ex = Par.ensure(docs)
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"),
+        column(graft.functions.ShingleWindows(expression(toks), n)).as("hp"))
+      .select(col("doc_id"), size(col("hp")).as("sz"),
+        explode(col("hp")).as("p"))
+      .select(col("doc_id"), col("sz"),
+        col("p.h1").as("h1"), col("p.h2").as("h2"))
+    val shared = ex.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h1"), col("h2"))))
+      .filter(col("df") > 1 && col("df") <= maxDf).drop("df")
+    shared.as("x").join(shared.as("y"),
+        col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment", round(col("common").cast("double") /
+        least(col("sz_a"), col("sz_b")), 6))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("common"), col("containment"))
+  }
+
+  /** Driver contract `dedup_containment`: ≥0.9-contained pairs of the
+    * corpus at 4-token shingles — the quoted/wrapped-document finder.
+    */
+  def containedDocuments(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir))
 }

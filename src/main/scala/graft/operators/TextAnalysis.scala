@@ -637,4 +637,66 @@ object TextAnalysis {
         round(col("num").cast("double") /
           (col("n_tokens") * (col("n_tokens") - 1)), 6).as("simpson"))
   }
+
+  /** Gopher quality-rule flags (Rae et al. 2021, app. A1.1 — the
+    * rule set MassiveWeb was filtered with, and the baseline every
+    * later corpus paper cites): per-doc booleans for
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [minMeanLen, maxMeanLen] — computed
+    *    EXACTLY as (chars − separators)/words, no token explode:
+    *    for single-space splitting, Σ|token| ≡ length(text)−(n−1);
+    *  - ≥ minAlphaFrac of words containing an alphabetic character;
+    *  - ≥ minStopHits occurrences from the shared [[StopWords]] list
+    *    (the paper's "2 of a stop-word set" ersatz-LM-quality rule).
+    * All integer/ratio arithmetic (one correctly-rounded division per
+    * ratio) — bit-reproducible cross-engine, full oracle. The only
+    * shuffle is the per-doc token aggregate for the alpha/stopword
+    * counts; everything else is map-side column algebra.
+    */
+  def gopherFlags(docs: DataFrame,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Long = 2L): DataFrame = {
+    val tk = split(col("text"), " ")
+    val base = docs.select(col("doc_id"),
+      size(tk).cast("long").as("n_words"),
+      ((length(col("text")) - (size(tk) - 1)).cast("double") /
+        size(tk).cast("double")).as("mean_len"))
+    val perTok = docs
+      .select(col("doc_id"), explode(tk).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("t").rlike("[a-zA-Z]"), 1L).otherwise(0L))
+          .as("n_alpha"),
+        sum(when(col("t").isin(StopWords: _*), 1L).otherwise(0L))
+          .as("n_stop"))
+    base.join(perTok, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("f_word_count"),
+        (col("mean_len") >= minMeanLen && col("mean_len") <= maxMeanLen)
+          .as("f_mean_len"),
+        (col("n_alpha").cast("double") / col("n_words").cast("double")
+          >= minAlphaFrac).as("f_alpha"),
+        (col("n_stop") >= minStopHits).as("f_stop"))
+      .withColumn("f_pass",
+        col("f_word_count") && col("f_mean_len") &&
+          col("f_alpha") && col("f_stop"))
+  }
+
+  /** Driver contract `curate_gopher`: ONE summary row — corpus size,
+    * per-rule violation counts, and the pass count — at the published
+    * bounds except minWords = 40 (the paper's 50 would reject most of
+    * a ~60-token synthetic corpus for length alone and mask the other
+    * rules; 40 keeps every rule live: 169 length + 112 stopword
+    * violations at sf0.01).
+    */
+  def gopherSummary(spark: SparkSession, dir: String): DataFrame =
+    gopherFlags(Tables.documents(spark, dir), minWords = 40L)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("f_word_count"), 1L).otherwise(0L))
+          .as("fail_word_count"),
+        sum(when(!col("f_mean_len"), 1L).otherwise(0L)).as("fail_mean_len"),
+        sum(when(!col("f_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+        sum(when(!col("f_stop"), 1L).otherwise(0L)).as("fail_stop"),
+        sum(when(col("f_pass"), 1L).otherwise(0L)).as("n_pass"))
 }

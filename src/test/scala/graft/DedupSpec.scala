@@ -251,6 +251,39 @@ class DedupSpec extends GraftSpecBase {
     assert(out(5L) == ((2L, 20L)))
   }
 
+  test("containmentPairs: full quote scores 1.0 where Jaccard stays low") {
+    initLog()
+    // doc 11 (12 tokens) quoted whole inside doc 12 (32 tokens):
+    // every 4-shingle of 11 appears in 12 -> containment 1.0, while
+    // Jaccard = 9/29 ~ 0.31 (the asymmetric case the operator exists
+    // for). doc 13 shares nothing.
+    val quote = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    val docs = Seq(
+      (11L, quote),
+      (12L, "h1 h2 h3 h4 h5 h6 h7 h8 h9 h10 " + quote +
+        " t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (13L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, n = 4, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((11L, 12L, 9L, 1.0)))
+    // and the Jaccard lane rightly does NOT pair them at tau 0.5
+    val jac = Dedup.ngramJaccardPairs(docs, n = 4, tau = 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("containmentPairs: partial overlap below tau is dropped") {
+    initLog()
+    // 4 of 9 shingles shared -> containment 4/9 < 0.9
+    val docs = Seq(
+      (21L, "s1 s2 s3 s4 s5 s6 s7 a1 a2 a3 a4 a5"),
+      (22L, "s1 s2 s3 s4 s5 s6 s7 b1 b2 b3 b4 b5")
+    ).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(docs, n = 4, tau = 0.9).count() == 0L)
+    val loose = Dedup.containmentPairs(docs, n = 4, tau = 0.4).collect()
+    assert(loose.length == 1 && loose.head.getDouble(3) < 0.5)
+  }
+
   test("substringDupSpans: verbatim whole-doc copy has dup_ratio 1.0") {
     initLog()
     val docs = Seq(

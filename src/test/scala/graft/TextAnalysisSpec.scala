@@ -313,4 +313,48 @@ class TextAnalysisSpec extends GraftSpecBase {
     // every emitted lift is positive and finite
     assert(out.forall(r => r.getAs[Double]("lift") > 0))
   }
+
+  test("gopherFlags: each rule fires on its designed violator only") {
+    initLog()
+    val docs = Seq(
+      // passes all: 6 words, mean len (29-5)/6=4.0, all alpha, 2 stops
+      (1L, "the cat sat on a mattress"),
+      // too short (3 words)
+      (2L, "the a word"),
+      // mean word length too high (one 60-char token: 70/6 > 10)
+      (3L, "the a " + "x" * 60 + " be cd ef"),
+      // alpha ratio: 3 of 6 tokens numeric -> 0.5 < 0.8 (mean 24/6=4)
+      (4L, "the a 11111 22222 33333 wordy"),
+      // no stopwords at all
+      (5L, "cats sit under warm blankets quietly")
+    ).toDF("doc_id", "text")
+    val f = TextAnalysis.gopherFlags(docs, minWords = 4L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(f(1L) == ((true, true, true, true, true)))
+    assert(f(2L)._1 == false && f(2L)._5 == false)
+    assert(f(3L)._2 == false, s"doc3 flags ${f(3L)}")
+    assert(f(4L)._3 == false)
+    assert(f(5L)._4 == false)
+    // designed violators fail ONLY their rule (word-count doc aside,
+    // short docs can also trip ratios — doc 2 keeps stop hits >= 2)
+    assert(f(3L)._1 && f(3L)._4)
+    assert(f(4L)._1 && f(4L)._2 && f(4L)._4)
+    assert(f(5L)._1 && f(5L)._2 && f(5L)._3)
+  }
+
+  test("curate_gopher summary: counts reconcile at sf") {
+    initLog()
+    val row = TextAnalysis.gopherSummary(spark, sf).head()
+    val n = row.getAs[Long]("n_docs")
+    assert(n > 0)
+    assert(row.getAs[Long]("n_pass") <= n)
+    // every failure count is within [0, n]
+    Seq("fail_word_count", "fail_mean_len", "fail_alpha", "fail_stop")
+      .foreach { c =>
+        val v = row.getAs[Long](c)
+        assert(v >= 0 && v <= n, s"$c = $v")
+      }
+  }
 }
