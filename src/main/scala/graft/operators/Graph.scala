@@ -326,10 +326,13 @@ object Graph {
     * same lineage discipline as [[pageRank]].
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    // partitioned by NBR — the per-round join key — so the cached
+    // edge layout is exchange-free in every round's labels join; only
+    // node-sized label/count frames move after round 0
     val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
       .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))
       .distinct()
-      .repartition(col("node")).cache()
+      .repartition(col("nbr")).cache()
     var labels = sym.select(col("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
