@@ -335,20 +335,25 @@ object Graph {
       .repartition(col("nbr")).cache()
     var labels = sym.select(col("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    for (_ <- 1 to rounds) {
-      val nbrLabels = sym.join(
-        labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
-      val adopted = nbrLabels.groupBy(col("node"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("node"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("neg")))
-          .as("best"))
-        .select(col("node"), (-col("best.neg")).as("label"))
-      labels = adopted.localCheckpoint(eager = true)
-    }
+    for (_ <- 1 to rounds)
+      labels = lpaRound(sym, labels).localCheckpoint(eager = true)
     sym.unpersist()
     labels
   }
+
+  /** One synchronous LPA round: every node adopts the most frequent
+    * neighbor label, ties toward the smallest (argmax via
+    * `max(struct(cnt, −label))` — no window sort). Exposed for the
+    * plan-shape spec: `sym` must arrive partitioned by `nbr` so the
+    * join consumes the cached layout with no exchange.
+    */
+  private[graft] def lpaRound(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym.join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+      .groupBy(col("node"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("node"))
+      .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
+      .select(col("node"), (-col("best.neg")).as("label"))
 
   /** Driver contract `graph_lpa`: communities of the supplier
     * co-service graph after 3 synchronous rounds, reported as

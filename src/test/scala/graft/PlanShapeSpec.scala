@@ -658,4 +658,79 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(countNodes(plan(df), _.isInstanceOf[BroadcastExchangeExec]) >= 1,
       ns.mkString(","))
   }
+
+  test("DSIR: weight table broadcasts, top-k is a TakeOrdered") {
+    initLog()
+    val df = Importance.dsirSelect(spark, sf)
+    df.collect()
+    val ns = names(df)
+    // vocab-sized weights and the 100-row winner set broadcast; the
+    // corpus-wide ranking is TakeOrderedAndProject, never a global
+    // sort of the scored corpus; no nested-loop beyond the ONE-row
+    // totals cross join
+    assert(countNodes(plan(df), _.isInstanceOf[BroadcastExchangeExec]) >= 2,
+      ns.mkString(","))
+    assert(ns.exists(_.startsWith("TakeOrdered")), ns.mkString(","))
+    assert(ns.count(_.startsWith("BroadcastNestedLoopJoin")) <= 1,
+      ns.mkString(","))
+  }
+
+  test("substring dedup: no shuffle carries a string column") {
+    initLog()
+    val df = Dedup.substringDupSpans(
+      graft.sources.Tables.documents(spark, sf), n = 8)
+    df.collect()
+    // gram text exists only inside map stages (scan -> hash); every
+    // KEYED exchange ships (doc_id, pos, h1, h2)-shaped rows — the
+    // de-stringified-shuffle doctrine (r9 text_collocations lesson).
+    // Par.ensure's RoundRobin spreaders legitimately carry text (they
+    // move the pre-explode corpus to idle cores) and are excluded.
+    val stringShuffles = allNodes(plan(df))
+      .collect { case e: ShuffleExchangeExec => e }
+      .filterNot(_.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+      .filter(_.output.exists(_.dataType ==
+        org.apache.spark.sql.types.StringType))
+    assert(stringShuffles.isEmpty,
+      stringShuffles.map(_.output.map(_.name).mkString("[", ",", "]"))
+        .mkString(";"))
+  }
+
+  test("LPA: the cached edge layout feeds every round's join with no " +
+      "exchange") {
+    initLog()
+    import org.apache.spark.sql.functions.col
+    val edges = graft.operators.Graph.supplierCoEdges(spark, sf,
+      minShared = 2)
+    // the operator's own layout: symmetric, distinct, partitioned by
+    // the round-join key, cached (labelPropagation's loop body is
+    // lpaRound over exactly this frame — the checkpoint in the public
+    // API truncates the visible plan, so the spec drives the round)
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .distinct().repartition(col("nbr")).cache()
+    try {
+      sym.count()
+      val labels = sym.select(col("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      val df = Graph.lpaRound(sym, labels)
+      df.collect()
+      // path from the nearest join DOWN to the in-memory edge scan
+      // must be exchange-free: the cache is partitioned by nbr, the
+      // round join's key — if an Exchange re-appears here, every
+      // round reshuffles the edge list (the cost the partitioning
+      // exists to kill). Labels/count frames still shuffle
+      // (node-sized, expected).
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanLike
+      val above = nodesAbove(plan(df),
+        _.isInstanceOf[InMemoryTableScanLike])
+      assert(above.nonEmpty, names(df).mkString(","))
+      val lastJoinIdx = above.lastIndexWhere(n =>
+        n.nodeName.contains("Join"))
+      assert(lastJoinIdx >= 0, above.map(_.nodeName).mkString(","))
+      val between = above.drop(lastJoinIdx + 1)
+      assert(!between.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        above.map(_.nodeName).mkString(","))
+    } finally sym.unpersist()
+  }
 }
