@@ -214,6 +214,7 @@ object SparkEntry {
     "embed_pca" -> ((s, d) => Similarity.pcaSummary(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containedDocuments(s, d)),
     "curate_gopher" -> ((s, d) => TextAnalysis.gopherSummary(s, d)),
+    "text_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     "mix_token_budget" -> ((s, d) => Mixture.tokenBudgetMixture(s, d)),
     "sample_temperature" -> ((s, d) => Mixture.temperatureSample(s, d)),
     "graph_lpa" -> ((s, d) => Graph.supplierCommunities(s, d)))
@@ -1911,6 +1912,20 @@ object SparkEntry {
              AS BIGINT) AS n_kept
          FROM u JOIN r ON u.lang = r.lang
          GROUP BY 1, 2, 3, 4 ORDER BY r.lang""",
+    // Shannon entropy H = log2(N) - SUM(c*log2(c))/N: c and N exact
+    // integers, per-doc sums have <= n_types terms, so the <=1-ulp
+    // log2 divergence reaching ROUND(6) is ~1e-14 — exact in
+    // practice (the curate_dsir FP argument at smaller magnitudes)
+    "text_entropy" ->
+      """WITH c AS (SELECT doc_id, tok, COUNT(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents) GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           ROUND(log2(CAST(SUM(c) AS DOUBLE)) -
+             SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) /
+             CAST(SUM(c) AS DOUBLE), 6) AS entropy
+         FROM c GROUP BY doc_id""",
     // containment (Broder's second measure): |A∩B| / min(|A|,|B|)
     // over 4-token shingle sets — brute-force list_intersect oracle
     // (the dedup_ngram_jaccard CTE with the asymmetric denominator)

@@ -638,6 +638,45 @@ object TextAnalysis {
           (col("n_tokens") * (col("n_tokens") - 1)), 6).as("simpson"))
   }
 
+  /** Shannon token entropy per document — the information-density
+    * twin of [[simpsonDiversity]]: H = log2(N) − Σ c·log2(c)/N over
+    * the per-type counts c (equivalently −Σ p·log2 p). Low entropy =
+    * repetitive/template text, the classic "junk or boilerplate"
+    * quality signal next to Gopher's structural rules.
+    *
+    * Same hash-keyed counting as Simpson (128-bit ShingleHashes(1)
+    * keys — no token strings in the shuffle; two nested map-combined
+    * aggregates, one corpus shuffle). FP contract: c and N are exact
+    * integers, log2 differs cross-engine by ≤1 ulp, and a per-doc sum
+    * has ≤ n_types terms — the divergence reaching the ROUND(6) is
+    * ~1e-14, five orders below the rounding boundary (the curate_dsir
+    * argument at smaller magnitudes), so the oracle stays exact in
+    * practice where text_fluency's corpus-sized log-sums could not.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropy(Tables.documents(spark, dir))
+
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val toks = split(col("text"), " ")
+    val keys = arrays_zip(
+      column(graft.functions.ShingleHashes(expression(toks), 1, 0)).as("h1"),
+      column(graft.functions.ShingleHashes(expression(toks), 1, 1)).as("h2"))
+    Par.ensure(docs)
+      .filter(size(split(col("text"), " ")) >= 1)
+      .select(col("doc_id"), explode(keys).as("k"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log2(col("c").cast("double")))
+          .as("clc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(log2(col("n_tokens").cast("double")) -
+          col("clc") / col("n_tokens").cast("double"), 6).as("entropy"))
+  }
+
   /** Gopher quality-rule flags (Rae et al. 2021, app. A1.1 — the
     * rule set MassiveWeb was filtered with, and the baseline every
     * later corpus paper cites): per-doc booleans for

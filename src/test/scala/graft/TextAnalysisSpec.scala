@@ -314,6 +314,25 @@ class TextAnalysisSpec extends GraftSpecBase {
     assert(out.forall(r => r.getAs[Double]("lift") > 0))
   }
 
+  test("tokenEntropy: degenerate, uniform, and hand-computed cases") {
+    initLog()
+    val docs = Seq(
+      (1L, "same same same same"),          // H = 0
+      (2L, "a b c d e f g h"),              // uniform 8 -> H = 3
+      (3L, "a a b b"),                      // H = 1
+      (4L, "a a a b")                       // H = 2 - 3*log2(3)/4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.0)))
+    assert(out(2L) == ((8L, 8L, 3.0)))
+    assert(out(3L) == ((4L, 2L, 1.0)))
+    val h4 = BigDecimal(2.0 - 3.0 * (math.log(3.0) / math.log(2.0)) / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(4L)._3 - h4) < 2e-6, s"got ${out(4L)._3} want $h4")
+  }
+
   test("gopherFlags: each rule fires on its designed violator only") {
     initLog()
     val docs = Seq(
