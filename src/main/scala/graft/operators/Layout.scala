@@ -60,4 +60,37 @@ object Layout {
         min(col("l_suppkey")).as("min_supp"),
         max(col("l_suppkey")).as("max_supp"))
   }
+
+  /** Small-files compaction (the Delta/Iceberg OPTIMIZE bin-packing
+    * analog): rewrite a fragmented parquet directory into
+    * ≈ targetFileBytes files. Streaming sinks and fine-grained
+    * ingests leave thousands of KB-scale files per partition; at
+    * 100 TB the resulting driver-side listing and per-file task
+    * overhead dominate scan time long before the bytes do.
+    *
+    * File count derives from the directory's ACTUAL bytes
+    * (`ceil(inputBytes / targetFileBytes)`, floor 1); the rewrite is
+    * one RoundRobin repartition — even output sizes by construction,
+    * no sampling pass, no sort (use [[clusterByZ]] first when the
+    * table also wants zone-pruning order; compaction preserves any
+    * within-partition order it is given). Returns the file count it
+    * wrote. Parquet-size inflation vs raw bytes is bounded by the
+    * source being parquet too — targets are honored within codec
+    * variance, which is what OPTIMIZE promises as well.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "compact: targetFileBytes must be > 0")
+    def bytes(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
+    val total = bytes(new java.io.File(
+      inPath.stripPrefix("file:")))
+    val nFiles = math.max(1,
+      math.ceil(total.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }

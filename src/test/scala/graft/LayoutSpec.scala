@@ -47,4 +47,60 @@ class LayoutSpec extends GraftSpecBase {
     assert(plan.contains("rangepartitioning(zval"), plan.take(500))
     assert(plan.contains("Sort [zval"), plan.take(500))
   }
+
+  test("compact: fragmented dir rewrites to the byte-derived file count") {
+    initLog()
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    try {
+      // fragment: 40 partitions over 4000 rows -> 40 tiny files
+      (0L until 4000L).toDF("id").repartition(40)
+        .write.parquet(in)
+      val inFiles = new java.io.File(in).listFiles
+        .count(_.getName.endsWith(".parquet"))
+      assert(inFiles == 40, s"fixture wrote $inFiles files")
+      def dirBytes(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+      val total = dirBytes(new java.io.File(in))
+      val target = total / 4 // expect ceil(total/(total/4)) ≈ 4-5 files
+      val n = Layout.compact(spark, in, out, targetFileBytes = target)
+      val outFiles = new java.io.File(out).listFiles
+        .count(_.getName.endsWith(".parquet"))
+      assert(outFiles == n, s"reported $n, wrote $outFiles")
+      assert(n >= 4 && n <= 5, s"n = $n for total=$total target=$target")
+      // row parity and content parity
+      val a = spark.read.parquet(in).as[Long].collect().sorted
+      val b = spark.read.parquet(out).as[Long].collect().sorted
+      assert(a.toSeq == b.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(base.toFile)
+    }
+  }
+
+  test("compact floors at one file and rejects nonsense targets") {
+    initLog()
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact2-")
+    try {
+      val in = base.resolve("in").toString
+      val out = base.resolve("out").toString
+      (0L until 10L).toDF("id").repartition(5).write.parquet(in)
+      val n = Layout.compact(spark, in, out,
+        targetFileBytes = Long.MaxValue)
+      assert(n == 1)
+      assertThrows[IllegalArgumentException](
+        Layout.compact(spark, in, out, targetFileBytes = 0L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(base.toFile)
+    }
+  }
 }
