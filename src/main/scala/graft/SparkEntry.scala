@@ -2013,16 +2013,23 @@ object SparkEntry {
            ROUND(CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE) /
              len(string_split(d.text, ' ')), 6) AS dup_ratio
          FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
-    // synchronous LPA unrolled 3 rounds: row_number (cnt DESC, label
-    // ASC) = Spark's max(struct(cnt, -label)) argmax; MATERIALIZED
-    // stops DuckDB re-inlining each round's CTE into the next
+    // synchronous LPA unrolled 3 rounds over the union-kNN(8) graph:
+    // row_number (cnt DESC, label ASC) = Spark's
+    // max(struct(cnt, -label)) argmax; MATERIALIZED stops DuckDB
+    // re-inlining each round's CTE into the next
     "graph_lpa" ->
       """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
                      WHERE l_orderkey % 5 = 0),
-         e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+         p AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS n
                FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
                  AND a.l_suppkey < b.l_suppkey
-               GROUP BY 1, 2 HAVING COUNT(*) >= 9),
+               GROUP BY 1, 2),
+         d AS (SELECT u, v, n FROM p UNION ALL SELECT v, u, n FROM p),
+         rk AS (SELECT u, v FROM (SELECT u, v, ROW_NUMBER() OVER
+                  (PARTITION BY u ORDER BY n DESC, v) AS rn FROM d)
+                WHERE rn <= 8),
+         e AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+               FROM rk),
          adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
                               UNION SELECT v, u FROM e),
          l0 AS (SELECT DISTINCT node, node AS label FROM adj),

@@ -355,19 +355,48 @@ object Graph {
       .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
       .select(col("node"), (-col("best.neg")).as("label"))
 
-  /** Driver contract `graph_lpa`: communities of the supplier
-    * co-service graph after 3 synchronous rounds, reported as
-    * (community, n_members) — the oracle replays the unrolled
+  /** Union-kNN co-service graph: each supplier keeps its k heaviest
+    * co-partners (shared-order count, ties → smaller id), an
+    * undirected edge exists where EITHER endpoint kept the other —
+    * the standard community-detection prep (kNN graphs), chosen over
+    * a fixed `minShared` floor because the density is
+    * SCALE-INDEPENDENT by construction: a count threshold that cuts
+    * 100 suppliers into neighborhoods leaves 1000 suppliers with an
+    * empty (or complete) graph, while top-k stays ≤ k·|nodes| edges
+    * at every corpus size. Fully deterministic (integer counts,
+    * id tie-breaks) — exact cross-engine oracle.
+    */
+  def supplierKnnEdges(spark: SparkSession, dir: String,
+      sampleMod: Int = 5, k: Int = 8): DataFrame = {
+    val sl = Tables.lineitem(spark, dir)
+      .filter(pmod(col("l_orderkey"), lit(sampleMod)) === 0)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val p = sl.as("a").join(sl.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val directed = p.unionByName(
+      p.select(col("v").as("u"), col("u").as("v"), col("n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("n").desc, col("v"))
+    directed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+  }
+
+  /** Driver contract `graph_lpa`: communities of the union-kNN(8)
+    * supplier co-service graph after 3 synchronous rounds, reported
+    * as (community, n_members) — the oracle replays the unrolled
     * recurrence (row_number argmax = the same (cnt DESC, label ASC)
-    * tie-break). minShared = 9: the default-2 graph is near-complete
-    * at driver scale (4.6 k edges over 100 suppliers) and LPA rightly
-    * collapses it to one community; the ≥9-recurring-orders cut
-    * (237 edges) has real neighborhood structure — 15 communities
-    * after 3 rounds — so the lane actually exercises the frequency
-    * argmax, not just the flood fill.
+    * tie-break). The kNN graph keeps the lane non-degenerate at
+    * EVERY scale (7 communities at sf0.01, 58 at sf0.1 — a fixed
+    * count floor was either complete or empty depending on SF).
     */
   def supplierCommunities(spark: SparkSession, dir: String): DataFrame =
-    labelPropagation(supplierCoEdges(spark, dir, minShared = 9), rounds = 3)
+    labelPropagation(supplierKnnEdges(spark, dir), rounds = 3)
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("community"))

@@ -289,6 +289,20 @@ class GraphSpec extends GraftSpecBase {
     assert(a == b)
   }
 
+  test("supplierKnnEdges: bounded density, canonical undirected form") {
+    initLog()
+    val e = Graph.supplierKnnEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.nonEmpty)
+    // canonical (u < v), no duplicates
+    assert(e.forall { case (u, v) => u < v })
+    assert(e.distinct.length == e.length)
+    // union-kNN density bound: |E| <= k * |V| (each node CONTRIBUTES
+    // at most k picks; union can only merge picks, never add)
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.length
+    assert(e.length <= 8 * nodes, s"${e.length} edges over $nodes nodes")
+  }
+
   test("labelPropagation universe is the edge endpoints; star adopts hub-min") {
     initLog()
     // star: hub 10 with leaves 11..14 — every leaf sees only the hub
