@@ -229,11 +229,18 @@ object Bench {
       .getOrElse((40 to 0 by -5).iterator
         .map(n => line(queriesJson(headline.take(n), 1)))
         .find(_.length <= 1600).get)
-    println(stdoutLine)
+    // JSON line LAST — after spark.stop() and cleanup, nothing can
+    // log over it. A stopped stream's killed micro-batch tasks flush
+    // their "Aborted commit" ERRORs asynchronously for a beat after
+    // awaitTermination returns; one backlogged 32-partition batch is
+    // ~800 such lines, which (printed after the JSON) crowded the
+    // driver's 2000-char tail capture in a measured r10 run. stop()
+    // joins every local task thread, so printing after it is the
+    // ordering guarantee, not a race mitigation.
     spark.stop()
     // the session (and its async checkpoint file manager) is down —
-    // deleting the stream temp dirs is now safe and silent, and any
-    // surprise would print AFTER the parsed JSON line anyway
+    // deleting the stream temp dirs is now safe and silent
     deferredTmps.foreach(deleteRecursively)
+    println(stdoutLine)
   }
 }
