@@ -210,13 +210,27 @@ object Bench {
     // runs, loadavg measures the bench's own local[N] threads, so an
     // end sample would flag every healthy run.
     val noisy = loadavg > 4.0
-    def line(qs: String) =
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"stream_rows_per_sec":${fmt(streamRps, 0)},"stream_rows_per_sec_stateful":${fmt(streamRpsStateful, 0)},"loadavg":${fmt(loadavg, 2)},"noisy":$noisy,"full":"bench_full.json","sf":"$sfDir"}"""
+    def line(qs: String, extra: String = "") =
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"stream_rows_per_sec":${fmt(streamRps, 0)},"stream_rows_per_sec_stateful":${fmt(streamRpsStateful, 0)},"loadavg":${fmt(loadavg, 2)},"noisy":$noisy,"full":"bench_full.json","sf":"$sfDir"$extra}"""
+    // Round-over-round trend in ONE artifact (r10 VERDICT item 8): the
+    // per-query map of the bench_full.json being REPLACED rides the
+    // new file as "prev", so a regression diff reads off a single
+    // artifact instead of two git revisions. Jackson is already on the
+    // Spark classpath; any read/parse failure degrades to {} — the
+    // trend field must never cost a run its result.
+    val prevJson = try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      if (java.nio.file.Files.exists(p)) {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readAllBytes(p))
+        Option(root.get("queries")).map(_.toString).getOrElse("{}")
+      } else "{}"
+    } catch { case _: Throwable => "{}" }
     // Full map (4-decimal) to the file artifact; headline map
     // (3-decimal) to stdout, with a hard 1600-char guard: should
     // the headline set ever outgrow the tail budget, drop precision
     // rather than ship another unparseable round.
-    val fullLine = line(queriesJson(results, 4))
+    val fullLine = line(queriesJson(results, 4), s""","prev":$prevJson""")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -239,8 +253,12 @@ object Bench {
     // ordering guarantee, not a race mitigation.
     spark.stop()
     // the session (and its async checkpoint file manager) is down —
-    // deleting the stream temp dirs is now safe and silent
-    deferredTmps.foreach(deleteRecursively)
+    // deleting the stream temp dirs is now safe and silent. The WHOLE
+    // sweep is guarded, not just the per-file delete: an exception out
+    // of isDirectory/listFiles (SecurityException, a racing unmount)
+    // must not stand between the run and its one result line.
+    try deferredTmps.foreach(deleteRecursively)
+    catch { case _: Throwable => () }
     println(stdoutLine)
   }
 }

@@ -90,12 +90,41 @@ object GraftSession {
     */
   def dataSizedPartitions(dataDir: String, cores: Int,
       bytesPerPartition: Long = 32L << 20): Int = {
-    def bytes(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
-    val total = try bytes(new java.io.File(dataDir)) catch {
+    // the scheme guard's failure must PROPAGATE — an hdfs://-sized-to-
+    // cores session is exactly the silent misconfiguration it exists
+    // to prevent; only walk errors (missing/unreadable LOCAL dirs)
+    // keep the pre-r10 cores fallback
+    val total = try localInputBytes(dataDir) catch {
+      case e: IllegalArgumentException => throw e
       case _: Throwable => 0L
     }
     math.max(cores, math.ceil(total.toDouble / bytesPerPartition).toInt)
+  }
+
+  /** Total bytes under a LOCAL directory tree — the sandbox stand-in
+    * for the Hadoop FileSystem's `getContentSummary`. Fails LOUD on a
+    * non-local URI scheme (`hdfs://`, `s3a://`, …): a `java.io.File`
+    * walk over a remote URI silently returns 0 bytes, and every
+    * caller here turns 0 into a wrong-but-plausible default (cores
+    * for [[dataSizedPartitions]], 1 output file for `Layout.compact`)
+    * — the misconfiguration must be an error, not a slow job.
+    * `parquetOnly` restricts the sum to `*.parquet` data files
+    * (sidecars — `_SUCCESS`, `.crc` — excluded), the form file-count
+    * derivation wants.
+    */
+  def localInputBytes(path: String, parquetOnly: Boolean = false): Long = {
+    val scheme = try Option(new java.net.URI(path).getScheme) catch {
+      case _: Exception => None // not a parseable URI — a plain local path
+    }
+    require(scheme.forall(_ == "file"),
+      s"localInputBytes: non-local scheme '${scheme.getOrElse("")}' in " +
+        s"'$path' — the local-fs walk cannot size remote data; on a " +
+        "cluster ask the Hadoop FileSystem (FileSystem.get(uri, conf)" +
+        ".getContentSummary) instead")
+    def bytes(f: java.io.File): Long =
+      if (f.isFile) {
+        if (!parquetOnly || f.getName.endsWith(".parquet")) f.length() else 0L
+      } else Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
+    bytes(new java.io.File(path.stripPrefix("file:")))
   }
 }

@@ -81,11 +81,17 @@ object Layout {
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0, "compact: targetFileBytes must be > 0")
-    def bytes(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
-    val total = bytes(new java.io.File(
-      inPath.stripPrefix("file:")))
+    // spark.read is LAZY: an overwrite into the input directory would
+    // delete the source before it is fully read — refuse up front
+    require(
+      new java.io.File(outPath.stripPrefix("file:")).getCanonicalPath !=
+        new java.io.File(inPath.stripPrefix("file:")).getCanonicalPath,
+      s"compact: outPath must differ from inPath ($inPath) — " +
+        "write.mode(overwrite) would destroy the input mid-read")
+    // parquetOnly: the target file count derives from DATA bytes —
+    // _SUCCESS/.crc sidecars don't survive the rewrite and must not
+    // inflate it. Non-local schemes fail loud (see localInputBytes).
+    val total = graft.GraftSession.localInputBytes(inPath, parquetOnly = true)
     val nFiles = math.max(1,
       math.ceil(total.toDouble / targetFileBytes).toInt)
     spark.read.parquet(inPath)

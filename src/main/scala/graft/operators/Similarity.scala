@@ -1176,15 +1176,28 @@ object Similarity {
     val emb = e.select(col("embedding").cast("array<double>").as("x"))
       .cache()
     try {
-      val n = emb.count()
+      // one stats pass: n, length uniformity, E‖x‖². The per-dim-sum
+      // formulation below is only correct when every dim group holds
+      // every row exactly once — a ragged corpus (mixed-dims append,
+      // null-padded rows) would silently skew the mean correction and
+      // make totalVariance inconsistent with the dims-confined
+      // direction, so non-uniform lengths are an ERROR, not a skew
+      val stats = emb.agg(count(lit(1)).as("n"),
+          min(size(col("x"))).as("lo"), max(size(col("x"))).as("hi"),
+          sum(Vectors.dot(col("x"), col("x"))).as("ssq"))
+        .head
+      val n = stats.getLong(0)
       require(n > 0, "pc1: empty embedding set")
+      require(stats.getInt(1) == dims && stats.getInt(2) == dims,
+        s"pc1: ragged embeddings — array lengths span " +
+          s"[${stats.getInt(1)}, ${stats.getInt(2)}] but the direction " +
+          s"is computed over dims=$dims; uniform length is required")
       val sums = emb.select(posexplode(col("x")).as(Seq("d", "xv")))
         .groupBy(col("d")).agg(sum(col("xv")).as("s"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       val mean = Array.tabulate(dims)(d => sums.getOrElse(d, 0.0) / n)
-      // total variance = E‖x‖² − ‖μ‖² (one corpus pass)
-      val e2 = emb.select(sum(Vectors.dot(col("x"), col("x"))).as("s"))
-        .head.getDouble(0) / n
+      // total variance = E‖x‖² − ‖μ‖² (rode the stats pass)
+      val e2 = stats.getDouble(3) / n
       val totVar = e2 - mean.map(m => m * m).sum
       var v = Array.fill(dims)(1.0 / math.sqrt(dims))
       var lambda = 0.0

@@ -284,6 +284,32 @@ class DedupSpec extends GraftSpecBase {
     assert(loose.length == 1 && loose.head.getDouble(3) < 0.5)
   }
 
+  test("containmentPairs: the shipped default maxDf drops the mega-shingle " +
+      "O(d²) blow-up while honest pairs survive") {
+    initLog()
+    // the r10 VERDICT scale trap: one boilerplate shingle shared by
+    // d > maxDf docs. Each boiler doc is EXACTLY the 4-token phrase
+    // (one shingle, df = 1100 > ContainmentDefaultMaxDf = 1000), so
+    // uncapped every boiler pair scores containment 1/1 = 1.0 —
+    // 1100·1099/2 ≈ 604k pairs from pure boilerplate. The honest pair
+    // (31 quoted whole in 32) overlaps on COLD shingles only.
+    assert(Dedup.ContainmentDefaultMaxDf == 1000)
+    val boiler = "all rights reserved worldwide"
+    val quote = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val docs = (1000L until 2100L).map(i => (i, boiler)) ++ Seq(
+      (31L, quote),
+      (32L, "h1 h2 h3 h4 " + quote + " t1 t2 t3 t4"))
+    val df = docs.toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(df, n = 4, tau = 0.9).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((31L, 32L)))
+    // the explicit uncapped escape hatch still finds the blow-up —
+    // proving the default's absence, not the operator's
+    val uncapped = Dedup.containmentPairs(df, n = 4, tau = 0.9,
+      maxDf = Int.MaxValue).count()
+    assert(uncapped == 1100L * 1099L / 2L + 1L)
+  }
+
   test("substringDupSpans: verbatim whole-doc copy has dup_ratio 1.0") {
     initLog()
     val docs = Seq(

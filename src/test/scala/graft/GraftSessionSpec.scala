@@ -60,6 +60,35 @@ class GraftSessionSpec extends GraftSpecBase {
     assert(at300x >= 128, s"300×-sized corpus derives only $at300x")
   }
 
+  test("non-local URI schemes fail loud instead of silently sizing to cores") {
+    initLog()
+    // an hdfs:// path walked with java.io.File returns 0 bytes — the
+    // r10 VERDICT's silent misconfiguration. It must be an ERROR.
+    for (bad <- Seq("hdfs://namenode/warehouse/t", "s3a://bucket/prefix")) {
+      val e = intercept[IllegalArgumentException](
+        GraftSession.dataSizedPartitions(bad, 8))
+      assert(e.getMessage.contains("non-local scheme"), e.getMessage)
+      assert(e.getMessage.contains("getContentSummary"), e.getMessage)
+    }
+    // file: URIs and plain paths stay on the local walk
+    assert(GraftSession.dataSizedPartitions("file:" + sf, 32) == 32)
+    assert(GraftSession.localInputBytes("file:" + sf) ==
+      GraftSession.localInputBytes(sf))
+  }
+
+  test("localInputBytes parquetOnly excludes sidecar files") {
+    initLog()
+    val dir = java.nio.file.Files.createTempDirectory("graft-lib")
+    java.nio.file.Files.write(dir.resolve("part-0.parquet"),
+      new Array[Byte](300))
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), new Array[Byte](0))
+    java.nio.file.Files.write(dir.resolve(".part-0.parquet.crc"),
+      new Array[Byte](12))
+    assert(GraftSession.localInputBytes(dir.toString) == 312L)
+    assert(GraftSession.localInputBytes(dir.toString, parquetOnly = true)
+      == 300L)
+  }
+
   test("localFor wires the derived partition count into the session") {
     initLog()
     val prior = spark

@@ -83,6 +83,32 @@ class LayoutSpec extends GraftSpecBase {
     }
   }
 
+  test("compact refuses outPath == inPath and non-local schemes") {
+    initLog()
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact3-")
+    try {
+      val in = base.resolve("in").toString
+      (0L until 10L).toDF("id").write.parquet(in)
+      // same dir (lazy read + overwrite would destroy the input)
+      val e = intercept[IllegalArgumentException](
+        Layout.compact(spark, in, in))
+      assert(e.getMessage.contains("outPath must differ"), e.getMessage)
+      // …including when the spelling differs but the canonical path matches
+      assertThrows[IllegalArgumentException](
+        Layout.compact(spark, in, "file:" + base.resolve("x")
+          .resolveSibling("in").toString))
+      // remote scheme: fail loud, not 1-file fallback (localInputBytes)
+      assertThrows[IllegalArgumentException](
+        Layout.compact(spark, "hdfs://nn/t", base.resolve("out2").toString))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(base.toFile)
+    }
+  }
+
   test("compact floors at one file and rejects nonsense targets") {
     initLog()
     import spark.implicits._

@@ -546,6 +546,20 @@ class SimilaritySpec extends GraftSpecBase {
     assert(math.abs(r.v(0)) > 0.999, s"v = ${r.v.mkString(",")}")
   }
 
+  test("pc1 rejects ragged embedding lengths") {
+    initLog()
+    import spark.implicits._
+    // a mixed-dims corpus silently skews the per-dim-sum mean
+    // correction (each dim group no longer holds every row) — must be
+    // an error, not a skew (r10 ADVICE)
+    val rows = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Seq(1.0f, 2.0f)))
+    val e = intercept[IllegalArgumentException](
+      Similarity.pc1(rows.toDF("vec_id", "embedding"), dims0 = 4))
+    assert(e.getMessage.contains("ragged"), e.getMessage)
+  }
+
   test("embed_pca driver lane: one sane summary row") {
     initLog()
     val row = Similarity.pcaSummary(spark, sf).head()
