@@ -217,7 +217,10 @@ object SparkEntry {
     "text_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     "mix_token_budget" -> ((s, d) => Mixture.tokenBudgetMixture(s, d)),
     "sample_temperature" -> ((s, d) => Mixture.temperatureSample(s, d)),
-    "graph_lpa" -> ((s, d) => Graph.supplierCommunities(s, d)))
+    "graph_lpa" -> ((s, d) => Graph.supplierCommunities(s, d)),
+    "curate_dsir_hashed" -> ((s, d) => Importance.dsirSelectHashed(s, d)),
+    "dedup_substring_scrub" -> ((s, d) => Dedup.substringScrubbed(s, d)),
+    "graph_lpa_modularity" -> ((s, d) => Graph.lpaModularity(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -1845,6 +1848,40 @@ object SparkEntry {
          SELECT d.doc_id, d.lang, t.dsir_score
          FROM top t JOIN documents d ON d.doc_id = t.doc_id
          ORDER BY t.dsir_score DESC, d.doc_id""",
+    // hashed-feature DSIR: same FP argument as curate_dsir, with the
+    // token replaced by its 12-bit md5 bucket (first 3 hex chars —
+    // the mix_token_budget strpos convention) — md5 is byte-identical
+    // cross-engine, so the bucketed counts are exact integers
+    "curate_dsir_hashed" ->
+      """WITH toks0 AS (SELECT doc_id, lang,
+           unnest(string_split(text, ' ')) AS tok FROM documents),
+         tk0 AS (SELECT * FROM toks0 WHERE tok <> ''),
+         tk AS (SELECT doc_id, lang,
+           (strpos('0123456789abcdef',
+              substring(md5(tok), 1, 1)) - 1) * 256 +
+           (strpos('0123456789abcdef',
+              substring(md5(tok), 2, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef',
+              substring(md5(tok), 3, 1)) - 1) AS bucket
+           FROM tk0),
+         bc AS (SELECT bucket, COUNT(*) AS b_cnt FROM tk GROUP BY bucket),
+         tc AS (SELECT bucket, COUNT(*) AS t_cnt FROM tk
+                WHERE lang = 'en' GROUP BY bucket),
+         vocab AS (SELECT bc.bucket, b_cnt, COALESCE(t_cnt, 0) AS t_cnt
+                   FROM bc LEFT JOIN tc ON bc.bucket = tc.bucket),
+         tot AS (SELECT SUM(b_cnt) AS b_tot, SUM(t_cnt) AS t_tot,
+                        COUNT(*) AS v FROM vocab),
+         w AS (SELECT bucket,
+                 ln(CAST((t_cnt + 1) * (b_tot + v) AS DOUBLE) /
+                    CAST((b_cnt + 1) * (t_tot + v) AS DOUBLE)) AS w
+               FROM vocab CROSS JOIN tot),
+         sc AS (SELECT tk.doc_id, ROUND(SUM(w.w), 4) AS dsir_score
+                FROM tk JOIN w ON tk.bucket = w.bucket GROUP BY tk.doc_id),
+         top AS (SELECT doc_id, dsir_score FROM sc
+                 ORDER BY dsir_score DESC, doc_id LIMIT 100)
+         SELECT d.doc_id, d.lang, t.dsir_score
+         FROM top t JOIN documents d ON d.doc_id = t.doc_id
+         ORDER BY t.dsir_score DESC, d.doc_id""",
     // dyadic weights × integer budget ⟹ every double here is either
     // exact or the result of ONE correctly-rounded division; ×65536
     // is a power-of-two multiply (exact) — membership is
@@ -2013,6 +2050,49 @@ object SparkEntry {
            ROUND(CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE) /
              len(string_split(d.text, ' ')), 6) AS dup_ratio
          FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
+    // substring SCRUB: same span discovery as dedup_substring, then
+    // every covered token index [p0, p1+7] is dropped and the doc
+    // reassembled in order — compared as md5 of the scrubbed text
+    // (the segment-dedup convention). Token extraction via
+    // tk[idx+1]; kept order restored with string_agg ORDER BY idx.
+    "dedup_substring_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents),
+         pos8 AS (SELECT doc_id, tk,
+                    unnest(range(0, len(tk) - 7)) AS pos
+                  FROM toks WHERE len(tk) >= 8),
+         wins AS (SELECT doc_id, pos,
+                    array_to_string(tk[pos+1:pos+8], ' ') AS gram
+                  FROM pos8),
+         dup AS (SELECT gram FROM (
+                   SELECT gram, COUNT(DISTINCT doc_id) AS df
+                   FROM wins GROUP BY 1) WHERE df >= 2),
+         mk AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (gram)),
+         isl AS (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER
+                     (PARTITION BY doc_id ORDER BY pos) <= 8
+                   THEN 0 ELSE 1 END AS brk FROM mk),
+         grp AS (SELECT doc_id, pos, SUM(brk) OVER
+                   (PARTITION BY doc_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS g FROM isl),
+         spans AS (SELECT doc_id, MIN(pos) AS p0, MAX(pos) + 7 AS p1
+                   FROM grp GROUP BY doc_id, g),
+         cov AS (SELECT doc_id, unnest(range(p0, p1 + 1)) AS idx
+                 FROM spans),
+         tokpos AS (SELECT doc_id, unnest(range(0, len(tk))) AS idx, tk
+                    FROM toks),
+         kept AS (SELECT t.doc_id, t.idx, t.tk[t.idx + 1] AS tok
+                  FROM tokpos t LEFT JOIN cov c
+                    ON t.doc_id = c.doc_id AND t.idx = c.idx
+                  WHERE c.doc_id IS NULL),
+         agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY idx)) AS scrub_md5
+                 FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.scrub_md5, md5('')) AS scrub_md5
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
     // synchronous LPA unrolled 3 rounds over the union-kNN(8) graph:
     // row_number (cnt DESC, label ASC) = Spark's
     // max(struct(cnt, -label)) argmax; MATERIALIZED stops DuckDB
@@ -2052,5 +2132,57 @@ object SparkEntry {
                   (PARTITION BY node ORDER BY cnt DESC, label) AS rn
                 FROM c3) WHERE rn = 1)
          SELECT label AS community, COUNT(*) AS n_members
-         FROM r3 GROUP BY 1 ORDER BY 1""")
+         FROM r3 GROUP BY 1 ORDER BY 1""",
+    // modularity of the same LPA assignment in exact rational
+    // arithmetic: Q = (4m·Σe_c − Σd_c²)/(4m²) — integer numerator and
+    // denominator, ONE correctly-rounded division (rung 1), ROUND(6)
+    "graph_lpa_modularity" ->
+      """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                     WHERE l_orderkey % 5 = 0),
+         p AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS n
+               FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+               GROUP BY 1, 2),
+         d AS (SELECT u, v, n FROM p UNION ALL SELECT v, u, n FROM p),
+         rk AS (SELECT u, v FROM (SELECT u, v, ROW_NUMBER() OVER
+                  (PARTITION BY u ORDER BY n DESC, v) AS rn FROM d)
+                WHERE rn <= 8),
+         e AS MATERIALIZED (SELECT DISTINCT LEAST(u, v) AS u,
+                GREATEST(u, v) AS v FROM rk),
+         adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
+                              UNION SELECT v, u FROM e),
+         l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+         c1 AS (SELECT a.node, l.label, COUNT(*) AS cnt
+                FROM adj a JOIN l0 l ON a.nbr = l.node GROUP BY 1, 2),
+         r1 AS MATERIALIZED (SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER
+                  (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+                FROM c1) WHERE rn = 1),
+         c2 AS (SELECT a.node, l.label, COUNT(*) AS cnt
+                FROM adj a JOIN r1 l ON a.nbr = l.node GROUP BY 1, 2),
+         r2 AS MATERIALIZED (SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER
+                  (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+                FROM c2) WHERE rn = 1),
+         c3 AS (SELECT a.node, l.label, COUNT(*) AS cnt
+                FROM adj a JOIN r2 l ON a.nbr = l.node GROUP BY 1, 2),
+         r3 AS MATERIALIZED (SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER
+                  (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+                FROM c3) WHERE rn = 1),
+         mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+         wi AS (SELECT CAST(COUNT(*) AS BIGINT) AS within_edges
+                FROM e JOIN r3 a ON e.u = a.node
+                       JOIN r3 b ON e.v = b.node
+                WHERE a.label = b.label),
+         deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
+                 FROM adj GROUP BY node),
+         dc AS (SELECT l.label, CAST(SUM(deg.dg) AS BIGINT) AS dcm
+                FROM deg JOIN r3 l ON deg.node = l.node GROUP BY l.label),
+         ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                  CAST(SUM(dcm * dcm) AS BIGINT) AS deg_sq_sum FROM dc)
+         SELECT mm.m, ds.n_communities, wi.within_edges, ds.deg_sq_sum,
+           ROUND(CAST(4 * mm.m * wi.within_edges - ds.deg_sq_sum AS DOUBLE)
+             / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS modularity
+         FROM mm CROSS JOIN wi CROSS JOIN ds""")
 }

@@ -409,6 +409,29 @@ object Dedup {
     * TEXT and hash-matches.
     */
   def substringDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val spans = dupSpanBounds(docs, n)
+      .select(col("doc_id"),
+        (col("p1") + lit(n) - col("p0")).as("span_tokens"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("span_tokens")).as("dup_tokens"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_ratio"))
+  }
+
+  /** The shared span-discovery pipeline of [[substringDupSpans]] and
+    * [[substringScrub]]: per doc, each MAXIMAL duplicated region as
+    * its first and last marked window START positions (p0, p1) — the
+    * region's token coverage is [p0, p1 + n − 1]. See
+    * [[substringDupSpans]] for the full algorithm commentary.
+    */
+  private def dupSpanBounds(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val toks = split(col("text"), " ")
     val eligible = Par.ensure(docs)
@@ -440,7 +463,7 @@ object Dedup {
     // contiguous duplicated region is one span)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = marked
+    marked
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(w) <= n, lit(0L))
           .otherwise(lit(1L)))
@@ -448,18 +471,52 @@ object Dedup {
         w.rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("g"))
-      .agg((max(col("pos")) + lit(n) - min(col("pos"))).as("span_tokens"))
-    val perDoc = spans.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_spans"),
-        sum(col("span_tokens")).as("dup_tokens"))
-    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long")
-        .as("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"))
+      .select(col("doc_id"), col("p0"), col("p1"))
+  }
+
+  /** SUBSTRING SCRUB — the missing half of [[substringDupSpans]] and
+    * the operation Lee et al. 2021 actually perform: DROP every
+    * duplicated span's tokens and reassemble each document from what
+    * remains. The profile lane reports the damage; this lane repairs
+    * it — a corpus cleaned of cross-document verbatim regions while
+    * each document's unique prose survives in order.
+    *
+    * Output per input doc: token counts before/after and the md5 of
+    * the scrubbed text (the text_chunk/segment convention — the
+    * compare ships 32 bytes per doc, not the text). A doc whose every
+    * token sat in duplicated spans reassembles to "" (md5('') — the
+    * row survives so the caller sees the doc went empty, exactly
+    * [[Segments]]' convention); a doc with no duplicated spans hashes
+    * to its original token-joined text.
+    *
+    * Scale shape: span DISCOVERY is the shared [[dupSpanBounds]]
+    * pipeline (hash-keyed joins, marked-positions-only window). The
+    * scrub itself is pure per-doc map work: spans collapse to one
+    * bounded array per doc (a doc's span count ≤ tokens/n), ride a
+    * doc_id equi-join back onto the corpus, and the token filter is
+    * one pass over each doc's own tokens — no corpus-wide sort, no
+    * explode of unmarked positions.
+    */
+  def substringScrub(docs: DataFrame, n: Int = 8): DataFrame = {
+    val ivs = dupSpanBounds(docs, n)
+      .select(col("doc_id"),
+        struct(col("p0").as("s"), (col("p1") + lit(n - 1)).as("e")).as("iv"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("iv")).as("ivs"))
+    val toks = split(col("text"), " ")
+    docs.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), toks.as("tk"),
+        coalesce(col("ivs"),
+          array().cast("array<struct<s:int,e:int>>")).as("ivs"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        filter(col("tk"), (_, i) =>
+          !exists(col("ivs"), iv =>
+            i >= iv.getField("s") && i <= iv.getField("e"))).as("kept"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
-          col("n_tokens"), 6).as("dup_ratio"))
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("scrub_md5"))
   }
 
   /** Driver contract `dedup_substring`: the per-doc duplicated-span
@@ -468,6 +525,12 @@ object Dedup {
     */
   def substringProfile(spark: SparkSession, dir: String): DataFrame =
     substringDupSpans(Tables.documents(spark, dir), n = 8)
+
+  /** Driver contract `dedup_substring_scrub`: the scrubbed corpus at
+    * n = 8 — the profile lane's twin that actually removes the spans.
+    */
+  def substringScrubbed(spark: SparkSession, dir: String): DataFrame =
+    substringScrub(Tables.documents(spark, dir), n = 8)
 
   /** CONTAINMENT near-dup pairs (Broder 1997's second resemblance
     * measure): C = |A∩B| / min(|A|,|B|) over n-token shingle sets —

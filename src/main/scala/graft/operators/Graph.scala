@@ -387,6 +387,61 @@ object Graph {
       .distinct()
   }
 
+  /** Newman modularity of a community assignment over an undirected
+    * unit-weight graph, in EXACT rational arithmetic: with m = |E|,
+    * e_c = edges inside community c, d_c = Σ degrees in c,
+    *
+    *   Q = Σ_c [ e_c/m − (d_c/2m)² ] = (4m·Σe_c − Σd_c²) / (4m²)
+    *
+    * — an integer numerator and denominator, so the reported double
+    * is ONE correctly-rounded IEEE division (rung 1 of the oracle
+    * doctrine: bit-identical cross-engine), rounded to 6. This is the
+    * QUALITY scalar the communities-count lane can't see: a
+    * regression that preserves the number of communities but degrades
+    * their structure (labels bleeding across bridges) moves Q.
+    *
+    * Scale shape: two node-sized hash joins (labels onto edge
+    * endpoints, labels onto degrees) + map-combined aggregates; the
+    * three 1-row summaries meet in broadcast crossJoins. Long
+    * arithmetic is exact while 4m² < 2⁶³ — m up to ~1.5·10⁹ edges,
+    * beyond any graph this engine materializes as pairs.
+    */
+  def modularitySummary(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val within = e
+      .join(labels.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
+      .join(labels.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+      .filter(col("lu") === col("lv"))
+      .agg(count(lit(1)).as("within_edges"))
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val dstat = deg.join(labels, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("d")).as("dcm"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("dcm") * col("dcm")).as("deg_sq_sum"))
+    e.agg(count(lit(1)).as("m"))
+      .crossJoin(broadcast(within))
+      .crossJoin(broadcast(dstat))
+      .select(col("m"), col("n_communities"), col("within_edges"),
+        col("deg_sq_sum"),
+        round((lit(4L) * col("m") * col("within_edges") - col("deg_sq_sum"))
+          .cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double"), 6)
+          .as("modularity"))
+  }
+
+  /** Driver contract `graph_lpa_modularity`: ONE row — the modularity
+    * of the 3-round LPA assignment on the union-kNN(8) supplier graph
+    * (the `graph_lpa` lane's quality twin). The kNN edges are cached:
+    * the lineitem self-join behind them feeds the LPA rounds AND both
+    * modularity joins.
+    */
+  def lpaModularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = supplierKnnEdges(spark, dir).cache()
+    modularitySummary(edges, labelPropagation(edges, rounds = 3))
+  }
+
   /** Driver contract `graph_lpa`: communities of the union-kNN(8)
     * supplier co-service graph after 3 synchronous rounds, reported
     * as (community, n_members) — the oracle replays the unrolled

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -10,16 +10,21 @@ import graft.sources.Tables
   * distribution vs the raw/base distribution, then keep the top
   * scorers — the cheap feature-based proxy for "train on data that
   * looks like the target domain" that selected The Pile subsets for
-  * GPT-class pretraining. graft uses unigram features (the hashed
-  * n-gram generalization is the same plan with `ShingleHashes` keys).
+  * GPT-class pretraining. Two feature spaces: unigram (the exactness
+  * reference — weight table is VOCABULARY-sized) and hashed buckets
+  * ([[dsirWeightsHashed]] — the paper's fixed-bucket form and the
+  * scale DEFAULT, because its weight table is bounded by the bucket
+  * count no matter how large the corpus vocabulary grows).
   *
   * Scale shape (the reason DSIR beats classifier-based selection at
-  * 100 TB): both distributions are ONE vocabulary-sized aggregate;
-  * the weight table is vocab-sized and BROADCAST onto the corpus-scale
-  * token stream, which shuffles once on (doc_id) for the per-doc sum —
-  * the corpus itself is read once and never joined against itself.
-  * Selection is a top-k (TakeOrdered — no full sort) or a threshold
-  * filter (map-side) depending on the caller.
+  * 100 TB): both distributions are ONE bounded aggregate; the weight
+  * table is BROADCAST onto the corpus-scale token stream, which
+  * shuffles once on (doc_id) for the per-doc sum — the corpus itself
+  * is read once and never joined against itself. Selection is a
+  * top-k (TakeOrdered — no full sort) or a threshold filter
+  * (map-side) depending on the caller. The unigram table grows with
+  * vocabulary (10⁸-10⁹ distinct tokens on raw web text — broadcast
+  * death); use the hashed form beyond curated corpora.
   *
   * FP discipline (see [[Relevance]]): the ratio inside the log is a
   * quotient of EXACT integer products — (t_cnt+1)·(b_tot+V) and
@@ -81,6 +86,89 @@ object Importance {
     toks(docs).join(broadcast(weights), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("w")), 4).as("dsir_score"))
+
+  /** HASHED-feature DSIR weights — the paper's own scale form (Xie et
+    * al. 2023 use hashed n-grams bucketed to a FIXED 10k count) and
+    * the 100 TB default here: the unigram table above is VOCABULARY-
+    * sized, and on raw web text distinct whitespace tokens run to
+    * 10⁸-10⁹ — a broadcast that grows with the corpus and eventually
+    * kills the driver. Hashing every token into one of `numBuckets`
+    * buckets bounds the weight table at `numBuckets` rows FOREVER:
+    * the broadcast is a fixed-size artifact no matter what corpus the
+    * weights were fit on. The trade is the usual hashing-trick one —
+    * colliding tokens share a weight (their likelihood evidence is
+    * pooled), which the paper reports as near-neutral for selection
+    * because importance mass concentrates on frequent features.
+    *
+    * The bucket hash is [[Dedup.md5Hash60]]'s little sibling — the
+    * integer value of the first 3 hex chars of md5(token), 4096
+    * buckets — so the lane is CROSS-ENGINE oracle-checkable end to
+    * end (DuckDB extracts the identical hex digits; the driver's
+    * mix_token_budget u16 convention at 12 bits). Smoothing and FP
+    * discipline are exactly [[dsirWeights]]': add-one on both sides
+    * with V = observed buckets, integer products inside ln, ROUND(4)
+    * on the per-doc sum.
+    */
+  def bucketOf(tok: Column, numBuckets: Int): Column = {
+    require(numBuckets == 4096,
+      "bucketOf: 4096 (3 hex chars of md5) is the cross-engine contract")
+    conv(substring(md5(tok), 1, 3), 16, 10).cast("long")
+  }
+
+  def dsirWeightsHashed(target: DataFrame, base: DataFrame,
+      numBuckets: Int = 4096): DataFrame = {
+    val bc = toks(base)
+      .select(bucketOf(col("tok"), numBuckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("b_cnt"))
+    val tc = toks(target)
+      .select(bucketOf(col("tok"), numBuckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("t_cnt"))
+    val vocab = bc.join(tc, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("b_cnt"), lit(0L)).as("b_cnt"),
+        coalesce(col("t_cnt"), lit(0L)).as("t_cnt"))
+    val tot = vocab.agg(sum(col("b_cnt")).as("b_tot"),
+      sum(col("t_cnt")).as("t_tot"), count(lit(1)).as("v"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        log(((col("t_cnt") + lit(1L)) * (col("b_tot") + col("v")))
+          .cast("double") /
+          ((col("b_cnt") + lit(1L)) * (col("t_tot") + col("v")))
+            .cast("double")).as("w"))
+  }
+
+  /** Per-doc score over hashed features: bucket each token, join the
+    * BOUNDED (≤ numBuckets rows) broadcast table, sum. Same shape as
+    * [[dsirScores]] with the one structural difference that matters
+    * at 100 TB: the broadcast size is a constant of the OPERATOR, not
+    * a function of the corpus.
+    */
+  def dsirScoresHashed(docs: DataFrame, weights: DataFrame,
+      numBuckets: Int = 4096): DataFrame =
+    toks(docs)
+      .select(col("doc_id"), bucketOf(col("tok"), numBuckets).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")), 4).as("dsir_score"))
+
+  /** Driver query `curate_dsir_hashed`: [[dsirSelect]] on the hashed
+    * feature space — the selection path a 100 TB deployment runs
+    * (bounded weight broadcast), full oracle via the md5-bucket
+    * cross-engine hash. The unigram `curate_dsir` stays as the
+    * reference lane; at driver scale the two select overlapping but
+    * not identical top-100 sets (collisions pool evidence — the
+    * documented trade).
+    */
+  def dsirSelectHashed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val weights = dsirWeightsHashed(docs.filter(col("lang") === "en"), docs)
+    val top = dsirScoresHashed(docs, weights)
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(100)
+    broadcast(top).join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+  }
 
   /** Driver query `curate_dsir`: fit weights with the English slice
     * as the target and the whole corpus as base, score every doc,

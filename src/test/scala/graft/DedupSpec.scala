@@ -251,6 +251,51 @@ class DedupSpec extends GraftSpecBase {
     assert(out(5L) == ((2L, 20L)))
   }
 
+  test("substringScrub drops exactly the marked spans and reassembles " +
+      "in order") {
+    initLog()
+    // the disjoint-spans fixture: scrubbing must remove S1..S10 and
+    // T1..T10 from both docs, keeping each doc's unique 9-token gap
+    val docs = Seq(
+      (4L, "S1 S2 S3 S4 S5 S6 S7 S8 S9 S10 e1 e2 e3 e4 e5 e6 e7 e8 e9 " +
+        "T1 T2 T3 T4 T5 T6 T7 T8 T9 T10"),
+      (5L, "S1 S2 S3 S4 S5 S6 S7 S8 S9 S10 f1 f2 f3 f4 f5 f6 f7 f8 f9 " +
+        "T1 T2 T3 T4 T5 T6 T7 T8 T9 T10"),
+      (6L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")   // untouched
+    ).toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = Dedup.substringScrub(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out(4L) == ((29L, 9L,
+      md5hex("e1 e2 e3 e4 e5 e6 e7 e8 e9"))))
+    assert(out(5L) == ((29L, 9L,
+      md5hex("f1 f2 f3 f4 f5 f6 f7 f8 f9"))))
+    assert(out(6L) == ((12L, 12L,
+      md5hex("u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"))))
+  }
+
+  test("substringScrub: whole-doc copy scrubs to empty (Lee et al.'s case)") {
+    initLog()
+    // verbatim copies: every window is cross-doc, the span covers the
+    // whole doc, the scrubbed text is '' — the row survives (md5(''))
+    val docs = Seq(
+      (7L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (8L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (9L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(7L) == ((0L, emptyMd5)))
+    assert(out(8L) == ((0L, emptyMd5)))
+    assert(out(9L)._1 == 12L)
+    assert(out(9L)._2 != emptyMd5)
+  }
+
   test("containmentPairs: full quote scores 1.0 where Jaccard stays low") {
     initLog()
     // doc 11 (12 tokens) quoted whole inside doc 12 (32 tokens):

@@ -278,6 +278,48 @@ class GraphSpec extends GraftSpecBase {
       4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("modularitySummary matches the hand-computed rational on the " +
+      "bridged triangles") {
+    initLog()
+    // triangles {1,2,3},{4,5,6} + bridge 3-4, LPA labels -> the two
+    // triangles. m=7, within=6, degrees (2,2,3,3,2,2) -> d_c = 7 each,
+    // Σd² = 98. Q = (4·7·6 − 98)/(4·49) = 70/196 = 0.357142857…
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val labels = Graph.labelPropagation(edges, rounds = 3)
+    val row = Graph.modularitySummary(edges, labels).head()
+    assert(row.getAs[Long]("m") == 7L)
+    assert(row.getAs[Long]("n_communities") == 2L)
+    assert(row.getAs[Long]("within_edges") == 6L)
+    assert(row.getAs[Long]("deg_sq_sum") == 98L)
+    assert(row.getAs[Double]("modularity") == 0.357143)
+    // degenerate assignment (everything one community) scores 0
+    val one = edges.select(col("u").as("node")).unionByName(
+        edges.select(col("v").as("node"))).distinct()
+      .select(col("node"), lit(1L).as("label"))
+    assert(Graph.modularitySummary(edges, one).head()
+      .getAs[Double]("modularity") == 0.0)
+  }
+
+  test("graph_lpa_modularity driver lane: one sane, bounded row") {
+    initLog()
+    // TPC-H co-service is RANDOM — there is no planted community
+    // structure, so the honest Q of the LPA assignment sits near 0
+    // (measured −0.007 at sf0.01; the planted-structure floor lives
+    // in the triangles test above, exact). The lane's value is the
+    // deterministic scalar itself: a structural regression moves it,
+    // and the DuckDB oracle pins it to 6 decimals every round.
+    val row = Graph.lpaModularity(spark, "/root/testdata/sf0.01").head()
+    assert(row.getAs[Long]("m") > 0L)
+    assert(row.getAs[Long]("n_communities") > 1L)
+    val q = row.getAs[Double]("modularity")
+    assert(q >= -1.0 && q <= 1.0, s"modularity $q out of range")
+    // invariant: within_edges <= m, deg_sq_sum <= (2m)^2
+    assert(row.getAs[Long]("within_edges") <= row.getAs[Long]("m"))
+    assert(row.getAs[Long]("deg_sq_sum") <=
+      4L * row.getAs[Long]("m") * row.getAs[Long]("m"))
+  }
+
   test("labelPropagation is deterministic under re-partitioning") {
     initLog()
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),

@@ -60,6 +60,42 @@ class ImportanceSpec extends GraftSpecBase {
       b.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("bucketOf matches a JVM md5 reference and stays in [0, 4096)") {
+    initLog()
+    def ref(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 3), 16)
+    }
+    val toks = Seq("alpha", "beta", "gamma", "the", "z", "école")
+    val got = toks.toDF("tok")
+      .select(Importance.bucketOf(col("tok"), 4096).as("b"))
+      .as[Long].collect().toSeq
+    assert(got == toks.map(ref))
+    assert(got.forall(b => b >= 0 && b < 4096))
+    // only the cross-engine bucket count is a valid contract
+    assertThrows[IllegalArgumentException](Importance.bucketOf(col("x"), 10000))
+  }
+
+  test("hashed weight table is bounded by the bucket count, not the vocab") {
+    initLog()
+    // 10k distinct tokens — a vocab-sized table would be 10k rows; the
+    // hashed table can never exceed 4096 (the r10 VERDICT scale trap)
+    val big = (0 until 100).map { i =>
+      (i.toLong, (0 until 100).map(j => s"tok_${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val w = Importance.dsirWeightsHashed(big.limit(20), big)
+    assert(w.count() <= 4096L)
+    // and scoring still ranks a target-heavy doc first on the tiny corpus
+    val wh = Importance.dsirWeightsHashed(target, base)
+    assert(wh.count() <= 4096L)
+    val scores = Importance.dsirScoresHashed(base, wh).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(3L) > scores(2L),
+      s"target-like doc must outrank base-like: $scores")
+  }
+
   test("driver lane: top-100 English-target selection, scores ordered") {
     initLog()
     val out = Importance.dsirSelect(spark, sf).collect()
