@@ -220,7 +220,12 @@ object SparkEntry {
     "graph_lpa" -> ((s, d) => Graph.supplierCommunities(s, d)),
     "curate_dsir_hashed" -> ((s, d) => Importance.dsirSelectHashed(s, d)),
     "dedup_substring_scrub" -> ((s, d) => Dedup.substringScrubbed(s, d)),
-    "graph_lpa_modularity" -> ((s, d) => Graph.lpaModularity(s, d)))
+    "graph_lpa_modularity" -> ((s, d) => Graph.lpaModularity(s, d)),
+    // incremental SEMANTIC dedup (delta-vs-persisted-IVF probe): the
+    // dedup_semantic_effect pattern — planted exact copies MUST tag
+    // semantic_dup (catch rate 1.0 by construction, spec'd); rows-
+    // checked (no_oracle: k-means FP in the coarse assignment)
+    "dedup_semantic_inc" -> ((s, d) => Similarity.semanticDeltaEffect(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are

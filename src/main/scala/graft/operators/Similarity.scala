@@ -734,6 +734,122 @@ object Similarity {
       .write.mode("append").partitionBy("list").parquet(s"$path/corpus")
   }
 
+  /** Assign each vector to its nearest centroid from a persisted
+    * [[writeIvfIndex]] index — the bounded centroid table collapses
+    * into ONE native argmin expression, so the result is a pure
+    * per-row projection: STREAMING-SAFE (no shuffle, no state), the
+    * building block [[graft.streaming.StreamNovelty]]'s semantic gate
+    * rides per micro-batch.
+    */
+  def assignFromIndex(vectors: DataFrame, path: String): DataFrame = {
+    val cents = vectors.sparkSession.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    assignToNearest(vectors, cents)
+  }
+
+  /** INCREMENTAL semantic dedup — the steady-state ingest shape
+    * SemDeDup needs at 100 TB, composing the persisted IVF index with
+    * a delta-vs-corpus probe (the [[graft.operators.Governance
+    * .incrementalDedup]] analog for embeddings): assign each ARRIVING
+    * vector to the persisted centroids, compare it against corpus
+    * vectors WITHIN ITS PROBED LIST ONLY, and tag it `semantic_dup`
+    * (some corpus neighbor at cosine ≥ tau) or `novel`. Per-batch
+    * work is O(|Δ| × cluster size), never O(|corpus|²) and never a
+    * corpus-vs-corpus pass; the corpus side scans ONLY the delta's
+    * assigned list partitions (a bounded literal `isin` — static
+    * pruning, plan-spec'd like [[ivfIndexProbe]]).
+    *
+    * Probe BEFORE [[appendToIvfIndex]]: the index must not contain
+    * the batch being classified, or every arrival is its own dup.
+    * Same recall contract as [[semanticDedup]]: a cross-cluster twin
+    * whose assignment differs is missed (the paper's trade);
+    * identical vectors CANNOT be missed (identical assignment,
+    * cosine exactly 1).
+    */
+  def semanticProbeDelta(delta: DataFrame, path: String,
+      tau: Double = 0.9): DataFrame = {
+    val spark = delta.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // eager localCheckpoint: the assignment feeds three consumers
+    // (probed-list collect, pair join, final tag) — materialize once,
+    // truncate lineage; blocks release with the frame (the
+    // labelPropagation discipline, no session-lifetime cache entry)
+    val assigned = assignToNearest(Par.ensure(delta), cents)
+      .select(col("vec_id"), col("embedding"), col("list"),
+        Vectors.norm2(col("embedding")).as("nrm"))
+      .localCheckpoint(true)
+    // the probed-list set is bounded by nlist — collect is the same
+    // bounded-driver-state class as the centroid table itself
+    val lists = assigned.select(col("list")).distinct()
+      .collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .filter(col("list").isin(lists.toIndexedSeq: _*))
+      .select(col("list"), col("embedding").as("ce"))
+      .withColumn("cn", Vectors.norm2(col("ce")))
+    val dup = assigned.join(corpus, Seq("list"))
+      .filter(round(Vectors.dot(col("embedding"), col("ce")) /
+        (col("nrm") * col("cn")), 6) >= tau)
+      .select(col("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("list"))
+      .join(dup.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list"),
+        when(col("__dup"), lit("semantic_dup")).otherwise(lit("novel"))
+          .as("status"))
+  }
+
+  /** Driver contract `dedup_semantic_inc`: the planted-signal summary
+    * for [[semanticProbeDelta]] (the dedup_semantic_effect pattern) —
+    * hold out vectors 0-19 as NOVEL arrivals, build the IVF index
+    * over the rest, and deliver a delta of 20 exact copies of indexed
+    * vectors (ids above any real id) plus the 20 held-out originals.
+    * An exact copy assigns to its original's cluster and scores
+    * cosine exactly 1 → `dup_catch_rate` is 1.0 by construction; any
+    * regression in assignment, the list-pruned join, or the tagging
+    * moves the scalar. One deterministic row, computed EAGERLY so the
+    * temp index is deleted before return (the result never re-reads
+    * it). Rows-checked (no_oracle: k-means FP in the coarse
+    * assignment); the 1.0 floor is spec'd (SimilaritySpec).
+    */
+  def semanticDeltaEffect(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 20L)
+    val held = e.filter(col("vec_id") < 20L)
+    val planted = corpus.filter(col("vec_id") < 40L)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val delta = held.unionByName(planted)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-semdelta").toString
+    try {
+      writeIvfIndex(corpus, tmp, nlist = 16)
+      val agg = semanticProbeDelta(delta, tmp, tau = 0.45)
+        .agg(count(lit(1)).as("n_delta"),
+          sum(when(col("status") === "semantic_dup", 1L).otherwise(0L))
+            .as("n_dup"),
+          sum(when(col("status") === "novel", 1L).otherwise(0L))
+            .as("n_novel"),
+          sum(when(col("vec_id") >= 1000000L &&
+              col("status") === "semantic_dup", 1L).otherwise(0L))
+            .as("planted_caught"))
+        .select(col("n_delta"), col("n_dup"), col("n_novel"),
+          lit(20L).as("n_planted"), col("planted_caught"),
+          round(col("planted_caught").cast("double") / 20.0, 6)
+            .as("dup_catch_rate"))
+        .head()
+      import spark.implicits._
+      Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
+        agg.getLong(4), agg.getDouble(5)))
+        .toDF("n_delta", "n_dup", "n_novel", "n_planted",
+          "planted_caught", "dup_catch_rate")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   /** Append new vectors to a persisted [[writePqIndex]] index WITHOUT
     * retraining: encode against the existing codebooks (pure map —
     * one PqArgmin per subspace) and append to the codes table.

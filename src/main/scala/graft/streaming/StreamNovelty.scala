@@ -45,4 +45,55 @@ object StreamNovelty {
       corpusHashes)
       .filter(col("status") === "novel")
       .drop("status")
+
+  /** SEMANTIC novelty gate — the embedding twin of the exact gate
+    * above, against a persisted IVF index (the batch analog is
+    * [[graft.operators.Similarity.semanticProbeDelta]]): each
+    * arriving vector is assigned to its nearest persisted centroid
+    * (pure projection — [[graft.operators.Similarity
+    * .assignFromIndex]], no state), then stream-static ANTI-joined
+    * against the corpus on (same list ∧ cosine ≥ tau). Survivors are
+    * the semantically NOVEL arrivals — the rows to
+    * `appendToIvfIndex`. Stateless (stream-static joins keep no
+    * state); per-batch compare work is O(batch × cluster) because
+    * the equi-join key is the list id.
+    *
+    * Scale note: a stream-static join re-plans the static side per
+    * micro-batch, and the list predicate here depends on STREAM rows,
+    * so the corpus scan is not statically pruned the way
+    * `semanticProbeDelta`'s is. At 100 TB drive the SAME logic
+    * through `foreachBatch { (batch, _) => semanticProbeDelta(batch,
+    * path, tau) }` — each batch is a plain DataFrame there, so the
+    * probed-list `isin` pruning applies; this declarative form is
+    * the continuous twin for corpus-in-memory deployments (the spec
+    * proves batch parity between the two).
+    */
+  def semanticNovelOnly(stream: DataFrame, indexPath: String,
+      tau: Double = 0.9): DataFrame =
+    semanticGate(stream, indexPath, tau, "left_anti")
+
+  /** Arriving vectors that DO have a semantic near-dup in the corpus
+    * (cosine ≥ tau within their assigned list) — the complement of
+    * [[semanticNovelOnly]], for quarantine/audit sinks.
+    */
+  def semanticDuplicates(stream: DataFrame, indexPath: String,
+      tau: Double = 0.9): DataFrame =
+    semanticGate(stream, indexPath, tau, "left_semi")
+
+  private def semanticGate(stream: DataFrame, indexPath: String,
+      tau: Double, joinType: String): DataFrame = {
+    import graft.functions.Vectors
+    val spark = stream.sparkSession
+    val assigned = graft.operators.Similarity.assignFromIndex(stream, indexPath)
+      .withColumn("__nrm", Vectors.norm2(col("embedding")))
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+      .select(col("list").as("__clist"), col("embedding").as("__ce"))
+      .withColumn("__cn", Vectors.norm2(col("__ce")))
+    assigned.join(corpus,
+        col("list") === col("__clist") &&
+          round(Vectors.dot(col("embedding"), col("__ce")) /
+            (col("__nrm") * col("__cn")), 6) >= tau,
+        joinType)
+      .drop("__nrm")
+  }
 }

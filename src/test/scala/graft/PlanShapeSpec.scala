@@ -157,6 +157,30 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(got.nonEmpty && got.forall(_.getLong(0) != 1L))
   }
 
+  test("semanticProbeDelta: corpus scan prunes to the delta's probed lists") {
+    initLog()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdp").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    Similarity.writeIvfIndex(emb, dir, nlist = 8)
+    // a 2-vector delta probes at most 2 of the 8 list partitions —
+    // the corpus side must scan ONLY those (the O(Δ×cluster) claim)
+    val delta = emb.filter(
+      org.apache.spark.sql.functions.col("vec_id").isin(0L, 1L))
+      .select("vec_id", "embedding")
+    val tagged = Similarity.semanticProbeDelta(delta, dir, tau = 0.99)
+    val scans = allNodes(plan(tagged)).collect { case f: FileSourceScanExec => f }
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(dir)))
+    assert(scans.nonEmpty, names(tagged).mkString(","))
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty, "list filter must prune")
+    assert(scan.selectedPartitions.partitionCount <= 2,
+      s"scanned ${scan.selectedPartitions.partitionCount} of 8 lists")
+    // and each delta vector finds ITSELF in the corpus (cos = 1)
+    val got = tagged.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(0L -> "semantic_dup", 1L -> "semantic_dup"), got)
+  }
+
   test("persisted PQ index probe reads ONLY the compressed codes table") {
     initLog()
     import org.apache.spark.sql.execution.FileSourceScanExec

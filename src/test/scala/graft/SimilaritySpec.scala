@@ -226,6 +226,52 @@ class SimilaritySpec extends GraftSpecBase {
     assert(out == Set(10L, 20L, 30L), out.mkString(","))
   }
 
+  test("semanticProbeDelta: planted copy tags semantic_dup, orthogonal " +
+      "arrival tags novel; probe-then-append round-trip") {
+    initLog()
+    import spark.implicits._
+    // corpus: two tight groups on distinct axes (enough vectors for a
+    // 2-list quantizer); delta: one exact copy of a corpus vector
+    // (MUST dup) and one vector on a third axis (MUST be novel)
+    def jig(base: Array[Float], i: Int): Seq[Float] = {
+      val v = base.clone(); v(3) = v(3) + 0.001f * i; v.toSeq
+    }
+    val ex = Array(1f, 0f, 0f, 0f)
+    val ey = Array(0f, 1f, 0f, 0f)
+    val corpus = (Seq.tabulate(4)(i => (10L + i, jig(ex, i))) ++
+      Seq.tabulate(4)(i => (20L + i, jig(ey, i))))
+      .toDF("vec_id", "embedding")
+    val delta = Seq(
+      (100L, jig(ex, 1)),                      // exact copy of 11L
+      (101L, Seq(0f, 0f, 1f, 0f)))             // new direction
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semdelta").toString
+    Similarity.writeIvfIndex(corpus, dir, nlist = 2)
+    val tagged = Similarity.semanticProbeDelta(delta, dir, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(tagged == Map(100L -> "semantic_dup", 101L -> "novel"), tagged)
+    // the ingest round-trip: append the novel survivor, and the NEXT
+    // batch's re-delivery of it is now a dup (the steady-state shape)
+    Similarity.appendToIvfIndex(
+      delta.filter(col("vec_id") === 101L), dir)
+    val again = Similarity.semanticProbeDelta(
+        Seq((200L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
+        dir, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == Map(200L -> "semantic_dup"), again)
+  }
+
+  test("dedup_semantic_inc driver lane: planted catch rate is 1.0") {
+    initLog()
+    val row = Similarity.semanticDeltaEffect(spark, sf).head()
+    assert(row.getAs[Long]("n_delta") == 40L)
+    assert(row.getAs[Long]("n_planted") == 20L)
+    assert(row.getAs[Double]("dup_catch_rate") == 1.0,
+      s"catch rate ${row.getAs[Double]("dup_catch_rate")}")
+    assert(row.getAs[Long]("n_dup") + row.getAs[Long]("n_novel") == 40L)
+  }
+
   test("IVF/PQ index append: new vectors become findable without retrain") {
     initLog()
     import spark.implicits._

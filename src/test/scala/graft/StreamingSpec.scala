@@ -527,6 +527,57 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamStatus(101L) == "novel" && batchStatus(101L) == "novel")
   }
 
+  test("streaming SEMANTIC novelty gate: near-dups gated, novel vectors " +
+      "pass, parity with semanticProbeDelta") {
+    initLog()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // persisted index over two tight groups on distinct axes
+    def jig(base: Array[Float], i: Int): Seq[Float] = {
+      val v = base.clone(); v(3) = v(3) + 0.001f * i; v.toSeq
+    }
+    val ex = Array(1f, 0f, 0f, 0f)
+    val ey = Array(0f, 1f, 0f, 0f)
+    val corpus = (Seq.tabulate(4)(i => (10L + i, jig(ex, i))) ++
+      Seq.tabulate(4)(i => (20L + i, jig(ey, i))))
+      .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_semgate").toString
+    graft.operators.Similarity.writeIvfIndex(corpus, dir, nlist = 2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val stream = in.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = graft.streaming.StreamNovelty
+      .semanticNovelOnly(stream, dir, tau = 0.9)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sem_novel_out").start()
+    try {
+      in.addData(
+        (100L, jig(ex, 1)),            // exact corpus copy: gated
+        (101L, Seq(0f, 0f, 1f, 0f)),   // new direction: passes
+        (102L, jig(ey, 0)))            // exact corpus copy: gated
+      q.processAllAvailable()
+      val got = spark.table("sem_novel_out").select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(101L), got.mkString(","))
+    } finally q.stop()
+    // parity: the same delta through the BATCH probe (the 100 TB
+    // foreachBatch form) produces the same classification
+    val delta = Seq((100L, jig(ex, 1)), (101L, Seq(0f, 0f, 1f, 0f)),
+      (102L, jig(ey, 0))).toDF("vec_id", "embedding")
+    val batch = graft.operators.Similarity
+      .semanticProbeDelta(delta, dir, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(batch == Map(100L -> "semantic_dup", 101L -> "novel",
+      102L -> "semantic_dup"), batch)
+    // and the semi-join complement sees exactly the gated pair
+    val dups = graft.streaming.StreamNovelty
+      .semanticDuplicates(delta, dir, tau = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dups == Set(100L, 102L), dups.mkString(","))
+  }
+
   test("streaming dq gate: violations quarantined, per-batch observe metrics, batch parity") {
     initLog()
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
