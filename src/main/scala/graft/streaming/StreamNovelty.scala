@@ -80,6 +80,39 @@ object StreamNovelty {
       tau: Double = 0.9): DataFrame =
     semanticGate(stream, indexPath, tau, "left_semi")
 
+  /** The packaged steady-state SEMANTIC INGEST LOOP: per micro-batch,
+    * probe the arriving vectors against the persisted IVF index
+    * ([[graft.operators.Similarity.semanticProbeDelta]] — corpus
+    * scans ONLY the batch's probed list partitions, the 100 TB form)
+    * and APPEND the novel survivors into the index
+    * (`appendToIvfIndex` — assign-and-append, no retrain). The index
+    * grows with exactly the semantically-new content; re-deliveries
+    * of an already-ingested vector classify as dups on the next
+    * batch (round-trip spec'd).
+    *
+    * Delivery contract: at-least-once on the index — a replayed
+    * batch whose append committed re-appends its novel rows (the
+    * duplicate is then semantically identical to itself, so it
+    * changes no subsequent classification, only storage; compact or
+    * exact-dedup the index on the retrain cadence). Centroids are
+    * fixed between rebuilds — the documented append-drift trade.
+    */
+  def startSemanticIngest(stream: DataFrame, indexPath: String,
+      checkpoint: String, tau: Double = 0.9)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val novel = graft.operators.Similarity
+          .semanticProbeDelta(batch, indexPath, tau)
+          .filter(col("status") === "novel")
+          .select(col("vec_id"))
+        val rows = batch.join(novel, Seq("vec_id"), "left_semi")
+        if (!rows.isEmpty)
+          graft.operators.Similarity.appendToIvfIndex(rows, indexPath)
+      }
+      .start()
+
   private def semanticGate(stream: DataFrame, indexPath: String,
       tau: Double, joinType: String): DataFrame = {
     import graft.functions.Vectors

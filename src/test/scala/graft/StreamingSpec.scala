@@ -578,6 +578,47 @@ class StreamingSpec extends GraftSpecBase {
     assert(dups == Set(100L, 102L), dups.mkString(","))
   }
 
+  test("semantic ingest loop: novel vectors append to the index, " +
+      "re-deliveries gate on the next batch") {
+    initLog()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def jig(base: Array[Float], i: Int): Seq[Float] = {
+      val v = base.clone(); v(3) = v(3) + 0.001f * i; v.toSeq
+    }
+    val ex = Array(1f, 0f, 0f, 0f)
+    val ey = Array(0f, 1f, 0f, 0f)
+    val corpus = (Seq.tabulate(4)(i => (10L + i, jig(ex, i))) ++
+      Seq.tabulate(4)(i => (20L + i, jig(ey, i))))
+      .toDF("vec_id", "embedding")
+    val base = Files.createTempDirectory("graft_semingest")
+    val dir = base.resolve("idx").toString
+    graft.operators.Similarity.writeIvfIndex(corpus, dir, nlist = 2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val stream = in.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = graft.streaming.StreamNovelty.startSemanticIngest(
+      stream, dir, base.resolve("ckpt").toString, tau = 0.9)
+    try {
+      // batch 1: one corpus dup (not appended), one novel (appended)
+      in.addData((100L, jig(ex, 1)), (101L, Seq(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      val ids1 = spark.read.parquet(s"$dir/corpus")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ids1.contains(101L), s"novel not appended: $ids1")
+      assert(!ids1.contains(100L), s"dup appended: $ids1")
+      // batch 2: re-delivery of the ingested vector + a fresh one
+      in.addData((200L, Seq(0f, 0f, 1f, 0f)), (201L, Seq(0f, 0f, 0f, 1f)))
+      q.processAllAvailable()
+      val ids2 = spark.read.parquet(s"$dir/corpus")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(!ids2.contains(200L), s"re-delivery re-ingested: $ids2")
+      assert(ids2.contains(201L), s"fresh vector lost: $ids2")
+    } finally q.stop()
+  }
+
   test("streaming dq gate: violations quarantined, per-batch observe metrics, batch parity") {
     initLog()
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
