@@ -202,7 +202,7 @@ object Similarity {
     * probe reads only nprobe lists.
     */
   def ivfTrain(e: DataFrame, nlist: Int = 16, iters: Int = 3,
-      dims0: Int = -1): DataFrame = {
+      dims0: Int = -1, trainPerList: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Lloyd iterations re-scan the corpus iters+1 times: cache it for
     // the duration (MEMORY_AND_DISK — spills, never recomputes the
@@ -210,7 +210,27 @@ object Similarity {
     val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dims = dimsOf(cached, dims0)
-      var centroids: Array[(Int, Array[Double])] = cached
+      // SAMPLED training (the FAISS discipline: ~256 points per
+      // centroid suffice for a coarse quantizer): Lloyd's per-pass
+      // cost is O(rows × nlist × dims), and with the derived
+      // nlist ≈ n/2000 a FULL-corpus train is O(n²) — the measured
+      // 300× semantic-inc build quadrupled on exactly this. The
+      // train set is a deterministic xxhash64-rate subset capped at
+      // trainPerList×nlist rows; the FULL corpus is still assigned
+      // by every caller afterwards (one O(n·nlist) pass — the
+      // irreducible part). Inactive (rate = 100%) whenever the
+      // corpus is already ≤ the cap — all oracle/spec scales train
+      // on everything, bit-identically to the pre-r11 code. Pass
+      // trainPerList <= 0 to force full-corpus training.
+      val train = if (trainPerList <= 0) cached else {
+        val n = cached.count()
+        val cap = trainPerList.toLong * nlist
+        if (n <= cap) cached
+        else cached.filter(
+          pmod(xxhash64(col("vec_id")), lit(65536L)) <
+            lit(math.ceil(65536.0 * cap / n).toLong))
+      }
+      var centroids: Array[(Int, Array[Double])] = train
         .withColumn("__h", xxhash64(col("vec_id")))
         .orderBy(col("__h")).limit(nlist)
         .select(col("embedding").cast("array<double>")).collect()
@@ -219,7 +239,7 @@ object Similarity {
       var it = 0
       while (it < iters) {
         val cb = centroids
-        val assigned = assignToNearest(cached, cb)
+        val assigned = assignToNearest(train, cb)
         val dimCols = (0 until dims).map(d =>
           avg(element_at(col("embedding").cast("array<double>"), d + 1))
             .as(s"c_$d"))
@@ -822,7 +842,11 @@ object Similarity {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-semdelta").toString
     try {
-      writeIvfIndex(corpus, tmp, nlist = 16)
+      // the index gets the same scale-safe derived cluster count the
+      // corpus-wide lane uses (fixed nlist was the r9 dedup_semantic
+      // trap: cluster size — and the probe's per-vector compare cost —
+      // would grow with the corpus)
+      writeIvfIndex(corpus, tmp, nlist = derivedNlist(corpus.count()))
       val agg = semanticProbeDelta(delta, tmp, tau = 0.45)
         .agg(count(lit(1)).as("n_delta"),
           sum(when(col("status") === "semantic_dup", 1L).otherwise(0L))
@@ -960,7 +984,16 @@ object Similarity {
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val cArr = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // repartition on the partition column BEFORE the partitioned
+    // write: without it every write task emits one file per list it
+    // touches — tasks×nlist small files (measured: the r11 derived-
+    // nlist lane wrote ~8600 files at 300× and the build time
+    // QUADRUPLED on filesystem overhead; with the shuffle it's one
+    // file per list). One corpus shuffle at build time buys the
+    // probe-side layout every read wants — the op_compact argument
+    // applied at the source.
     assignToNearest(e, cArr)
+      .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(s"$path/corpus")
   }
 
