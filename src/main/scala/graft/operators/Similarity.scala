@@ -1096,8 +1096,12 @@ object Similarity {
       planes: Int = 6, tables: Int = 4, dims0: Int = -1): Unit = {
     val dims = dimsOf(e, dims0)
     val buckets = (0 until tables).map(t => bucketCol(dims, planes, t))
+    // same one-file-per-cell discipline as writeIvfIndex: without the
+    // repartition every task writes a file into each (tbl, bucket)
+    // dir it touches — tasks × tables·2^planes small files
     e.select(col("vec_id"), col("embedding"), posexplode(array(buckets: _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .repartition(col("tbl"), col("bucket"))
       .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
   }
 
