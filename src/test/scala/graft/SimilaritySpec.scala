@@ -226,6 +226,39 @@ class SimilaritySpec extends GraftSpecBase {
     assert(out == Set(10L, 20L, 30L), out.mkString(","))
   }
 
+  test("ivfTrain sampled-training branch: bounded train set, " +
+      "deterministic, full-train twin when under the cap") {
+    initLog()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    // trainPerList=1 forces the sampling branch on even this corpus
+    // (cap = nlist rows < n): training must still produce nlist
+    // centroids and stay deterministic across invocations
+    val a = Similarity.ivfTrain(e, nlist = 4, dims0 = 64, trainPerList = 1)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val b = Similarity.ivfTrain(e, nlist = 4, dims0 = 64, trainPerList = 1)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(a.length == 4 && a.toSeq == b.toSeq)
+    // under the cap (the oracle/spec scales), the sampled default is
+    // BIT-IDENTICAL to forced full-corpus training — the rate filter
+    // never engages
+    val full = Similarity.ivfTrain(e, nlist = 4, dims0 = 64,
+        trainPerList = 0)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val deflt = Similarity.ivfTrain(e, nlist = 4, dims0 = 64)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(full.toSeq == deflt.toSeq)
+    // and the sampled centroids still support a sane end-to-end probe
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfsampled").toString
+    Similarity.writeIvfIndex(e, dir, nlist = 4)
+    val q = e.filter(col("vec_id") === 2L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    val got = Similarity.ivfIndexProbe(spark, dir, q, k = 3)
+      .collect().map(_.getLong(0))
+    assert(got.contains(2L), got.mkString(","))
+  }
+
   test("semanticProbeDelta: planted copy tags semantic_dup, orthogonal " +
       "arrival tags novel; probe-then-append round-trip") {
     initLog()
