@@ -225,7 +225,8 @@ object SparkEntry {
     // dedup_semantic_effect pattern — planted exact copies MUST tag
     // semantic_dup (catch rate 1.0 by construction, spec'd); rows-
     // checked (no_oracle: k-means FP in the coarse assignment)
-    "dedup_semantic_inc" -> ((s, d) => Similarity.semanticDeltaEffect(s, d)))
+    "dedup_semantic_inc" -> ((s, d) => Similarity.semanticDeltaEffect(s, d)),
+    "mix_epochs" -> ((s, d) => Mixture.epochMixture(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -1923,6 +1924,36 @@ object SparkEntry {
              AS BIGINT) AS toks_kept
          FROM u JOIN r2 ON u.source = r2.source
          GROUP BY 1, 2, 3 ORDER BY r2.source""",
+    // epoch upsampling: per-doc multiplicity k = floor(r) +
+    // (u16 < floor(frac(r)*65536)) — identical IEEE literals,
+    // subtract/multiply/floor land the same on both engines; the
+    // oracle sums the closed form the explode realizes
+    "mix_epochs" ->
+      """WITH tok AS (SELECT source, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           FROM documents),
+         u AS (SELECT source, doc_id, n_toks,
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u16
+           FROM tok),
+         m AS (SELECT source, doc_id, n_toks, u16,
+           CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.25
+             WHEN 'src2' THEN 0.75 ELSE 0.0 END AS r FROM u),
+         c AS (SELECT source, doc_id, n_toks,
+           CAST(FLOOR(r) AS BIGINT) +
+             (CASE WHEN u16 < CAST(FLOOR((r - FLOOR(r)) * 65536.0)
+               AS BIGINT) THEN 1 ELSE 0 END) AS k
+           FROM m)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(k) AS BIGINT) AS docs_emitted,
+           CAST(SUM(k * n_toks) AS BIGINT) AS toks_emitted
+         FROM c WHERE k > 0 GROUP BY source ORDER BY source""",
     // T=2 temperature: sqrt is IEEE-correctly-rounded on both
     // engines; √n quantized to integer hundredths makes the
     // normalizer an exact integer sum (the cents doctrine)

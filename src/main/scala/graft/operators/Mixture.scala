@@ -146,6 +146,70 @@ object Mixture {
       .orderBy(col("source"))
   }
 
+  /** EPOCH (UPSAMPLING) mixture — the half of the published LLM data
+    * recipes the rate lanes above cannot express: every keep-rate so
+    * far is ≤ 1 (downsample-only), but real mixtures REPEAT their
+    * small high-quality sources (GPT-3 runs Wikipedia at ~3.4 epochs,
+    * books at ~1.9, while web gets < 1; LLaMA similarly upsamples
+    * books/Wikipedia). `epochExpand` applies a per-domain repeat
+    * factor r_d = k + f: every doc of domain d is emitted k times,
+    * plus once more iff its fixed hash position falls under f — so
+    * the EXPECTED multiplicity is exactly r_d, membership of the
+    * fractional copy is the deterministic [[Sampling.hashUnit16]]
+    * contract (re-runs and corpus growth never flip which docs carry
+    * the extra epoch), and each emitted row is tagged with its
+    * `epoch` ordinal (0-based) so a training pipeline can interleave
+    * or shuffle epochs downstream. r_d = 0 (or absent — a mixture is
+    * a whitelist) drops the domain.
+    *
+    * Scale shape: PURE MAP — the repeat is a per-row
+    * `explode(sequence)` fan-out sized by a broadcast-free CASE
+    * column (the epoch map is a literal), no shuffle anywhere; output
+    * size is Σ r_d·|d| by construction, which is the caller's stated
+    * budget. Cross-engine exactness: k = floor(r) on the same IEEE
+    * literal both engines parse, and the fractional gate compares
+    * hashUnit16 < floor((r−k)·65536) — one subtract, one multiply,
+    * one floor on identical doubles (the mix_token_budget doctrine).
+    */
+  def epochExpand(docs: DataFrame, domainCol: String,
+      epochs: Map[String, Double]): DataFrame = {
+    require(epochs.values.forall(e => e >= 0.0 && e <= 1000.0),
+      "epochExpand: repeat factors must be in [0, 1000]")
+    val eCase = epochs.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(domainCol) === k, lit(v)).otherwise(acc)
+    }
+    val copies = floor(eCase).cast("long") +
+      when(Sampling.hashUnit16(col("doc_id")) <
+        floor((eCase - floor(eCase)) * lit(65536.0)).cast("long"), 1L)
+        .otherwise(0L)
+    Par.ensure(docs)
+      .withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .select(col("*"),
+        explode(sequence(lit(0L), col("__copies") - 1)).as("epoch"))
+      .drop("__copies")
+  }
+
+  /** Driver query `mix_epochs`: expand the corpus at src0×2.5,
+    * src1×1.25, src2×0.75, src3×0 (integer-repeat, both fractional
+    * branches, and the drop case all live) and report per source the
+    * observed docs/tokens and the emitted docs/tokens — books-and-
+    * Wikipedia-style upsampling as one summary row per source. The
+    * oracle computes the closed form (Σ per-doc multiplicity) —
+    * equal by construction since every emitted row carries its doc's
+    * token count.
+    */
+  def epochMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val epochs = Map("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.75)
+    epochExpand(docs, "source", epochs)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_kept"),
+        count(lit(1)).as("docs_emitted"),
+        sum(nToks(col("text"))).as("toks_emitted"))
+      .orderBy(col("source"))
+  }
+
   /** Temperature-scaled mixture rates (the multilingual-pretraining
     * rebalance of mBERT/XLM-R: sample domain d with probability
     * ∝ n_d^(1/T), T > 1 flattening the head so low-resource domains

@@ -122,6 +122,44 @@ class MixtureSpec extends GraftSpecBase {
     assert(rates("mid")._3 < rates("rare")._3)
   }
 
+  test("epochExpand: integer repeats exact, fractional epoch " +
+      "deterministic and near its rate, zero drops, epoch ordinals") {
+    initLog()
+    import spark.implicits._
+    val docs = (0L until 400L).map { i =>
+      val src = s"s${i % 4}"
+      (i, s"w1 w2 w3 w4", src)
+    }.toDF("doc_id", "text", "source")
+    val out = Mixture.epochExpand(docs, "source",
+      Map("s0" -> 3.0, "s1" -> 1.5, "s2" -> 0.5))
+    val byDoc = out.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("k"), max(col("epoch")).as("maxe"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // s0: EVERY doc exactly 3 copies, epochs 0..2
+    val s0 = byDoc.filter(_._2._1 == "s0")
+    assert(s0.size == 100 && s0.values.forall(v => v._2 == 3L && v._3 == 2L))
+    // s1: every doc 1 or 2 copies; expected fraction ~0.5 of docs
+    // carry the extra epoch (hash membership — deterministic, so the
+    // exact count is fixed; just bound it sanely for the fixture)
+    val s1 = byDoc.filter(_._2._1 == "s1")
+    assert(s1.size == 100 && s1.values.forall(v => v._2 == 1L || v._2 == 2L))
+    val extra = s1.values.count(_._2 == 2L)
+    assert(extra > 25 && extra < 75, s"fractional epoch kept $extra/100")
+    // s2 (r<1): a strict subset survives, single copies only
+    val s2 = byDoc.filter(_._2._1 == "s2")
+    assert(s2.nonEmpty && s2.size < 100 && s2.values.forall(_._2 == 1L))
+    // s3 absent from the map: dropped entirely
+    assert(!byDoc.values.exists(_._1 == "s3"))
+    // determinism: the same call emits the identical multiset
+    val again = Mixture.epochExpand(docs.repartition(7), "source",
+        Map("s0" -> 3.0, "s1" -> 1.5, "s2" -> 0.5))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == byDoc.map { case (d, v) => d -> v._2 })
+  }
+
   test("driver lanes: token budget and temperature summaries are stable") {
     initLog()
     val tb = Mixture.tokenBudgetMixture(spark, sf).collect()
