@@ -959,16 +959,111 @@ object Similarity {
     * doubles.
     */
   private def assignToNearest(e: DataFrame,
+      centroids: Array[(Int, Array[Double])]): DataFrame =
+    if (centroids.length >= HierAssignThreshold)
+      assignToNearestHier(e, centroids)
+    else {
+      val maxList = centroids.map(_._1).max + 1
+      val cube = Array.fill(1)(Array.ofDim[Array[Double]](maxList))
+      centroids.foreach { case (i, c) =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        cube(0)(i) = if (n == 0) c else c.map(_ / n)
+      }
+      e.withColumn("list",
+        pqArgminCol(lit(0), col("embedding").cast("array<double>"), cube)
+          .getField("code"))
+    }
+
+  /** Flat assignment is O(nlist·dims) flops PER ROW, and with the
+    * scale-safe `derivedNlist ≈ n/2000` that makes the one full-corpus
+    * assignment pass O(n²·dims/2000) — the last quadratic in the IVF
+    * family after r11's sampled training fixed Lloyd's. Above this
+    * centroid count, assignment goes TWO-LEVEL (the FAISS IMI/
+    * two-level-quantizer discipline): centroids are grouped
+    * driver-side into ≈√nlist super-clusters, each row argmins over
+    * the supers first, then only over the winning super's members —
+    * O((√nlist + maxMembers)·dims) per row. The threshold keeps every
+    * oracle/spec/driver-scale path (nlist ≤ 250 through the 100×
+    * corpus) on the EXACT flat argmin; the trade above it is the
+    * standard two-level one — a vector whose true nearest centroid
+    * lives outside its nearest super is assigned to a neighboring
+    * cluster, which SemDeDup/IVF already tolerate by contract (their
+    * cells are approximate partitions, recall floors are spec'd).
+    * Deterministic: the super-grouping k-means is seeded by list id
+    * and runs a fixed unrolling in plain Scala over the BOUNDED
+    * centroid table.
+    */
+  private val HierAssignThreshold = 256
+
+  private def assignToNearestHier(e: DataFrame,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
     val maxList = centroids.map(_._1).max + 1
-    val cube = Array.fill(1)(Array.ofDim[Array[Double]](maxList))
+    val dims = centroids.head._2.length
+    val normed = Array.ofDim[Array[Double]](maxList)
     centroids.foreach { case (i, c) =>
       val n = math.sqrt(c.map(x => x * x).sum)
-      cube(0)(i) = if (n == 0) c else c.map(_ / n)
+      normed(i) = if (n == 0) c else c.map(_ / n)
     }
-    e.withColumn("list",
-      pqArgminCol(lit(0), col("embedding").cast("array<double>"), cube)
-        .getField("code"))
+    val ids = centroids.map(_._1).sorted
+    val nSuper = math.max(2, math.ceil(math.sqrt(ids.length)).toInt)
+    // driver-side k-means over the centroid table (bounded): seeds =
+    // first nSuper list ids, 4 fixed rounds, L2 over the normalized
+    // centroids, ties to the lower super
+    var supers = Array.tabulate(nSuper)(s => normed(ids(s)).clone())
+    var member = Array.fill(maxList)(0)
+    for (_ <- 1 to 4) {
+      ids.foreach { i =>
+        var best = 0; var bestD = Double.MaxValue
+        var s = 0
+        while (s < nSuper) {
+          var d2 = 0.0; var d = 0
+          while (d < dims) {
+            val df = normed(i)(d) - supers(s)(d); d2 += df * df; d += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = s }
+          s += 1
+        }
+        member(i) = best
+      }
+      supers = Array.tabulate(nSuper) { s =>
+        val ms = ids.filter(member(_) == s)
+        if (ms.isEmpty) supers(s)
+        else {
+          val m = Array.ofDim[Double](dims)
+          ms.foreach(i => (0 until dims).foreach(d => m(d) += normed(i)(d)))
+          m.map(_ / ms.length)
+        }
+      }
+    }
+    val groups: Array[Array[Int]] =
+      Array.tabulate(nSuper)(s => ids.filter(member(_) == s))
+    // empty supers keep a 1-member dummy (member 0's centroid) so the
+    // member cube stays rectangular-addressable; they are unreachable
+    // in practice (a super with no members has no mass to win rows,
+    // and if it does win, the dummy maps to a REAL list)
+    val safeGroups = groups.map(g => if (g.isEmpty) Array(ids(0)) else g)
+    // super cube: normalized super means (cosine argmax trick)
+    val superCube = Array.fill(1)(Array.ofDim[Array[Double]](nSuper))
+    (0 until nSuper).foreach { s =>
+      val n = math.sqrt(supers(s).map(x => x * x).sum)
+      superCube(0)(s) = if (n == 0) supers(s) else supers(s).map(_ / n)
+    }
+    // member cube: cube(s)(j) = normalized centroid of member j of
+    // super s; ragged groups padded with nulls (PqArgmin skips nulls)
+    val maxMembers = safeGroups.map(_.length).max
+    val memberCube = Array.tabulate(nSuper) { s =>
+      val row = Array.ofDim[Array[Double]](maxMembers)
+      safeGroups(s).zipWithIndex.foreach { case (i, j) => row(j) = normed(i) }
+      row
+    }
+    val idMap = typedLit(safeGroups.map(_.toSeq).toSeq)
+    val x = col("embedding").cast("array<double>")
+    e.withColumn("__sup",
+        pqArgminCol(lit(0), x, superCube).getField("code"))
+      .withColumn("list",
+        element_at(element_at(idMap, col("__sup") + 1),
+          pqArgminCol(col("__sup"), x, memberCube).getField("code") + 1))
+      .drop("__sup")
   }
 
   /** Persist an IVF index: the corpus PARTITIONED BY coarse-quantizer

@@ -226,6 +226,40 @@ class SimilaritySpec extends GraftSpecBase {
     assert(out == Set(10L, 20L, 30L), out.mkString(","))
   }
 
+  test("hierarchical assignment (nlist >= 256): separated centroids " +
+      "recover exactly, deterministic under repartition") {
+    initLog()
+    import spark.implicits._
+    // 300 one-hot centroids in 300 dims: every centroid is orthogonal
+    // to every other, so a vector AT centroid i has cosine 1 to its
+    // own super's mean (which contains e_i) and 0 to every other
+    // super — the two-level argmin MUST recover list i exactly, even
+    // though the path is the approximate one (engaged: 300 >= 256).
+    val dims = 300
+    def oneHot(i: Int): Seq[Float] =
+      Seq.tabulate(dims)(d => if (d == i) 1f else 0f)
+    val vecs = (0 until dims).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hier").toString
+    // persist via the public surface: centroids = the one-hots
+    // themselves (ivfTrain would blur them; write the table directly)
+    vecs.select(col("vec_id").cast("int").as("list"),
+        col("embedding").cast("array<double>").as("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val assigned = Similarity.assignFromIndex(vecs.repartition(7), dir)
+      .select(col("vec_id"), col("list")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned.size == dims)
+    assert(assigned.forall { case (v, l) => l.toLong == v },
+      assigned.toSeq.sortBy(_._1).take(10).mkString(","))
+    // determinism: a second pass over a different layout agrees
+    val again = Similarity.assignFromIndex(vecs.repartition(3), dir)
+      .select(col("vec_id"), col("list")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == assigned)
+  }
+
   test("ivfTrain sampled-training branch: bounded train set, " +
       "deterministic, full-train twin when under the cap") {
     initLog()
