@@ -226,7 +226,10 @@ object SparkEntry {
     // semantic_dup (catch rate 1.0 by construction, spec'd); rows-
     // checked (no_oracle: k-means FP in the coarse assignment)
     "dedup_semantic_inc" -> ((s, d) => Similarity.semanticDeltaEffect(s, d)),
-    "mix_epochs" -> ((s, d) => Mixture.epochMixture(s, d)))
+    "mix_epochs" -> ((s, d) => Mixture.epochMixture(s, d)),
+    "mix_shard_shuffle" -> ((s, d) => Mixture.shardShuffleAssign(s, d)),
+    "dedup_embedding_audit" -> ((s, d) => Similarity.embeddingAuditRate(s, d)),
+    "curate_ppl_buckets" -> ((s, d) => Curation.pplBuckets(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -2220,5 +2223,44 @@ object SparkEntry {
          SELECT mm.m, ds.n_communities, wi.within_edges, ds.deg_sq_sum,
            ROUND(CAST(4 * mm.m * wi.within_edges - ds.deg_sq_sum AS DOUBLE)
              / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS modularity
-         FROM mm CROSS JOIN wi CROSS JOIN ds""")
+         FROM mm CROSS JOIN wi CROSS JOIN ds""",
+    // deterministic global shuffle + round-robin sharding: the range
+    // buckets are a PREFIX of the md5 sort order, so the two-phase
+    // distributed rank equals this literal global row_number (rung 1
+    // — all integer, hex strings ASCII-order like their values)
+    "mix_shard_shuffle" ->
+      """SELECT doc_id,
+           CAST((rn - 1) % 8 AS BIGINT) AS shard,
+           CAST((rn - 1) // 8 AS BIGINT) AS pos
+         FROM (SELECT doc_id, row_number() OVER
+                 (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               FROM documents) t""",
+    // bounded near-dup audit: fixed-k md5-ordered sample, exact pairs
+    // within it, rate = integer ppm (rung 1); the cosine round(6)
+    // equality is the proven dedup_embedding contract
+    "dedup_embedding_audit" ->
+      """WITH s AS (SELECT vec_id, embedding FROM embeddings
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 200),
+         p AS (SELECT COUNT(*) AS n_pairs FROM s a JOIN s b
+             ON a.vec_id < b.vec_id
+             WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+               b.embedding::DOUBLE[]), 6) >= 0.45),
+         n AS (SELECT COUNT(*) AS n_sampled FROM s)
+         SELECT CAST(n.n_sampled AS BIGINT) AS n_sampled,
+           CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           CAST((p.n_pairs * 2000000) //
+             (n.n_sampled * (n.n_sampled - 1)) AS BIGINT) AS dup_ppm
+         FROM p CROSS JOIN n""",
+    // CCNet head/middle/tail: the distributed exact-ntile equals the
+    // literal per-domain ntile window (integer score → rung 1)
+    "curate_ppl_buckets" ->
+      """WITH sc AS (SELECT doc_id, source,
+             (n_chars * 100) // len(string_split(text, ' ')) AS score
+           FROM documents)
+         SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+           CAST(nt AS BIGINT) AS tile,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+         FROM (SELECT *, ntile(3) OVER (PARTITION BY source
+                 ORDER BY score, doc_id) AS nt FROM sc) t""")
 }

@@ -74,4 +74,87 @@ object Curation {
 
   def curateCorpusV2(spark: SparkSession, dir: String): DataFrame =
     curateRebalanced(Tables.documents(spark, dir))
+
+  /** Per-domain QUALITY-QUANTILE BUCKETING — the CCNet shape (Wenzek
+    * et al., "CCNet: Extracting High Quality Monolingual Datasets
+    * from Web Crawl Data", 2020): within each domain, order docs by a
+    * quality score and cut into `tiles` equal buckets (CCNet's
+    * head/middle/tail perplexity terciles); downstream recipes keep
+    * head+middle or weight buckets differently. The score column is
+    * pluggable — CCNet uses LM perplexity; any monotone quality proxy
+    * slots in (lower = better, matching CCNet's ascending-perplexity
+    * head).
+    *
+    * Semantics are EXACTLY SQL `ntile(tiles) OVER (PARTITION BY
+    * domain ORDER BY score, id)` — but a literal per-domain window is
+    * the scale trap: a handful of domains means a handful of tasks
+    * each sorting a corpus-sized slice. Instead the exact tile
+    * derives from a distributed rank: (1) aggregate counts per
+    * (domain, score) — parallel, output rows = distinct score values
+    * per domain, which for an integer-quantized score is BOUNDED by
+    * the score range, not the corpus; (2) a running sum over that
+    * small aggregate gives each (domain, score) group its rank
+    * offset; (3) `row_number` within (domain, score) by id —
+    * parallelism = #(domain, score) groups, not #domains. The tile
+    * then falls out of the standard ntile split (first `n mod k`
+    * tiles get `ceil(n/k)` rows) in pure integer arithmetic — rung-1
+    * exact against any engine's ntile.
+    */
+  def qualityBuckets(docs: DataFrame, domainCol: String,
+      scoreCol: String, idCol: String, tiles: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tiles > 0, "qualityBuckets: tiles must be positive")
+    val base = Par.ensure(docs)
+    // (1) per-(domain, score) counts; (2) per-domain running offset
+    // over the ordered distinct scores — the window runs on the
+    // AGGREGATED table (bounded by domains × distinct scores)
+    val offs = base.groupBy(col(domainCol), col(scoreCol))
+      .agg(count(lit(1)).as("__gn"))
+      .withColumn("__off", coalesce(
+        sum(col("__gn")).over(Window.partitionBy(col(domainCol))
+          .orderBy(col(scoreCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__gn"))
+        .over(Window.partitionBy(col(domainCol))))
+      .select(col(domainCol), col(scoreCol), col("__off"), col("__n"))
+    // (3) rank within the (domain, score) group by id
+    val wIn = Window.partitionBy(col(domainCol), col(scoreCol))
+      .orderBy(col(idCol))
+    val ranked = base
+      .withColumn("__r", row_number().over(wIn).cast("long") - 1)
+      .join(offs, Seq(domainCol, scoreCol))
+      .withColumn("__g", col("__off") + col("__r"))
+    // standard ntile split: q = n div k, rem = n mod k; the first rem
+    // tiles hold q+1 rows. Pure integer `div`/`mod` — no double ever
+    // enters (rung 1). greatest(q, 1) only guards the UNTAKEN
+    // else-branch when n < k (CaseWhen evaluates lazily, but ANSI
+    // mode must never see a div-by-zero expression light up).
+    val kL = s"${tiles}L"
+    val tile = expr(
+      s"""CASE WHEN __g < (__n % $kL) * ((__n div $kL) + 1L)
+         |     THEN __g div ((__n div $kL) + 1L)
+         |     ELSE (__n % $kL) +
+         |          (__g - (__n % $kL) * ((__n div $kL) + 1L))
+         |            div greatest(__n div $kL, 1L)
+         |END + 1L""".stripMargin)
+    ranked.select(col(idCol), col(domainCol),
+      col(scoreCol), tile.cast("long").as("tile"))
+  }
+
+  /** Driver query `curate_ppl_buckets`: CCNet head/middle/tail over
+    * the documents corpus, per source, on a deterministic integer
+    * quality proxy (mean chars-per-token ×100 — rung-1 in place of
+    * the LM perplexity this sandbox cannot run; the operator takes
+    * any score column). The oracle recomputes with a literal
+    * `ntile(3)` window — equal by the exact-split construction.
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("score",
+        expr("n_chars * 100L div cast(size(split(text, ' ')) as long)"))
+    qualityBuckets(docs, "source", "score", "doc_id", tiles = 3)
+      .withColumn("bucket",
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle").otherwise("tail"))
+  }
 }

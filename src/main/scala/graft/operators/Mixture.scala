@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -209,6 +210,80 @@ object Mixture {
         sum(nToks(col("text"))).as("toks_emitted"))
       .orderBy(col("source"))
   }
+
+  /** Deterministic GLOBAL SHUFFLE + balanced sharding — the last step
+    * before a training run: every published pipeline (T5's
+    * preprocessing, Dolma, RedPajama) globally shuffles the curated
+    * corpus and cuts it into equal shards so each data-loader worker
+    * streams an unbiased slice in a reproducible order. The shuffle
+    * key is `md5(id)` (the [[Sampling]] portability contract — any
+    * engine reproduces the permutation), the shard assignment is
+    * round-robin over the shuffled order, so shard sizes differ by at
+    * most 1 BY CONSTRUCTION and `pos` is the doc's 0-based position
+    * within its shard: `(shard, pos)` is a bijection onto
+    * `[0, nShards) × [0, ceil(n/nShards))`.
+    *
+    * Scale shape — the TeraSort two-phase rank, NOT a global window
+    * (a single `row_number() OVER (ORDER BY …)` funnels 100 TB
+    * through one task): the md5 space is cut into `buckets`
+    * contiguous RANGES on the first 8 hex chars (range, not modulo:
+    * the bucket must be a PREFIX of the sort order so
+    * per-bucket-rank + bucket-offset equals the global rank), ranks
+    * are computed per-bucket in parallel, and the bucket offsets are
+    * a `buckets`-row cumulative sum joined back as a broadcast. md5
+    * uniformity keeps the ranges balanced at any corpus size; the
+    * default bucket count derives from a count-only job at
+    * ~1 M rows/bucket (the [[Similarity.semanticDedup]] derived-knob
+    * doctrine — a FIXED bucket count is the scale trap).
+    *
+    * Cross-engine exactness (rung 1): the hex prefix is compared as a
+    * STRING everywhere it orders — lowercase hex is ASCII-ordered
+    * identically to its numeric value in both engines — and every
+    * derived quantity (rank, offset, shard, pos) is integer
+    * arithmetic.
+    */
+  def shardShuffle(docs: DataFrame, idCol: String, nShards: Int,
+      buckets: Int = -1, targetBucketRows: Long = 1L << 20): DataFrame = {
+    require(nShards > 0, "shardShuffle: nShards must be positive")
+    val b: Long =
+      if (buckets > 0) buckets.toLong
+      else math.max(16L, (docs.count() + targetBucketRows - 1) / targetBucketRows)
+    require(b <= (1L << 30), "shardShuffle: bucket count exceeds 2^30")
+    val key = md5(col(idCol).cast("string"))
+    // v = numeric value of the first 8 hex chars, in [0, 2^32);
+    // bkt = floor(v·b / 2^32) — contiguous, monotone in the key, so
+    // ordering by (bkt, key) IS ordering by key.
+    val v = conv(substring(key, 1, 8), 16, 10).cast("long")
+    val tagged = docs.select(col(idCol), key.as("__k"),
+      shiftright(v * lit(b), 32).as("__b"))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(col("__k"), col(idCol))
+    val ranked = tagged
+      .withColumn("__r", row_number().over(wIn).cast("long"))
+    // offsets: one row per non-empty bucket — driver-bounded (≤ b);
+    // the running sum over ≤ b rows is the only single-partition
+    // window and it never touches corpus-sized data
+    val offs = ranked.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    ranked.join(broadcast(offs), Seq("__b"))
+      .withColumn("__g", col("__off") + col("__r") - 1)
+      .select(col(idCol),
+        pmod(col("__g"), lit(nShards.toLong)).as("shard"),
+        expr(s"__g div ${nShards}L").as("pos"))
+  }
+
+  /** Driver query `mix_shard_shuffle`: shuffle the documents corpus
+    * into 8 balanced training shards; per-doc (shard, pos) — the
+    * oracle recomputes the same permutation with a plain global
+    * `row_number` over `md5(doc_id)` (equal because the range
+    * buckets are a prefix of the sort order).
+    */
+  def shardShuffleAssign(spark: SparkSession, dir: String): DataFrame =
+    shardShuffle(Tables.documents(spark, dir), "doc_id", nShards = 8)
 
   /** Temperature-scaled mixture rates (the multilingual-pretraining
     * rebalance of mBERT/XLM-R: sample domain d with probability

@@ -140,6 +140,42 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim")).distinct()
   }
 
+  /** BOUNDED near-duplicate AUDIT — the 100 TB answer to
+    * [[embeddingNearDupPairs]]'s honest Ω(n²): exact low-tau pair
+    * ENUMERATION cannot beat quadratic, but the quantity a pipeline
+    * operator actually watches is the duplicate RATE, and that is
+    * estimable from a fixed-size sample at CONSTANT pair cost. The
+    * sample is the `sampleK` smallest `md5(vec_id)` keys — a
+    * deterministic uniform draw (same portability contract as
+    * [[Sampling.hashSample]]) computed by TakeOrdered (O(n log k)
+    * scan, no full sort), so the audit's cost is one corpus scan plus
+    * a CONSTANT k²/2 compare block regardless of corpus size — vs
+    * the full audit's ×100 per corpus decade. Output is one row:
+    * sample size, qualifying pairs in the sample, and the implied
+    * rate in pairs-per-million-pairs (`dup_ppm`, integer division —
+    * rung-1 exact). The estimator is unbiased for the corpus pair
+    * rate (every unordered pair is equally likely under a uniform
+    * key draw); it is an ESTIMATE — enumeration stays
+    * [[embeddingNearDupPairs]] and its documented contract.
+    */
+  def embeddingAuditRate(spark: SparkSession, dir: String): DataFrame =
+    embeddingAuditRate(Tables.embeddings(spark, dir))
+
+  def embeddingAuditRate(emb: DataFrame, tau: Double = 0.45,
+      sampleK: Int = 200, blocks: Int = 4): DataFrame = {
+    require(sampleK > 1, "embeddingAuditRate: need at least 2 sampled rows")
+    val s = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleK)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = embeddingNearDupPairs(s, tau, blocks)
+    pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(s.agg(count(lit(1)).as("n_sampled"))))
+      .select(col("n_sampled"), col("n_pairs"),
+        expr("n_pairs * 2000000L div (n_sampled * (n_sampled - 1L))")
+          .as("dup_ppm"))
+  }
+
   /** Random-hyperplane LSH bucketing: sign-bit sketch from
     * deterministic pseudo-random hyperplanes (hash-derived, no RNG
     * state). Plane p's coefficient for dimension d is a hash of (p, d)

@@ -27,4 +27,27 @@ class CurationSpec extends GraftSpecBase {
     assert(c1.values.toSet.subsetOf(Set("train", "val")))
     assert(c1.values.count(_ == "train") > c1.values.count(_ == "val"))
   }
+
+  test("qualityBuckets equals the literal per-domain ntile window — " +
+      "ties, non-divisible sizes, and n < tiles included") {
+    initLog()
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // heavy score ties (9 distinct values over 200 rows) exercise the
+    // within-(domain, score) id tiebreak; the two-row domain hits the
+    // n < k branch
+    val rows = (0 until 200).map(i =>
+      (i.toLong, s"d${rnd.nextInt(4)}", rnd.nextInt(9).toLong)) ++
+      Seq((900L, "tiny", 5L), (901L, "tiny", 3L))
+    val df = rows.toDF("id", "dom", "score")
+    val got = Curation.qualityBuckets(df, "dom", "score", "id", tiles = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dom")).orderBy(col("score"), col("id"))
+    val exp = df.withColumn("nt", ntile(3).over(w)).collect()
+      .map(r => (r.getLong(0), r.getInt(3).toLong)).toMap
+    assert(got == exp)
+    // n=2 < k=3: standard ntile puts one row in each of tiles 1, 2
+    assert(got(901L) == 1L && got(900L) == 2L)
+  }
 }

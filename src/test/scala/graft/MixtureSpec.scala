@@ -172,4 +172,32 @@ class MixtureSpec extends GraftSpecBase {
     assert(ts.length == 5) // five languages
     ts.foreach(r => assert(r.getLong(4) <= r.getLong(1)))
   }
+
+  private def md5Hex(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("shardShuffle: balanced round-robin over the md5 permutation; " +
+      "bucket count never changes the answer") {
+    initLog()
+    val docs = (0L until 103L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = Mixture.shardShuffle(docs, "doc_id", nShards = 7, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 103)
+    // (shard, pos) is a bijection; shard sizes differ by at most 1
+    assert(out.map(t => (t._2, t._3)).distinct.length == 103)
+    val sizes = out.groupBy(_._2).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1 && sizes.sum == 103)
+    // equals the literal global row_number over (md5(id), id)
+    val expect = (0L until 103L).sortBy(id => (md5Hex(id), id)).zipWithIndex
+      .map { case (id, r) => (id, (r % 7).toLong, (r / 7).toLong) }.toSet
+    assert(out.toSet == expect)
+    // the range buckets are a prefix of the sort order, so ANY bucket
+    // count reproduces the identical permutation
+    val out64 = Mixture
+      .shardShuffle(docs.repartition(5), "doc_id", nShards = 7, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out64 == out.toSet)
+  }
 }

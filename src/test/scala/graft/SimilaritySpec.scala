@@ -682,4 +682,33 @@ class SimilaritySpec extends GraftSpecBase {
     val evr = row.getAs[Double]("evr")
     assert(ev > 0 && tv >= ev && evr > 0 && evr <= 1.0)
   }
+
+  test("embeddingAuditRate: fixed-k sample bounds the audit; ppm is " +
+      "the integer pair rate; k >= n degenerates to the full audit") {
+    initLog()
+    import spark.implicits._
+    def md5Hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // two orthogonal directions: within-direction cosine 1 (>= tau),
+    // across 0 — the qualifying pair count is a closed form of the
+    // sampled ids' parity split
+    val df = (0L until 40L)
+      .map(i => (i, if (i % 2 == 0) Seq(1.0f, 0.0f) else Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val Array(row) = Similarity.embeddingAuditRate(df, sampleK = 10).collect()
+    assert(row.getAs[Long]("n_sampled") == 10L)
+    val sampled = (0L until 40L).sortBy(id => (md5Hex(id), id)).take(10)
+    val even = sampled.count(_ % 2 == 0)
+    val expectPairs = even.toLong * (even - 1) / 2 +
+      (10L - even) * (10L - even - 1) / 2
+    assert(row.getAs[Long]("n_pairs") == expectPairs)
+    assert(row.getAs[Long]("dup_ppm") == expectPairs * 2000000L / (10L * 9L))
+    // sampleK >= corpus: the audit IS the full enumeration's count
+    val Array(full) = Similarity.embeddingAuditRate(df, sampleK = 100).collect()
+    assert(full.getAs[Long]("n_sampled") == 40L)
+    assert(full.getAs[Long]("n_pairs") ==
+      Similarity.embeddingNearDupPairs(df).count())
+  }
 }
