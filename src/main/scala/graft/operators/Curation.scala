@@ -122,7 +122,10 @@ object Curation {
       .orderBy(col(idCol))
     val ranked = base
       .withColumn("__r", row_number().over(wIn).cast("long") - 1)
-      .join(offs, Seq(domainCol, scoreCol))
+      // offs is bounded by domains × distinct scores (the integer
+      // score range, not the corpus) — broadcast, so the corpus-side
+      // exchange planned for the window is the ONLY corpus shuffle
+      .join(broadcast(offs), Seq(domainCol, scoreCol))
       .withColumn("__g", col("__off") + col("__r"))
     // standard ntile split: q = n div k, rem = n mod k; the first rem
     // tiles hold q+1 rows. Pure integer `div`/`mod` — no double ever

@@ -757,4 +757,39 @@ class PlanShapeSpec extends GraftSpecBase {
         above.map(_.nodeName).mkString(","))
     } finally sym.unpersist()
   }
+
+  test("shard shuffle: bucket-parallel rank, broadcast offsets, " +
+      "no global corpus sort") {
+    initLog()
+    val ns = names(graft.operators.Mixture.shardShuffleAssign(spark, sf))
+    assert(ns.exists(_.startsWith("BroadcastHashJoin")), ns.mkString(","))
+    assert(!ns.exists(n => n.contains("CartesianProduct") ||
+      n.startsWith("BroadcastNestedLoopJoin")), ns.mkString(","))
+    // the only Sorts are window-local (bucket-partitioned or the
+    // bounded offsets cumsum) — a global corpus ordering would show
+    // as a range-partitioned Exchange in the plan string
+    val ps = plan(graft.operators.Mixture.shardShuffleAssign(spark, sf))
+      .toString
+    assert(!ps.contains("rangepartitioning"), ps.take(2000))
+  }
+
+  test("embedding audit: sample is TakeOrdered (O(n log k)), " +
+      "not a global sort") {
+    initLog()
+    val ns = names(Similarity.embeddingAuditRate(spark, sf))
+    assert(ns.contains("TakeOrderedAndProject"), ns.mkString(","))
+    // the only nested-loop is the one-row summary crossJoin (the
+    // repo-wide single-row-broadcast convention); never a cartesian
+    assert(!ns.exists(_.contains("CartesianProduct")), ns.mkString(","))
+  }
+
+  test("quality buckets: offsets join back as a broadcast — the " +
+      "window exchange is the only corpus shuffle path") {
+    initLog()
+    val df = graft.operators.Curation.pplBuckets(spark, sf)
+    val ns = names(df)
+    assert(ns.exists(_.startsWith("BroadcastHashJoin")), ns.mkString(","))
+    assert(!ns.exists(n => n.contains("CartesianProduct") ||
+      n.startsWith("BroadcastNestedLoopJoin")), ns.mkString(","))
+  }
 }
