@@ -228,6 +228,7 @@ object SparkEntry {
     "dedup_semantic_inc" -> ((s, d) => Similarity.semanticDeltaEffect(s, d)),
     "mix_epochs" -> ((s, d) => Mixture.epochMixture(s, d)),
     "mix_shard_shuffle" -> ((s, d) => Mixture.shardShuffleAssign(s, d)),
+    "mix_anneal" -> ((s, d) => Mixture.annealMixture(s, d)),
     "dedup_embedding_audit" -> ((s, d) => Similarity.embeddingAuditRate(s, d)),
     "curate_ppl_buckets" -> ((s, d) => Curation.pplBuckets(s, d)))
 
@@ -2224,6 +2225,40 @@ object SparkEntry {
            ROUND(CAST(4 * mm.m * wi.within_edges - ds.deg_sq_sum AS DOUBLE)
              / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS modularity
          FROM mm CROSS JOIN wi CROSS JOIN ds""",
+    // phased (anneal) schedule: per-phase closed forms unioned; the
+    // fractional gate salts the hash BY PHASE ("id#phase") so phases
+    // draw independently — dyadic repeat factors keep floor exact
+    "mix_anneal" ->
+      """WITH tok AS (SELECT source, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           FROM documents),
+         ph AS (
+           SELECT 'main' AS phase, source, doc_id, n_toks,
+             CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+               WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.25
+               ELSE 0.0 END AS r,
+             md5(CAST(doc_id AS VARCHAR) || '#main') AS h FROM tok
+           UNION ALL
+           SELECT 'anneal', source, doc_id, n_toks,
+             CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 2.5
+               WHEN 'src3' THEN 3.0 ELSE 0.0 END,
+             md5(CAST(doc_id AS VARCHAR) || '#anneal') FROM tok),
+         u AS (SELECT phase, source, doc_id, n_toks, r,
+           (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096 +
+           (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256 +
+           (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) AS u16
+           FROM ph),
+         c AS (SELECT phase, source, doc_id, n_toks,
+           CAST(FLOOR(r) AS BIGINT) +
+             (CASE WHEN u16 < CAST(FLOOR((r - FLOOR(r)) * 65536.0)
+               AS BIGINT) THEN 1 ELSE 0 END) AS k
+           FROM u)
+         SELECT phase, source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(k) AS BIGINT) AS docs_emitted,
+           CAST(SUM(k * n_toks) AS BIGINT) AS toks_emitted
+         FROM c WHERE k > 0 GROUP BY phase, source
+         ORDER BY phase, source""",
     // deterministic global shuffle + round-robin sharding: the range
     // buckets are a PREFIX of the md5 sort order, so the two-phase
     // distributed rank equals this literal global row_number (rung 1

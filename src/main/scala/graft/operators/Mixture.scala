@@ -285,6 +285,91 @@ object Mixture {
   def shardShuffleAssign(spark: SparkSession, dir: String): DataFrame =
     shardShuffle(Tables.documents(spark, dir), "doc_id", nShards = 8)
 
+  /** Persist the shards a data loader actually streams: full rows +
+    * their [[shardShuffle]] assignment, PARTITIONED BY shard, each
+    * shard's rows SORTED by `pos` inside one file — so
+    * `shard=k/part-*.parquet` read top-to-bottom IS the reproducible
+    * training order, no read-side sort. Same one-file-per-cell
+    * discipline as the ANN index writers (repartition on the
+    * partition column BEFORE the partitioned write, or every task
+    * emits a file into every shard dir it touches — tasks×nShards
+    * small files). At 100 TB use one `repartition(nShards·m, shard,
+    * pos-range)` variant per multi-file shard; the single-file form
+    * is the per-worker-slice contract the small-shard case wants.
+    */
+  def writeShards(docs: DataFrame, idCol: String, path: String,
+      nShards: Int, buckets: Int = -1): Unit = {
+    val assign = shardShuffle(docs, idCol, nShards, buckets)
+    docs.join(assign, Seq(idCol))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
+  /** PHASED data schedule — curriculum / "anneal" mixtures: modern
+    * recipes (LLaMA 3's final-stage anneal, MiniCPM's two-phase WSD
+    * schedule) end training with a phase whose domain weights differ
+    * sharply from the main run — high-quality sources upweighted, the
+    * web tail dropped. One epoch-map per phase; every emitted row is
+    * tagged (phase, epoch) so the loader streams phases in order.
+    *
+    * Scale shape: ONE corpus scan — per-phase multiplicities are
+    * literal CASE columns carried in an exploded P-entry struct array
+    * (map-side fan-out, like [[epochExpand]]'s, no shuffle, no
+    * per-phase re-scan). The fractional-copy gate is SALTED BY PHASE
+    * (hash of "id#phase") so the docs carrying the extra epoch are
+    * INDEPENDENT draws per phase — an anneal must not systematically
+    * re-see the main phase's fractional picks; within one phase the
+    * [[epochExpand]] stability contract holds unchanged (re-runs,
+    * repartition, and corpus growth never flip a member).
+    */
+  def phasedSchedule(docs: DataFrame, domainCol: String,
+      phases: Seq[(String, Map[String, Double])]): DataFrame = {
+    require(phases.nonEmpty, "phasedSchedule: need at least one phase")
+    require(phases.map(_._1).distinct.size == phases.size,
+      "phasedSchedule: duplicate phase name")
+    val entries = phases.map { case (name, epochs) =>
+      require(epochs.values.forall(e => e >= 0.0 && e <= 1000.0),
+        s"phasedSchedule($name): repeat factors must be in [0, 1000]")
+      val eCase = epochs.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+        when(col(domainCol) === k, lit(v)).otherwise(acc)
+      }
+      val gate = Sampling.hashUnit16(
+        concat(col("doc_id").cast("string"), lit("#" + name)))
+      val copies = floor(eCase).cast("long") +
+        when(gate < floor((eCase - floor(eCase)) * lit(65536.0))
+          .cast("long"), 1L).otherwise(0L)
+      struct(lit(name).as("phase"), copies.as("copies"))
+    }
+    Par.ensure(docs)
+      .select(col("*"), explode(array(entries: _*)).as("__ph"))
+      .filter(col("__ph.copies") > 0)
+      .select(col("*"), col("__ph.phase").as("phase"),
+        explode(sequence(lit(0L), col("__ph.copies") - 1)).as("epoch"))
+      .drop("__ph")
+  }
+
+  /** Driver query `mix_anneal`: a two-phase schedule — "main" runs
+    * the broad mixture (src0 dominant, tail fractional), "anneal"
+    * re-runs the high-quality sources at multi-epoch weights and
+    * DROPS src2 entirely (the whitelist contract per phase). One
+    * summary row per (phase, source): distinct docs kept, rows and
+    * tokens emitted. Oracle = the closed form per phase, unioned.
+    */
+  def annealMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val phases = Seq(
+      "main" -> Map("src0" -> 1.0, "src1" -> 0.5,
+        "src2" -> 0.25, "src3" -> 0.25),
+      "anneal" -> Map("src0" -> 0.25, "src1" -> 2.5, "src3" -> 3.0))
+    phasedSchedule(docs, "source", phases)
+      .groupBy(col("phase"), col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_kept"),
+        count(lit(1)).as("docs_emitted"),
+        sum(nToks(col("text"))).as("toks_emitted"))
+      .orderBy(col("phase"), col("source"))
+  }
+
   /** Temperature-scaled mixture rates (the multilingual-pretraining
     * rebalance of mBERT/XLM-R: sample domain d with probability
     * ∝ n_d^(1/T), T > 1 flattening the head so low-resource domains

@@ -200,4 +200,71 @@ class MixtureSpec extends GraftSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out64 == out.toSet)
   }
+
+  test("phasedSchedule: per-phase closed-form multiplicities; the " +
+      "fractional gate draws independently per phase") {
+    initLog()
+    val docs = (0L until 200L).map(i => (i, "web")).toDF("doc_id", "source")
+    def u16(id: Long, salt: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + salt).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16)
+    }
+    // same 1.5-epoch map in both phases: integer copy always, the
+    // fractional extra gated by the PHASE-salted hash
+    val out = Mixture.phasedSchedule(docs, "source",
+        Seq("a" -> Map("web" -> 1.5), "b" -> Map("web" -> 1.5)))
+      .groupBy(col("phase"), col("doc_id"))
+      .agg(count(lit(1)).as("k"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0L until 200L).foreach { id =>
+      Seq("a", "b").foreach { p =>
+        val expect = 1L + (if (u16(id, "#" + p) < 32768) 1L else 0L)
+        assert(out((p, id)) == expect, s"doc $id phase $p")
+      }
+    }
+    // independence: the extra-epoch doc sets differ between phases
+    val extraA = (0L until 200L).filter(id => out(("a", id)) == 2L).toSet
+    val extraB = (0L until 200L).filter(id => out(("b", id)) == 2L).toSet
+    assert(extraA != extraB,
+      "phase-salted gates must not reuse one phase's picks")
+    // ~half carry the extra epoch in each phase (0.5 fractional)
+    assert(extraA.size > 60 && extraA.size < 140)
+  }
+
+  test("writeShards: one file per shard dir, rows inside in training " +
+      "(pos) order, nothing lost") {
+    initLog()
+    val docs = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shards-").toString
+    try {
+      Mixture.writeShards(docs, "doc_id", dir, nShards = 4, buckets = 8)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      assert(shardDirs.length == 4)
+      var seen = Set.empty[Long]
+      shardDirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1,
+          s"${d.getName}: ${files.length} data files, expected 1")
+        // a single small file is one scan split — read order is file
+        // order, which must be the training (pos) order
+        val rows = spark.read.parquet(d.toString).collect()
+        val poss = rows.map(_.getAs[Long]("pos"))
+        assert(poss.toSeq == poss.sorted.toSeq, d.getName)
+        assert(poss.head == 0L && poss.last == poss.length - 1L)
+        seen ++= rows.map(_.getAs[Long]("doc_id"))
+      }
+      assert(seen == (0L until 60L).toSet)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
