@@ -229,6 +229,7 @@ object SparkEntry {
     "mix_epochs" -> ((s, d) => Mixture.epochMixture(s, d)),
     "mix_shard_shuffle" -> ((s, d) => Mixture.shardShuffleAssign(s, d)),
     "mix_anneal" -> ((s, d) => Mixture.annealMixture(s, d)),
+    "curate_c4" -> ((s, d) => TextAnalysis.c4Summary(s, d)),
     "dedup_embedding_audit" -> ((s, d) => Similarity.embeddingAuditRate(s, d)),
     "curate_ppl_buckets" -> ((s, d) => Curation.pplBuckets(s, d)))
 
@@ -2225,6 +2226,42 @@ object SparkEntry {
            ROUND(CAST(4 * mm.m * wi.within_edges - ds.deg_sq_sum AS DOUBLE)
              / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS modularity
          FROM mm CROSS JOIN wi CROSS JOIN ds""",
+    // C4 rules (Raffel et al. 2020 §2.2): line counts via multiline-
+    // anchored regex (both engines RE2/Java leftmost — ≤1 match per
+    // line), badwords via list intersect; all integers (rung 1)
+    "curate_c4" ->
+      """WITH f AS (SELECT doc_id,
+           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(regexp_extract_all(text, '[.!?"]$', 0, 'm'))
+             AS BIGINT) AS n_term,
+           CAST(len(regexp_extract_all(text, '^(?:\S+ ){4}\S', 0, 'm'))
+             AS BIGINT) AS n_long,
+           CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+             AS n_sent,
+           len(list_intersect(string_split(text, ' '),
+             ['slow', 'big'])) > 0 AS bw,
+           contains(text, 'lorem ipsum') AS lo,
+           contains(text, '{') AS br,
+           contains(lower(text), 'javascript') AS js
+           FROM documents)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+           CAST(SUM(n_term) AS BIGINT) AS term_lines,
+           CAST(SUM(n_long) AS BIGINT) AS long_lines,
+           CAST(SUM(CASE WHEN n_sent < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_sentences,
+           CAST(SUM(CASE WHEN bw THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_badword,
+           CAST(SUM(CASE WHEN lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_lorem,
+           CAST(SUM(CASE WHEN br THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_brace,
+           CAST(SUM(CASE WHEN js THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_js,
+           CAST(SUM(CASE WHEN n_sent >= 3 AND NOT bw AND NOT lo
+             AND NOT br AND NOT js THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass
+         FROM f""",
     // phased (anneal) schedule: per-phase closed forms unioned; the
     // fractional gate salts the hash BY PHASE ("id#phase") so phases
     // draw independently — dyadic repeat factors keep floor exact

@@ -738,4 +738,66 @@ object TextAnalysis {
         sum(when(!col("f_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
         sum(when(!col("f_stop"), 1L).otherwise(0L)).as("fail_stop"),
         sum(when(col("f_pass"), 1L).otherwise(0L)).as("n_pass"))
+
+  /** The C4 rule set (Raffel et al., "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer",
+    * 2020, §2.2) — the OTHER canonical web filter next to Gopher's:
+    * line-level structure rules (keep lines ending in terminal
+    * punctuation; lines with ≥5 words), a ≥3-sentence page floor,
+    * and page-level content gates (badword list, "lorem ipsum",
+    * curly brace, "javascript"). Per-doc line COUNTS plus violation
+    * flags; `f_pass` is the page-level gate.
+    *
+    * Scale shape: ONE map-only pass, everything codegen'd — the
+    * line-level counts ride multiline-anchored `regexp_count`
+    * ((?m)-patterns count matching LINES without splitting or
+    * exploding anything; both engines are leftmost-match so an
+    * anchored pattern fires at most once per line), the badword gate
+    * is `arrays_overlap` against a broadcast-free literal array. No
+    * shuffle, no HOF lambda (which would run interpreted).
+    * All-integer/boolean outputs — rung-1 exact oracle.
+    */
+  def c4Flags(docs: DataFrame, badwords: Seq[String],
+      minSentences: Long = 3L): DataFrame = {
+    require(badwords.nonEmpty, "c4Flags: empty badword list")
+    docs.select(col("doc_id"),
+      size(split(col("text"), "\n")).cast("long").as("n_lines"),
+      regexp_count(col("text"), lit("(?m)[.!?\"]$")).cast("long")
+        .as("n_term_lines"),
+      regexp_count(col("text"), lit("(?m)^(?:\\S+ ){4}\\S")).cast("long")
+        .as("n_long_lines"),
+      regexp_count(col("text"), lit("[.!?]")).cast("long")
+        .as("n_sentences"),
+      arrays_overlap(split(col("text"), " "),
+        typedLit(badwords)).as("f_badword"),
+      (instr(col("text"), "lorem ipsum") > 0).as("f_lorem"),
+      (instr(col("text"), "{") > 0).as("f_brace"),
+      (instr(lower(col("text")), "javascript") > 0).as("f_js"))
+      .withColumn("f_pass",
+        col("n_sentences") >= minSentences && !col("f_badword") &&
+          !col("f_lorem") && !col("f_brace") && !col("f_js"))
+  }
+
+  /** Driver contract `curate_c4`: ONE summary row — corpus and line
+    * totals, per-rule violation counts, pass count. The badword list
+    * is a synthetic stand-in drawn from the corpus vocabulary (the
+    * real filter ships an external list); the punctuation/sentence
+    * counts are honestly DEGENERATE on this newline-free unpunctuated
+    * corpus (every doc = 1 line, 0 sentences — the text_pii
+    * zero-counts-ARE-the-audit convention), so the rule mechanics are
+    * proven on planted multi-line fixtures in the spec instead.
+    */
+  def c4Summary(spark: SparkSession, dir: String): DataFrame =
+    c4Flags(Tables.documents(spark, dir), badwords = Seq("slow", "big"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_lines")).as("total_lines"),
+        sum(col("n_term_lines")).as("term_lines"),
+        sum(col("n_long_lines")).as("long_lines"),
+        sum(when(col("n_sentences") < 3L, 1L).otherwise(0L))
+          .as("fail_sentences"),
+        sum(when(col("f_badword"), 1L).otherwise(0L)).as("fail_badword"),
+        sum(when(col("f_lorem"), 1L).otherwise(0L)).as("fail_lorem"),
+        sum(when(col("f_brace"), 1L).otherwise(0L)).as("fail_brace"),
+        sum(when(col("f_js"), 1L).otherwise(0L)).as("fail_js"),
+        sum(when(col("f_pass"), 1L).otherwise(0L)).as("n_pass"))
 }

@@ -376,4 +376,59 @@ class TextAnalysisSpec extends GraftSpecBase {
         assert(v >= 0 && v <= n, s"$c = $v")
       }
   }
+
+  test("c4Flags: line rules count real lines; each page gate fires " +
+      "on its designed violator only") {
+    initLog()
+    val docs = Seq(
+      // 3 lines: two end in terminal punct, two have >= 5 words;
+      // 3 sentences -> passes everything
+      (1L, "This page has five sentences total.\nshort line\n" +
+        "Every criterion is satisfied here today. Yes! Really."),
+      // fine structure but a badword ("casino") on the list
+      (2L, "A clean line with many words here.\n" +
+        "Then a casino advert appears. Sad. End."),
+      // lorem ipsum boilerplate
+      (3L, "Some lorem ipsum filler text lives here. Two. Three."),
+      // curly brace = leftover code/template
+      (4L, "function() { return 1; } is code. Two. Three."),
+      // javascript warning line
+      (5L, "Please enable JavaScript to view. This. Site."),
+      // too few sentences (1 < 3)
+      (6L, "One single sentence only lives here.")
+    ).toDF("doc_id", "text")
+    val f = TextAnalysis.c4Flags(docs, badwords = Seq("casino", "poker"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(f(1L).getAs[Long]("n_lines") == 3L)
+    assert(f(1L).getAs[Long]("n_term_lines") == 2L) // "short line" doesn't
+    assert(f(1L).getAs[Long]("n_long_lines") == 2L)
+    assert(f(1L).getAs[Long]("n_sentences") == 4L) // . . ! .
+    assert(f(1L).getAs[Boolean]("f_pass"), f(1L).toString)
+    assert(f(2L).getAs[Boolean]("f_badword") &&
+      !f(2L).getAs[Boolean]("f_pass"))
+    assert(f(3L).getAs[Boolean]("f_lorem") && !f(3L).getAs[Boolean]("f_pass"))
+    assert(f(4L).getAs[Boolean]("f_brace") && !f(4L).getAs[Boolean]("f_pass"))
+    assert(f(5L).getAs[Boolean]("f_js") && !f(5L).getAs[Boolean]("f_pass"))
+    assert(f(6L).getAs[Long]("n_sentences") == 1L &&
+      !f(6L).getAs[Boolean]("f_pass"))
+    // designed violators trip ONLY their own page gate
+    Seq(3L, 4L, 5L, 6L).foreach(id =>
+      assert(!f(id).getAs[Boolean]("f_badword"), id.toString))
+    Seq(2L, 4L, 5L, 6L).foreach(id =>
+      assert(!f(id).getAs[Boolean]("f_lorem"), id.toString))
+  }
+
+  test("curate_c4 summary: totals reconcile; corpus degeneracy is " +
+      "the documented one (single-line, zero-sentence docs)") {
+    initLog()
+    val row = TextAnalysis.c4Summary(spark, sf).head()
+    val n = row.getAs[Long]("n_docs")
+    assert(n > 0)
+    // newline-free corpus: exactly one line per doc, none terminal
+    assert(row.getAs[Long]("total_lines") == n)
+    assert(row.getAs[Long]("term_lines") == 0L)
+    assert(row.getAs[Long]("fail_sentences") == n)
+    assert(row.getAs[Long]("n_pass") == 0L)
+    assert(row.getAs[Long]("fail_badword") <= n)
+  }
 }
