@@ -286,24 +286,47 @@ object Mixture {
     shardShuffle(Tables.documents(spark, dir), "doc_id", nShards = 8)
 
   /** Persist the shards a data loader actually streams: full rows +
-    * their [[shardShuffle]] assignment, PARTITIONED BY shard, each
-    * shard's rows SORTED by `pos` inside one file — so
-    * `shard=k/part-*.parquet` read top-to-bottom IS the reproducible
-    * training order, no read-side sort. Same one-file-per-cell
-    * discipline as the ANN index writers (repartition on the
-    * partition column BEFORE the partitioned write, or every task
-    * emits a file into every shard dir it touches — tasks×nShards
-    * small files). At 100 TB use one `repartition(nShards·m, shard,
-    * pos-range)` variant per multi-file shard; the single-file form
-    * is the per-worker-slice contract the small-shard case wants.
+    * their [[shardShuffle]] assignment, PARTITIONED BY shard, rows
+    * SORTED by `pos` — so a shard dir read in (slice, file) order IS
+    * the reproducible training order, no read-side sort. Same
+    * one-file-per-cell discipline as the ANN index writers
+    * (repartition on the partition columns BEFORE the partitioned
+    * write, or every task emits a file into every dir it touches —
+    * tasks×cells small files).
+    *
+    * `filesPerShard` is the 100 TB knob: a single 100 GB shard file
+    * is one write task and one read split — instead each shard is
+    * cut into `filesPerShard` contiguous POS RANGES (`slice = pos div
+    * ceil(shardRows / filesPerShard)` — pure integer arithmetic on
+    * the already-global positions), written as `shard=k/slice=j/`
+    * dirs; slices are equal-sized (last one ragged), and
+    * concatenating a shard's slices in `j` order reproduces exactly
+    * the single-file order (spec'd). Write parallelism becomes
+    * nShards × filesPerShard tasks.
     */
   def writeShards(docs: DataFrame, idCol: String, path: String,
-      nShards: Int, buckets: Int = -1): Unit = {
+      nShards: Int, buckets: Int = -1, filesPerShard: Int = 1): Unit = {
+    require(filesPerShard > 0, "writeShards: filesPerShard must be positive")
     val assign = shardShuffle(docs, idCol, nShards, buckets)
-    docs.join(assign, Seq(idCol))
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("pos"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val rows = docs.join(assign, Seq(idCol))
+    if (filesPerShard == 1) {
+      rows.repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("pos"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+    } else {
+      // shard sizes differ by ≤1, so one ceil over the max shard size
+      // (= ceil(n / nShards)) slices every shard identically; count
+      // the INPUT (assignment is a bijection) — counting `rows` would
+      // re-run the whole rank join for a number the scan already has
+      val n = docs.count()
+      val shardRows = (n + nShards - 1) / nShards.toLong
+      val perSlice = math.max(1L, (shardRows + filesPerShard - 1) /
+        filesPerShard.toLong)
+      rows.withColumn("slice", expr(s"pos div ${perSlice}L"))
+        .repartition(col("shard"), col("slice"))
+        .sortWithinPartitions(col("shard"), col("slice"), col("pos"))
+        .write.mode("overwrite").partitionBy("shard", "slice").parquet(path)
+    }
   }
 
   /** PHASED data schedule — curriculum / "anneal" mixtures: modern

@@ -267,4 +267,45 @@ class MixtureSpec extends GraftSpecBase {
       rm(new java.io.File(dir))
     }
   }
+
+  test("writeShards multi-file: slices are contiguous pos ranges; " +
+      "concatenating them in slice order is the single-file order") {
+    initLog()
+    val docs = (0L until 61L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-slices-").toString
+    try {
+      Mixture.writeShards(docs, "doc_id", dir, nShards = 4, buckets = 8,
+        filesPerShard = 3)
+      // shard sizes 16/15/15/15 → perSlice = ceil(16/3) = 6
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      assert(shardDirs.length == 4)
+      val ref = Mixture.shardShuffle(docs, "doc_id", 4, buckets = 8)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+        .groupBy(_._1)
+        .map { case (s, v) => s -> v.sortBy(_._2).map(_._3).toSeq }
+      shardDirs.foreach { d =>
+        val shard = d.getName.stripPrefix("shard=").toLong
+        val slices = d.listFiles().filter(_.getName.startsWith("slice="))
+          .sortBy(_.getName.stripPrefix("slice=").toLong)
+        assert(slices.length >= 2 && slices.length <= 3, d.getName)
+        slices.foreach(sd => assert(
+          sd.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+        val concat = slices.flatMap { sd =>
+          val rows = spark.read.parquet(sd.toString).collect()
+          val poss = rows.map(_.getAs[Long]("pos"))
+          assert(poss.toSeq == poss.sorted.toSeq, sd.getName)
+          rows.map(_.getAs[Long]("doc_id"))
+        }.toSeq
+        assert(concat == ref(shard), s"shard $shard")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
