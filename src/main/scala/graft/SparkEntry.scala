@@ -2230,20 +2230,22 @@ object SparkEntry {
     // anchored regex (both engines RE2/Java leftmost — ≤1 match per
     // line), badwords via list intersect; all integers (rung 1)
     "curate_c4" ->
-      """WITH f AS (SELECT doc_id,
-           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-           CAST(len(regexp_extract_all(text, '[.!?"]$', 0, 'm'))
+      """WITH n AS (SELECT doc_id, text,
+           replace(text, chr(13), '') AS t FROM documents),
+         f AS (SELECT doc_id,
+           CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(regexp_extract_all(t, '[.!?"]$', 0, 'm'))
              AS BIGINT) AS n_term,
-           CAST(len(regexp_extract_all(text, '^(?:\S+ ){4}\S', 0, 'm'))
+           CAST(len(regexp_extract_all(t, '^(?:\S+ ){4}\S', 0, 'm'))
              AS BIGINT) AS n_long,
-           CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+           CAST(len(regexp_extract_all(t, '[.!?]')) AS BIGINT)
              AS n_sent,
-           len(list_intersect(string_split(text, ' '),
+           len(list_intersect(string_split_regex(lower(t), '[^a-z0-9]+'),
              ['slow', 'big'])) > 0 AS bw,
-           contains(text, 'lorem ipsum') AS lo,
+           contains(lower(text), 'lorem ipsum') AS lo,
            contains(text, '{') AS br,
            contains(lower(text), 'javascript') AS js
-           FROM documents)
+           FROM n)
          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_lines) AS BIGINT) AS total_lines,
            CAST(SUM(n_term) AS BIGINT) AS term_lines,

@@ -99,11 +99,28 @@ object Curation {
     * then falls out of the standard ntile split (first `n mod k`
     * tiles get `ceil(n/k)` rows) in pure integer arithmetic — rung-1
     * exact against any engine's ntile.
+    *
+    * The score column must be an INTEGRAL type — that is what bounds
+    * the broadcast offsets table by the score RANGE; a continuous
+    * double (raw LM perplexity) would grow it to ~one row per doc
+    * and ship a corpus-sized broadcast. Quantize first (CCNet itself
+    * buckets by perplexity percentile) — the require makes the
+    * misuse loud instead of an executor OOM. NULL scores and domains
+    * are kept and ordered nulls-first, matching Spark's own ntile
+    * window (the join back to the offsets is null-safe `<=>`); note
+    * a DuckDB twin orders nulls LAST by default, so the oracle
+    * contract assumes non-null keys.
     */
   def qualityBuckets(docs: DataFrame, domainCol: String,
       scoreCol: String, idCol: String, tiles: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(tiles > 0, "qualityBuckets: tiles must be positive")
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(docs.schema(scoreCol).dataType),
+      s"qualityBuckets: score column '$scoreCol' must be integral " +
+        "(quantize continuous scores first — an unquantized double " +
+        "makes the offsets broadcast corpus-sized)")
     val base = Par.ensure(docs)
     // (1) per-(domain, score) counts; (2) per-domain running offset
     // over the ordered distinct scores — the window runs on the
@@ -120,12 +137,18 @@ object Curation {
     // (3) rank within the (domain, score) group by id
     val wIn = Window.partitionBy(col(domainCol), col(scoreCol))
       .orderBy(col(idCol))
+    // offs is bounded by domains × distinct scores (the integral
+    // score range, not the corpus) — broadcast, so the corpus-side
+    // exchange planned for the window is the ONLY corpus shuffle.
+    // Null-safe keys: a plain equi-join would silently DROP rows
+    // with a null score/domain that the window above still ranked.
+    val offsR = offs.withColumnRenamed(domainCol, "__jd")
+      .withColumnRenamed(scoreCol, "__js")
     val ranked = base
       .withColumn("__r", row_number().over(wIn).cast("long") - 1)
-      // offs is bounded by domains × distinct scores (the integer
-      // score range, not the corpus) — broadcast, so the corpus-side
-      // exchange planned for the window is the ONLY corpus shuffle
-      .join(broadcast(offs), Seq(domainCol, scoreCol))
+      .join(broadcast(offsR),
+        col(domainCol) <=> col("__jd") && col(scoreCol) <=> col("__js"))
+      .drop("__jd", "__js")
       .withColumn("__g", col("__off") + col("__r"))
     // standard ntile split: q = n div k, rem = n mod k; the first rem
     // tiles hold q+1 rows. Pure integer `div`/`mod` — no double ever

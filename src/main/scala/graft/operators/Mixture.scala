@@ -172,17 +172,28 @@ object Mixture {
     * hashUnit16 < floor((r−k)·65536) — one subtract, one multiply,
     * one floor on identical doubles (the mix_token_budget doctrine).
     */
-  def epochExpand(docs: DataFrame, domainCol: String,
-      epochs: Map[String, Double]): DataFrame = {
+  /** Per-row copy count for an epoch map: k = floor(r) integer
+    * copies plus one hash-gated fractional copy. ONE definition
+    * shared by [[epochExpand]] (gate = the doc's own hash position)
+    * and [[phasedSchedule]] (gate salted by phase) — a fix to the
+    * gate arithmetic can never reach one lane and miss the other.
+    */
+  private def copiesCol(domainCol: String, epochs: Map[String, Double],
+      gate: Column): Column = {
     require(epochs.values.forall(e => e >= 0.0 && e <= 1000.0),
-      "epochExpand: repeat factors must be in [0, 1000]")
+      "epoch repeat factors must be in [0, 1000]")
     val eCase = epochs.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
       when(col(domainCol) === k, lit(v)).otherwise(acc)
     }
-    val copies = floor(eCase).cast("long") +
-      when(Sampling.hashUnit16(col("doc_id")) <
-        floor((eCase - floor(eCase)) * lit(65536.0)).cast("long"), 1L)
-        .otherwise(0L)
+    floor(eCase).cast("long") +
+      when(gate < floor((eCase - floor(eCase)) * lit(65536.0))
+        .cast("long"), 1L).otherwise(0L)
+  }
+
+  def epochExpand(docs: DataFrame, domainCol: String,
+      epochs: Map[String, Double]): DataFrame = {
+    val copies =
+      copiesCol(domainCol, epochs, Sampling.hashUnit16(col("doc_id")))
     Par.ensure(docs)
       .withColumn("__copies", copies)
       .filter(col("__copies") > 0)
@@ -242,12 +253,20 @@ object Mixture {
     * derived quantity (rank, offset, shard, pos) is integer
     * arithmetic.
     */
+  /** ≈ n/targetBucketRows range buckets, floored at 16 — the default
+    * width of the two-phase rank; shared by [[shardShuffle]] and
+    * [[writeShards]] so the writer's single count job derives the
+    * same knob the shuffle would.
+    */
+  private def derivedBuckets(n: Long, targetBucketRows: Long): Long =
+    math.max(16L, (n + targetBucketRows - 1) / targetBucketRows)
+
   def shardShuffle(docs: DataFrame, idCol: String, nShards: Int,
       buckets: Int = -1, targetBucketRows: Long = 1L << 20): DataFrame = {
     require(nShards > 0, "shardShuffle: nShards must be positive")
     val b: Long =
       if (buckets > 0) buckets.toLong
-      else math.max(16L, (docs.count() + targetBucketRows - 1) / targetBucketRows)
+      else derivedBuckets(docs.count(), targetBucketRows)
     require(b <= (1L << 30), "shardShuffle: bucket count exceeds 2^30")
     val key = md5(col(idCol).cast("string"))
     // v = numeric value of the first 8 hex chars, in [0, 2^32);
@@ -307,7 +326,24 @@ object Mixture {
   def writeShards(docs: DataFrame, idCol: String, path: String,
       nShards: Int, buckets: Int = -1, filesPerShard: Int = 1): Unit = {
     require(filesPerShard > 0, "writeShards: filesPerShard must be positive")
-    val assign = shardShuffle(docs, idCol, nShards, buckets)
+    // overwrite-over-lazy-input guard (the Layout.compact hazard):
+    // the write path re-reads `docs`, so overwriting a directory the
+    // scan still needs would destroy the input mid-read
+    val outCanon = new java.io.File(path.stripPrefix("file:"))
+      .getCanonicalPath
+    require(!docs.inputFiles.exists { f =>
+      val p = new java.io.File(f.stripPrefix("file:")).getCanonicalPath
+      p == outCanon || p.startsWith(outCanon + java.io.File.separator)
+    }, s"writeShards: output path ($path) overlaps an input file — " +
+      "overwrite would delete data the lazy scan still reads")
+    // ONE count serves both derived knobs (the bucket width inside
+    // shardShuffle and the slice width here) — the default path must
+    // not scan the corpus twice for two numbers
+    val needCount = buckets <= 0 || filesPerShard > 1
+    val n = if (needCount) docs.count() else -1L
+    val b = if (buckets > 0) buckets
+      else math.toIntExact(derivedBuckets(n, 1L << 20))
+    val assign = shardShuffle(docs, idCol, nShards, b)
     val rows = docs.join(assign, Seq(idCol))
     if (filesPerShard == 1) {
       rows.repartition(col("shard"))
@@ -315,10 +351,7 @@ object Mixture {
         .write.mode("overwrite").partitionBy("shard").parquet(path)
     } else {
       // shard sizes differ by ≤1, so one ceil over the max shard size
-      // (= ceil(n / nShards)) slices every shard identically; count
-      // the INPUT (assignment is a bijection) — counting `rows` would
-      // re-run the whole rank join for a number the scan already has
-      val n = docs.count()
+      // (= ceil(n / nShards)) slices every shard identically
       val shardRows = (n + nShards - 1) / nShards.toLong
       val perSlice = math.max(1L, (shardRows + filesPerShard - 1) /
         filesPerShard.toLong)
@@ -352,17 +385,10 @@ object Mixture {
     require(phases.map(_._1).distinct.size == phases.size,
       "phasedSchedule: duplicate phase name")
     val entries = phases.map { case (name, epochs) =>
-      require(epochs.values.forall(e => e >= 0.0 && e <= 1000.0),
-        s"phasedSchedule($name): repeat factors must be in [0, 1000]")
-      val eCase = epochs.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
-        when(col(domainCol) === k, lit(v)).otherwise(acc)
-      }
       val gate = Sampling.hashUnit16(
         concat(col("doc_id").cast("string"), lit("#" + name)))
-      val copies = floor(eCase).cast("long") +
-        when(gate < floor((eCase - floor(eCase)) * lit(65536.0))
-          .cast("long"), 1L).otherwise(0L)
-      struct(lit(name).as("phase"), copies.as("copies"))
+      struct(lit(name).as("phase"),
+        copiesCol(domainCol, epochs, gate).as("copies"))
     }
     Par.ensure(docs)
       .select(col("*"), explode(array(entries: _*)).as("__ph"))

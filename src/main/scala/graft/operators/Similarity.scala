@@ -164,16 +164,24 @@ object Similarity {
   def embeddingAuditRate(emb: DataFrame, tau: Double = 0.45,
       sampleK: Int = 200, blocks: Int = 4): DataFrame = {
     require(sampleK > 1, "embeddingAuditRate: need at least 2 sampled rows")
-    val s = emb
+    val slim = emb.select(col("vec_id"), col("embedding"))
+    // ONE corpus scan, exactly: TakeOrdered lands the ≤ sampleK rows
+    // on the driver (bounded by contract — the centroid/codebook
+    // collect discipline) and the constant pair block runs on a
+    // local relation. Leaving the sample as a lazy subtree would
+    // re-run the corpus TakeOrdered once per reference — both pair
+    // join sides plus the count = THREE scans (measured in the plan).
+    val rows = slim
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(sampleK)
-      .select(col("vec_id"), col("embedding"))
-    val pairs = embeddingNearDupPairs(s, tau, blocks)
-    pairs.agg(count(lit(1)).as("n_pairs"))
-      .crossJoin(broadcast(s.agg(count(lit(1)).as("n_sampled"))))
-      .select(col("n_sampled"), col("n_pairs"),
-        expr("n_pairs * 2000000L div (n_sampled * (n_sampled - 1L))")
-          .as("dup_ppm"))
+      .limit(sampleK).collect()
+    val n = rows.length.toLong
+    require(n >= 2, s"embeddingAuditRate: need >= 2 vectors, corpus has $n")
+    val s = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), slim.schema)
+    embeddingNearDupPairs(s, tau, blocks)
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(lit(n).as("n_sampled"), col("n_pairs"),
+        expr(s"n_pairs * 2000000L div (${n}L * ${n - 1}L)").as("dup_ppm"))
   }
 
   /** Random-hyperplane LSH bucketing: sign-bit sketch from

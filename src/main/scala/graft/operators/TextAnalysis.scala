@@ -756,21 +756,34 @@ object TextAnalysis {
     * is `arrays_overlap` against a broadcast-free literal array. No
     * shuffle, no HOF lambda (which would run interpreted).
     * All-integer/boolean outputs — rung-1 exact oracle.
+    *
+    * Cross-engine line-anchor contract: a LINE is a `\n`-separated
+    * span of the CR-STRIPPED text. Java's multiline `$` also fires
+    * before lone `CR`, U+0085, and U+2028 where RE2's fires only
+    * before `\n` — so the text is normalized (`\r` removed) before
+    * any line-anchored pattern, and Spark's patterns carry `(?d)`
+    * (UNIX_LINES) so `^`/`$` see exactly the `\n` set RE2's `m` flag
+    * sees. Badword matching follows the original filter: LOWERCASED
+    * word spans split on non-alphanumerics (space-splitting would
+    * let "casino." or "Casino" escape).
     */
   def c4Flags(docs: DataFrame, badwords: Seq[String],
       minSentences: Long = 3L): DataFrame = {
     require(badwords.nonEmpty, "c4Flags: empty badword list")
+    require(badwords.forall(w => w.nonEmpty && w == w.toLowerCase),
+      "c4Flags: badwords must be lowercase (matching lowercases the text)")
+    val t = regexp_replace(col("text"), "\r", "")
     docs.select(col("doc_id"),
-      size(split(col("text"), "\n")).cast("long").as("n_lines"),
-      regexp_count(col("text"), lit("(?m)[.!?\"]$")).cast("long")
+      size(split(t, "\n")).cast("long").as("n_lines"),
+      regexp_count(t, lit("(?dm)[.!?\"]$")).cast("long")
         .as("n_term_lines"),
-      regexp_count(col("text"), lit("(?m)^(?:\\S+ ){4}\\S")).cast("long")
+      regexp_count(t, lit("(?dm)^(?:\\S+ ){4}\\S")).cast("long")
         .as("n_long_lines"),
-      regexp_count(col("text"), lit("[.!?]")).cast("long")
+      regexp_count(t, lit("[.!?]")).cast("long")
         .as("n_sentences"),
-      arrays_overlap(split(col("text"), " "),
+      arrays_overlap(split(lower(t), "[^a-z0-9]+"),
         typedLit(badwords)).as("f_badword"),
-      (instr(col("text"), "lorem ipsum") > 0).as("f_lorem"),
+      (instr(lower(col("text")), "lorem ipsum") > 0).as("f_lorem"),
       (instr(col("text"), "{") > 0).as("f_brace"),
       (instr(lower(col("text")), "javascript") > 0).as("f_js"))
       .withColumn("f_pass",

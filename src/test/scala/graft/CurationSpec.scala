@@ -37,8 +37,11 @@ class CurationSpec extends GraftSpecBase {
     // within-(domain, score) id tiebreak; the two-row domain hits the
     // n < k branch
     val rows = (0 until 200).map(i =>
-      (i.toLong, s"d${rnd.nextInt(4)}", rnd.nextInt(9).toLong)) ++
-      Seq((900L, "tiny", 5L), (901L, "tiny", 3L))
+      (i.toLong, s"d${rnd.nextInt(4)}", Some(rnd.nextInt(9).toLong))) ++
+      Seq((900L, "tiny", Some(5L)), (901L, "tiny", Some(3L)),
+        // null scores must be KEPT and ordered nulls-first, exactly
+        // like the literal window (an equi-join would drop them)
+        (902L, "d0", Option.empty[Long]), (903L, "d1", Option.empty[Long]))
     val df = rows.toDF("id", "dom", "score")
     val got = Curation.qualityBuckets(df, "dom", "score", "id", tiles = 3)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
@@ -47,7 +50,13 @@ class CurationSpec extends GraftSpecBase {
     val exp = df.withColumn("nt", ntile(3).over(w)).collect()
       .map(r => (r.getLong(0), r.getInt(3).toLong)).toMap
     assert(got == exp)
+    assert(got.contains(902L) && got.contains(903L))
     // n=2 < k=3: standard ntile puts one row in each of tiles 1, 2
     assert(got(901L) == 1L && got(900L) == 2L)
+    // continuous scores are the broadcast trap — must refuse loudly
+    val dbl = df.withColumn("score", col("score").cast("double"))
+    val e = intercept[IllegalArgumentException](
+      Curation.qualityBuckets(dbl, "dom", "score", "id", tiles = 3))
+    assert(e.getMessage.contains("integral"), e.getMessage)
   }
 }

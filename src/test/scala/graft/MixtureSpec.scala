@@ -268,6 +268,27 @@ class MixtureSpec extends GraftSpecBase {
     }
   }
 
+  test("writeShards refuses an output path that overlaps its input") {
+    initLog()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shardguard-").toString
+    try {
+      val in = s"$dir/in"
+      (0L until 10L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+        .write.parquet(in)
+      val docs = spark.read.parquet(in)
+      val e = intercept[IllegalArgumentException](
+        Mixture.writeShards(docs, "doc_id", in, nShards = 2, buckets = 4))
+      assert(e.getMessage.contains("overlaps"), e.getMessage)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("writeShards multi-file: slices are contiguous pos ranges; " +
       "concatenating them in slice order is the single-file order") {
     initLog()

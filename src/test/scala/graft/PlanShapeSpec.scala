@@ -773,13 +773,13 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(!ps.contains("rangepartitioning"), ps.take(2000))
   }
 
-  test("embedding audit: sample is TakeOrdered (O(n log k)), " +
-      "not a global sort") {
+  test("embedding audit: the returned plan holds NO corpus scan — " +
+      "the one TakeOrdered scan ran at sample-collect time") {
     initLog()
     val ns = names(Similarity.embeddingAuditRate(spark, sf))
-    assert(ns.contains("TakeOrderedAndProject"), ns.mkString(","))
-    // the only nested-loop is the one-row summary crossJoin (the
-    // repo-wide single-row-broadcast convention); never a cartesian
+    assert(!ns.exists(_.startsWith("Scan parquet")), ns.mkString(","))
+    assert(ns.exists(n => n.contains("LocalTableScan") ||
+      n.contains("Scan ExistingRDD")), ns.mkString(","))
     assert(!ns.exists(_.contains("CartesianProduct")), ns.mkString(","))
   }
 

@@ -388,14 +388,21 @@ class TextAnalysisSpec extends GraftSpecBase {
       // fine structure but a badword ("casino") on the list
       (2L, "A clean line with many words here.\n" +
         "Then a casino advert appears. Sad. End."),
-      // lorem ipsum boilerplate
-      (3L, "Some lorem ipsum filler text lives here. Two. Three."),
+      // lorem ipsum boilerplate — the canonical CAPITALIZED form
+      (3L, "Some Lorem Ipsum filler text lives here. Two. Three."),
       // curly brace = leftover code/template
       (4L, "function() { return 1; } is code. Two. Three."),
       // javascript warning line
       (5L, "Please enable JavaScript to view. This. Site."),
       // too few sentences (1 < 3)
-      (6L, "One single sentence only lives here.")
+      (6L, "One single sentence only lives here."),
+      // CRLF endings: CR is stripped before the line anchors, so both
+      // lines count as terminal (Java-vs-RE2 $ semantics align)
+      (7L, "Ends right here.\r\nSecond line has five words." +
+        "\r\nAlso a third one now."),
+      // badword capitalized AND punctuation-adjacent: the word-span
+      // split (lowercase, non-alphanumeric) still catches it
+      (8L, "Visit our Casino. Right now! Please do.")
     ).toDF("doc_id", "text")
     val f = TextAnalysis.c4Flags(docs, badwords = Seq("casino", "poker"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -411,10 +418,15 @@ class TextAnalysisSpec extends GraftSpecBase {
     assert(f(5L).getAs[Boolean]("f_js") && !f(5L).getAs[Boolean]("f_pass"))
     assert(f(6L).getAs[Long]("n_sentences") == 1L &&
       !f(6L).getAs[Boolean]("f_pass"))
+    assert(f(7L).getAs[Long]("n_lines") == 3L)
+    assert(f(7L).getAs[Long]("n_term_lines") == 3L,
+      "CR before LF must not defeat the terminal-punctuation anchor")
+    assert(f(8L).getAs[Boolean]("f_badword"),
+      "capitalized, punctuation-adjacent badword must still match")
     // designed violators trip ONLY their own page gate
-    Seq(3L, 4L, 5L, 6L).foreach(id =>
+    Seq(3L, 4L, 5L, 6L, 7L).foreach(id =>
       assert(!f(id).getAs[Boolean]("f_badword"), id.toString))
-    Seq(2L, 4L, 5L, 6L).foreach(id =>
+    Seq(2L, 4L, 5L, 6L, 7L, 8L).foreach(id =>
       assert(!f(id).getAs[Boolean]("f_lorem"), id.toString))
   }
 
