@@ -253,12 +253,12 @@ object Bench {
     // ordering guarantee, not a race mitigation.
     spark.stop()
     // the session (and its async checkpoint file manager) is down —
-    // deleting the stream temp dirs is now safe and silent. The WHOLE
-    // sweep is guarded, not just the per-file delete: an exception out
-    // of isDirectory/listFiles (SecurityException, a racing unmount)
-    // must not stand between the run and its one result line.
-    try deferredTmps.foreach(deleteRecursively)
-    catch { case _: Throwable => () }
+    // deleting the stream temp dirs is now safe and silent. Guard
+    // PER DIRECTORY, not around the whole sweep: one failing delete
+    // (SecurityException, racing unmount) must neither reach the
+    // result line below nor abandon the remaining dirs.
+    deferredTmps.foreach(d =>
+      try deleteRecursively(d) catch { case _: Throwable => () })
     println(stdoutLine)
   }
 }

@@ -2007,18 +2007,30 @@ object SparkEntry {
     // containment (Broder's second measure): |A∩B| / min(|A|,|B|)
     // over 4-token shingle sets — brute-force list_intersect oracle
     // (the dedup_ngram_jaccard CTE with the asymmetric denominator)
+    // the oracle MIRRORS the shipped maxDf=1000 cap (df window →
+    // cold-shingle intersect over FULL-set denominators), so the
+    // compare is exact at ANY df distribution — not just at driver
+    // scales where the hottest shingle sits under the cap
     "dedup_containment" ->
       """WITH s AS (SELECT doc_id,
            list_distinct(list_transform(range(1, len(t) - 2),
              i -> array_to_string(t[i:i+3], ' '))) AS sh
            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-                 WHERE len(string_split(text, ' ')) >= 4) d)
+                 WHERE len(string_split(text, ' ')) >= 4) d),
+         ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         df AS (SELECT g, COUNT(*) AS dfc FROM ex GROUP BY g),
+         cold AS (SELECT e.doc_id, e.g FROM ex e JOIN df ON e.g = df.g
+                  WHERE df.dfc > 1 AND df.dfc <= 1000),
+         cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS common
+           FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
          SELECT id_a, id_b, common, containment FROM (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
-             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-               LEAST(len(a.sh), len(b.sh)), 6) AS containment
-           FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+           SELECT cm.id_a, cm.id_b, cm.common,
+             ROUND(CAST(cm.common AS DOUBLE) /
+               LEAST(len(sa.sh), len(sb.sh)), 6) AS containment
+           FROM cm JOIN s sa ON cm.id_a = sa.doc_id
+                   JOIN s sb ON cm.id_b = sb.doc_id) p
          WHERE containment >= 0.9""",
     // Gopher rules (Rae et al. 2021 A1.1): all integer/ratio
     // arithmetic; mean word length EXACTLY as
@@ -2223,8 +2235,10 @@ object SparkEntry {
          ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
                   CAST(SUM(dcm * dcm) AS BIGINT) AS deg_sq_sum FROM dc)
          SELECT mm.m, ds.n_communities, wi.within_edges, ds.deg_sq_sum,
-           ROUND(CAST(4 * mm.m * wi.within_edges - ds.deg_sq_sum AS DOUBLE)
-             / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS modularity
+           CASE WHEN mm.m > 0 THEN
+             ROUND(CAST(4 * mm.m * wi.within_edges - ds.deg_sq_sum AS DOUBLE)
+               / CAST(4 * mm.m * mm.m AS DOUBLE), 6)
+           ELSE 0.0 END AS modularity
          FROM mm CROSS JOIN wi CROSS JOIN ds""",
     // C4 rules (Raffel et al. 2020 §2.2): line counts via multiline-
     // anchored regex (both engines RE2/Java leftmost — ≤1 match per

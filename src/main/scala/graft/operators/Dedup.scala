@@ -590,10 +590,11 @@ object Dedup {
 
   /** Driver contract `dedup_containment`: ≥0.9-contained pairs of the
     * corpus at 4-token shingles — the quoted/wrapped-document finder.
-    * Runs at the BOUNDED default maxDf (= [[ContainmentDefaultMaxDf]]);
-    * the brute-force oracle is uncapped, which matches because the
-    * corpus's hottest shingle sits far below the cap (measured df ≤ 6
-    * at sf0.1 — three orders of magnitude of margin).
+    * Runs at the BOUNDED default maxDf (= [[ContainmentDefaultMaxDf]]),
+    * and the DuckDB oracle MIRRORS the cap (df-filtered intersect over
+    * full-set denominators), so the compare is exact at any df
+    * distribution — not merely at driver scales where the hottest
+    * shingle (df ≤ 6 at sf0.1) sits under the cap.
     */
   def containedDocuments(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(Tables.documents(spark, dir))

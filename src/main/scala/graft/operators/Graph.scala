@@ -425,10 +425,13 @@ object Graph {
       .crossJoin(broadcast(dstat))
       .select(col("m"), col("n_communities"), col("within_edges"),
         col("deg_sq_sum"),
-        round((lit(4L) * col("m") * col("within_edges") - col("deg_sq_sum"))
-          .cast("double") /
-          (lit(4L) * col("m") * col("m")).cast("double"), 6)
-          .as("modularity"))
+        // m = 0 would be 0/0 → a silent NULL; define the empty graph
+        // as Q = 0 (no edges to place within or across communities)
+        when(col("m") > 0L,
+          round((lit(4L) * col("m") * col("within_edges") -
+            col("deg_sq_sum")).cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("modularity"))
   }
 
   /** Driver contract `graph_lpa_modularity`: ONE row — the modularity
@@ -439,7 +442,14 @@ object Graph {
     */
   def lpaModularity(spark: SparkSession, dir: String): DataFrame = {
     val edges = supplierKnnEdges(spark, dir).cache()
-    modularitySummary(edges, labelPropagation(edges, rounds = 3))
+    // the summary is ONE row: compute it eagerly and unpersist so the
+    // cache does not outlive the call (the labelPropagation house
+    // discipline — a lane must not leave session-lifetime storage)
+    try {
+      val res = modularitySummary(edges, labelPropagation(edges, rounds = 3))
+      val rows = res.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    } finally { edges.unpersist(); () }
   }
 
   /** Driver contract `graph_lpa`: communities of the union-kNN(8)

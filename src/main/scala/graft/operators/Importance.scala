@@ -110,9 +110,17 @@ object Importance {
     * on the per-doc sum.
     */
   def bucketOf(tok: Column, numBuckets: Int): Column = {
-    require(numBuckets == 4096,
-      "bucketOf: 4096 (3 hex chars of md5) is the cross-engine contract")
-    conv(substring(md5(tok), 1, 3), 16, 10).cast("long")
+    // the bucket is the integer value of the first log16(n) hex chars
+    // of md5(token) — any engine reproduces it by extracting the same
+    // digits, so the knob is honored for every power of 16 (a
+    // non-power would need modulo arithmetic the oracle twins don't
+    // share; refuse loudly rather than silently rehash)
+    val p = (math.log(numBuckets.toDouble) / math.log(16.0)).round.toInt
+    require(p >= 1 && p <= 8 &&
+        BigInt(16).pow(p) == BigInt(numBuckets),
+      s"bucketOf: numBuckets must be a power of 16 in [16, 16^8] " +
+        s"(the hex-prefix cross-engine contract; got $numBuckets)")
+    conv(substring(md5(tok), 1, p), 16, 10).cast("long")
   }
 
   def dsirWeightsHashed(target: DataFrame, base: DataFrame,

@@ -82,12 +82,20 @@ object Layout {
       targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0, "compact: targetFileBytes must be > 0")
     // spark.read is LAZY: an overwrite into the input directory would
-    // delete the source before it is fully read — refuse up front
-    require(
-      new java.io.File(outPath.stripPrefix("file:")).getCanonicalPath !=
-        new java.io.File(inPath.stripPrefix("file:")).getCanonicalPath,
-      s"compact: outPath must differ from inPath ($inPath) — " +
-        "write.mode(overwrite) would destroy the input mid-read")
+    // delete the source before it is fully read — refuse up front.
+    // OVERLAP, not just equality: overwriting an ANCESTOR of inPath
+    // recursively deletes the input too, and writing INTO the input
+    // dir pollutes every later scan of it — both directions refuse.
+    val inCanon =
+      new java.io.File(inPath.stripPrefix("file:")).getCanonicalPath
+    val outCanon =
+      new java.io.File(outPath.stripPrefix("file:")).getCanonicalPath
+    val sep = java.io.File.separator
+    require(inCanon != outCanon &&
+        !inCanon.startsWith(outCanon + sep) &&
+        !outCanon.startsWith(inCanon + sep),
+      s"compact: outPath ($outPath) overlaps inPath ($inPath) — " +
+        "write.mode(overwrite) would destroy or pollute the input")
     // parquetOnly: the target file count derives from DATA bytes —
     // _SUCCESS/.crc sidecars don't survive the rewrite and must not
     // inflate it. Non-local schemes fail loud (see localInputBytes).

@@ -331,11 +331,17 @@ object Mixture {
     // scan still needs would destroy the input mid-read
     val outCanon = new java.io.File(path.stripPrefix("file:"))
       .getCanonicalPath
+    val sep = java.io.File.separator
     require(!docs.inputFiles.exists { f =>
       val p = new java.io.File(f.stripPrefix("file:")).getCanonicalPath
-      p == outCanon || p.startsWith(outCanon + java.io.File.separator)
+      val pDir = new java.io.File(p).getParent
+      // out at/above an input file: overwrite deletes it mid-read;
+      // out INSIDE an input dir: the write pollutes later scans of it
+      p == outCanon || p.startsWith(outCanon + sep) ||
+        (pDir != null &&
+          (outCanon == pDir || outCanon.startsWith(pDir + sep)))
     }, s"writeShards: output path ($path) overlaps an input file — " +
-      "overwrite would delete data the lazy scan still reads")
+      "overwrite would delete or pollute data the lazy scan reads")
     // ONE count serves both derived knobs (the bucket width inside
     // shardShuffle and the slice width here) — the default path must
     // not scan the corpus twice for two numbers

@@ -780,10 +780,19 @@ object Similarity {
     * [[appendToLshIndex]]). Centroids drift as the corpus grows;
     * re-train on a rebuild cadence, not per batch.
     */
+  /** The persisted index's centroid table, collected — bounded by
+    * nlist (the same driver-state class everywhere it is used). ONE
+    * definition for append/assign/probe/delta so a layout change to
+    * the centroid parquet cannot reach one path and miss another.
+    */
+  private def readCentroids(spark: SparkSession,
+      path: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+
   def appendToIvfIndex(newVectors: DataFrame, path: String): Unit = {
     val spark = newVectors.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val cents = readCentroids(spark, path)
     // align to the persisted corpus's schema — NAMES and TYPES:
     // parquet readers infer from an arbitrary footer, so appending a
     // narrower frame would make later reads listing-order-dependent,
@@ -805,11 +814,8 @@ object Similarity {
     * building block [[graft.streaming.StreamNovelty]]'s semantic gate
     * rides per micro-batch.
     */
-  def assignFromIndex(vectors: DataFrame, path: String): DataFrame = {
-    val cents = vectors.sparkSession.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    assignToNearest(vectors, cents)
-  }
+  def assignFromIndex(vectors: DataFrame, path: String): DataFrame =
+    assignToNearest(vectors, readCentroids(vectors.sparkSession, path))
 
   /** INCREMENTAL semantic dedup — the steady-state ingest shape
     * SemDeDup needs at 100 TB, composing the persisted IVF index with
@@ -833,8 +839,7 @@ object Similarity {
   def semanticProbeDelta(delta: DataFrame, path: String,
       tau: Double = 0.9): DataFrame = {
     val spark = delta.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val cents = readCentroids(spark, path)
     // eager localCheckpoint: the assignment feeds three consumers
     // (probed-list collect, pair join, final tag) — materialize once,
     // truncate lineage; blocks release with the frame (the
@@ -1145,15 +1150,34 @@ object Similarity {
       k: Int = 5, nprobe: Int = 4,
       excludeId: Option[Long] = None): DataFrame = {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val lists = spark.read.parquet(s"$path/centroids").collect()
-      .map { r =>
-        val c = r.getSeq[Double](1)
+    val cents = readCentroids(spark, path)
+    val exact = cents
+      .map { case (i, c) =>
         val cNorm = math.sqrt(c.map(x => x * x).sum)
         val cos = c.indices.map(d => c(d) * query(d)).sum / (cNorm * qNorm)
-        (r.getInt(0), cos)
+        (i, cos)
       }
       .sortBy { case (list, cos) => (-cos, list) }
       .take(nprobe).map(_._1)
+    // large indexes were WRITTEN with two-level assignment, where a
+    // vector's stored list can differ from its exact-nearest
+    // centroid; probe the query's own two-level list too (computed by
+    // the same deterministic assignToNearest) so an indexed twin of
+    // the query is never missed by the exact ranking alone
+    val own: Seq[Int] =
+      if (cents.length < HierAssignThreshold) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))))
+        val one = spark.createDataFrame(
+          Seq(org.apache.spark.sql.Row(query)).asJava, schema)
+        Seq(assignToNearest(one, cents).select(col("list"))
+          .head().getInt(0))
+      }
+    val lists = (exact ++ own).distinct
     val q = typedLit(query)
     val base = spark.read.parquet(s"$path/corpus")
       .filter(col("list").isin(lists.toIndexedSeq: _*))
@@ -1206,10 +1230,22 @@ object Similarity {
       struct((-Vectors.dot(col("embedding"), cl) / norm).as("s"),
         lit(i).as("list"))
     }
-    val probes = e.filter(col("vec_id") < nQueries)
+    val queries = e.filter(col("vec_id") < nQueries)
+    val ranked = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(slice(array_sort(array(probeSets.toIndexedSeq: _*)), 1, nprobe)
           .getField("list")).as("list"))
+    // ABOVE HierAssignThreshold storage assignment is two-level, so a
+    // query's own STORED list may not be its exact-nearest centroid —
+    // the tie-break argument above covers the flat regime only. Union
+    // the query's own assignment (computed by the SAME assignToNearest
+    // the corpus used) so the self-neighborhood is always probed; the
+    // duplicate probe rows this creates collapse in scored.distinct().
+    val probes =
+      if (centroids.length < HierAssignThreshold) ranked
+      else ranked.unionByName(assignToNearest(queries, centroids)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("list")))
     val scored = broadcast(probes).join(corpus,
         Seq("list")).filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

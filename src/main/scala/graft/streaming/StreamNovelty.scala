@@ -127,6 +127,9 @@ object StreamNovelty {
           round(Vectors.dot(col("embedding"), col("__ce")) /
             (col("__nrm") * col("__cn")), 6) >= tau,
         joinType)
-      .drop("__nrm")
+      // return the INPUT schema — the exact-hash twin (novelOnly)
+      // drops its helper column, and a caller unioning survivors
+      // with raw stream rows must not meet an internal `list` column
+      .drop("__nrm", "list")
   }
 }

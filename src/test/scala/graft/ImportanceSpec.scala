@@ -74,8 +74,15 @@ class ImportanceSpec extends GraftSpecBase {
       .as[Long].collect().toSeq
     assert(got == toks.map(ref))
     assert(got.forall(b => b >= 0 && b < 4096))
-    // only the cross-engine bucket count is a valid contract
+    // any power of 16 honors the hex-prefix contract; anything else
+    // is refused (it would need modulo arithmetic the oracle twins
+    // don't share)
+    val got256 = toks.toDF("tok")
+      .select(Importance.bucketOf(col("tok"), 256).as("b"))
+      .as[Long].collect().toSeq
+    assert(got256 == got.map(_ >> 4), "16^2 prefix = 16^3 prefix >> 4")
     assertThrows[IllegalArgumentException](Importance.bucketOf(col("x"), 10000))
+    assertThrows[IllegalArgumentException](Importance.bucketOf(col("x"), 4095))
   }
 
   test("hashed weight table is bounded by the bucket count, not the vocab") {

@@ -93,11 +93,18 @@ class LayoutSpec extends GraftSpecBase {
       // same dir (lazy read + overwrite would destroy the input)
       val e = intercept[IllegalArgumentException](
         Layout.compact(spark, in, in))
-      assert(e.getMessage.contains("outPath must differ"), e.getMessage)
+      assert(e.getMessage.contains("overlaps"), e.getMessage)
       // …including when the spelling differs but the canonical path matches
       assertThrows[IllegalArgumentException](
         Layout.compact(spark, in, "file:" + base.resolve("x")
           .resolveSibling("in").toString))
+      // …and when outPath is an ANCESTOR of inPath (overwrite would
+      // recursively delete the input) or nested INSIDE it (the write
+      // would pollute every later scan of the input dir)
+      assertThrows[IllegalArgumentException](
+        Layout.compact(spark, in, base.toString))
+      assertThrows[IllegalArgumentException](
+        Layout.compact(spark, in, s"$in/sub"))
       // remote scheme: fail loud, not 1-file fallback (localInputBytes)
       assertThrows[IllegalArgumentException](
         Layout.compact(spark, "hdfs://nn/t", base.resolve("out2").toString))

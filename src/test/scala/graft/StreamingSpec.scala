@@ -561,6 +561,10 @@ class StreamingSpec extends GraftSpecBase {
       val got = spark.table("sem_novel_out").select("vec_id").collect()
         .map(_.getLong(0)).toSet
       assert(got == Set(101L), got.mkString(","))
+      // survivors carry the INPUT schema — no internal list/norm
+      // columns (a caller unions them with raw stream rows)
+      assert(spark.table("sem_novel_out").columns.toSeq ==
+        stream.columns.toSeq)
     } finally q.stop()
     // parity: the same delta through the BATCH probe (the 100 TB
     // foreachBatch form) produces the same classification
@@ -572,9 +576,10 @@ class StreamingSpec extends GraftSpecBase {
     assert(batch == Map(100L -> "semantic_dup", 101L -> "novel",
       102L -> "semantic_dup"), batch)
     // and the semi-join complement sees exactly the gated pair
-    val dups = graft.streaming.StreamNovelty
+    val dupDf = graft.streaming.StreamNovelty
       .semanticDuplicates(delta, dir, tau = 0.9)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dupDf.columns.toSeq == delta.columns.toSeq)
+    val dups = dupDf.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(dups == Set(100L, 102L), dups.mkString(","))
   }
 
