@@ -260,6 +260,36 @@ class SimilaritySpec extends GraftSpecBase {
     assert(again == assigned)
   }
 
+  test("ivfIndexProbe (two-level regime): the query's own STORED " +
+      "list is probed even when the exact ranking contributes none") {
+    initLog()
+    import spark.implicits._
+    val dims = 300
+    def oneHot(i: Int): Seq[Float] =
+      Seq.tabulate(dims)(d => if (d == i) 1f else 0f)
+    val vecs = (0 until dims).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hierprobe").toString
+    vecs.select(col("vec_id").cast("int").as("list"),
+        col("embedding").cast("array<double>").as("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // corpus: one vector per direction, stored wherever the (two-
+    // level, 300 >= 256) assignment puts it — the write-side truth
+    Similarity.assignFromIndex(vecs, dir)
+      .write.mode("overwrite").partitionBy("list").parquet(s"$dir/corpus")
+    // nprobe = 0 leaves the exact-ranked probe set EMPTY: only the
+    // own-stored-list union can reach the query's twin. Above the
+    // threshold storage is two-level, so exact ranking alone cannot
+    // guarantee the self-neighborhood is scanned — this pins the
+    // union that restores the invariant.
+    val hit = Similarity.ivfIndexProbe(spark, dir,
+      oneHot(42).map(_.toDouble), k = 1, nprobe = 0).collect()
+    assert(hit.length == 1, hit.mkString(","))
+    assert(hit.head.getAs[Long]("neighbor_id") == 42L)
+    assert(hit.head.getAs[Double]("cos_sim") == 1.0)
+  }
+
   test("ivfTrain sampled-training branch: bounded train set, " +
       "deterministic, full-train twin when under the cap") {
     initLog()
