@@ -192,6 +192,8 @@ object SparkEntry {
     // round 7d: data-quality gates + fuzzy matching + OLS fit
     "dq_expectations" -> ((s, d) => QualityChecks.lineitemExpectations(s, d)),
     "dq_key_skew" -> ((s, d) => QualityChecks.lineitemKeySkew(s, d)),
+    "dq_join_cardinality" ->
+      ((s, d) => QualityChecks.lineitemOrdersJoinCard(s, d)),
     "dq_referential" -> ((s, d) => QualityChecks.referentialGate(s, d)),
     "dq_profile_drift" -> ((s, d) => QualityChecks.ordersProfileDrift(s, d)),
     "graph_triangles" -> ((s, d) => Graph.supplierTriangles(s, d)),
@@ -2240,6 +2242,32 @@ object SparkEntry {
                / CAST(4 * mm.m * mm.m AS DOUBLE), 6)
            ELSE 0.0 END AS modularity
          FROM mm CROSS JOIN wi CROSS JOIN ds""",
+    // pre-flight join cardinality: Σ cnt_L(k)·cnt_R(k) over the two
+    // per-key count tables — exact integers, two ROUND(6) ratios
+    "dq_join_cardinality" ->
+      """WITH lc AS (SELECT l_orderkey AS k, COUNT(*) AS cl
+                     FROM lineitem GROUP BY 1),
+         rc AS (SELECT o_orderkey AS k, COUNT(*) AS cr
+                FROM orders GROUP BY 1),
+         p AS (SELECT CAST(COUNT(*) AS BIGINT) AS matched_keys,
+                 CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT) AS out_rows,
+                 CAST(COALESCE(MAX(cl * cr), 0) AS BIGINT) AS max_key_out
+               FROM lc JOIN rc ON lc.k = rc.k),
+         t AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+                 AS left_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+                 AS right_rows)
+         SELECT t.left_rows, t.right_rows, p.matched_keys, p.out_rows,
+           p.max_key_out,
+           CASE WHEN GREATEST(t.left_rows, t.right_rows) > 0 THEN
+             ROUND(CAST(p.out_rows AS DOUBLE) /
+               CAST(GREATEST(t.left_rows, t.right_rows) AS DOUBLE), 6)
+           ELSE 0.0 END AS amplification,
+           CASE WHEN p.out_rows > 0 THEN
+             ROUND(CAST(p.max_key_out AS DOUBLE) /
+               CAST(p.out_rows AS DOUBLE), 6)
+           ELSE 0.0 END AS top_key_share
+         FROM p CROSS JOIN t""",
     // C4 rules (Raffel et al. 2020 §2.2): line counts via multiline-
     // anchored regex (both engines RE2/Java leftmost — ≤1 match per
     // line), badwords via list intersect; all integers (rung 1)

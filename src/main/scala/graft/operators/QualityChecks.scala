@@ -104,6 +104,59 @@ object QualityChecks {
   def lineitemKeySkew(spark: SparkSession, dir: String): DataFrame =
     keySkew(Tables.lineitem(spark, dir), "l_partkey")
 
+  /** PRE-FLIGHT join-cardinality estimate — the "will this 100 TB
+    * join explode?" check [[keySkew]] (single table) cannot answer:
+    * the EXACT output row count of `left ⋈ right` on `key` is
+    * Σ_k cnt_L(k)·cnt_R(k), computable from the two per-key COUNT
+    * tables — whose join is bounded by DISTINCT keys, never by the
+    * fact rows — before a single fact row shuffles. Reports the
+    * exact output rows, both input sizes, the matched-key count, the
+    * amplification factor out/max(in), and the single worst key's
+    * contribution — the numbers that decide broadcast vs shuffle vs
+    * salt vs "don't run this".
+    *
+    * Scale shape: one groupBy per side (map-combined, distinct-key-
+    * sized results) + one join of the two COUNT tables + a one-row
+    * aggregate. Integer arithmetic throughout except the two ROUND(6)
+    * ratios (one correctly-rounded division each — rung 1); products
+    * are exact while cnt_L·cnt_R < 2⁶³ per key and Σ < 2⁶³ — beyond
+    * any join this check would approve anyway.
+    */
+  def joinCardinality(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("k"))
+      .agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(rightKey).as("k"))
+      .agg(count(lit(1)).as("cr"))
+    val prod = lc.join(rc, Seq("k"))
+      .select(col("k"), (col("cl") * col("cr")).as("out_k"))
+    val totals = left.agg(count(lit(1)).as("left_rows"))
+      .crossJoin(broadcast(right.agg(count(lit(1)).as("right_rows"))))
+    prod
+      .agg(count(lit(1)).as("matched_keys"),
+        coalesce(sum(col("out_k")), lit(0L)).as("out_rows"),
+        coalesce(max(col("out_k")), lit(0L)).as("max_key_out"))
+      .crossJoin(broadcast(totals))
+      .select(col("left_rows"), col("right_rows"), col("matched_keys"),
+        col("out_rows"), col("max_key_out"),
+        when(greatest(col("left_rows"), col("right_rows")) > 0L,
+          round(col("out_rows").cast("double") /
+            greatest(col("left_rows"), col("right_rows")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("amplification"),
+        when(col("out_rows") > 0L,
+          round(col("max_key_out").cast("double") /
+            col("out_rows").cast("double"), 6))
+          .otherwise(lit(0.0)).as("top_key_share"))
+  }
+
+  /** Driver contract `dq_join_cardinality`: the pre-flight numbers
+    * for lineitem ⋈ orders on the order key — the engine's canonical
+    * fact-to-fact join.
+    */
+  def lineitemOrdersJoinCard(spark: SparkSession, dir: String): DataFrame =
+    joinCardinality(Tables.lineitem(spark, dir), "l_orderkey",
+      Tables.orders(spark, dir), "o_orderkey")
+
   /** Referential-integrity gate: for each declared FK → PK edge, the
     * child row count, orphan count (child keys with no parent), and
     * orphan rate — the check that must pass before any inner join is

@@ -115,4 +115,33 @@ class QualityChecksSpec extends GraftSpecBase {
     assert(name.getLong(5) == 1L)          // max str c -> z
     assert(name.isNullAt(3) && name.isNullAt(4))
   }
+
+  test("joinCardinality: exact Σ cnt_L·cnt_R, hot-key share, and the " +
+      "zero-match edge") {
+    initLog()
+    import spark.implicits._
+    // hot: 100×50 = 5000 out; cold: 3×2 = 6; lonely keys match nothing
+    val left = (Seq.fill(100)("hot") ++ Seq.fill(3)("cold") ++
+      Seq.fill(7)("only_left")).toDF("k1")
+    val right = (Seq.fill(50)("hot") ++ Seq.fill(2)("cold") ++
+      Seq.fill(9)("only_right")).toDF("k2")
+    val r = QualityChecks.joinCardinality(left, "k1", right, "k2").head()
+    assert(r.getAs[Long]("left_rows") == 110L)
+    assert(r.getAs[Long]("right_rows") == 61L)
+    assert(r.getAs[Long]("matched_keys") == 2L)
+    assert(r.getAs[Long]("out_rows") == 5006L)
+    assert(r.getAs[Long]("max_key_out") == 5000L)
+    // the estimate IS the real join's count
+    assert(left.join(right, col("k1") === col("k2")).count() == 5006L)
+    assert(r.getAs[Double]("amplification") ==
+      math.rint(5006.0 / 110.0 * 1e6) / 1e6)
+    assert(r.getAs[Double]("top_key_share") ==
+      math.rint(5000.0 / 5006.0 * 1e6) / 1e6)
+    // disjoint keys: everything zero, no divide-by-zero anywhere
+    val z = QualityChecks.joinCardinality(
+      Seq("a").toDF("k1"), "k1", Seq("b").toDF("k2"), "k2").head()
+    assert(z.getAs[Long]("out_rows") == 0L)
+    assert(z.getAs[Double]("amplification") == 0.0)
+    assert(z.getAs[Double]("top_key_share") == 0.0)
+  }
 }
