@@ -130,6 +130,10 @@ object QualityChecks {
       .agg(count(lit(1)).as("cr"))
     val prod = lc.join(rc, Seq("k"))
       .select(col("k"), (col("cl") * col("cr")).as("out_k"))
+    // input totals via count-star over the inputs, NOT Σ over the
+    // count tables: the zero-column count scan is nearly free, while
+    // a second consumption of lc/rc re-runs the per-key aggregate
+    // (measured at 100×/300×: the Σ-reuse form was 1.1-2× SLOWER)
     val totals = left.agg(count(lit(1)).as("left_rows"))
       .crossJoin(broadcast(right.agg(count(lit(1)).as("right_rows"))))
     prod
