@@ -233,7 +233,11 @@ object SparkEntry {
     "mix_anneal" -> ((s, d) => Mixture.annealMixture(s, d)),
     "curate_c4" -> ((s, d) => TextAnalysis.c4Summary(s, d)),
     "dedup_embedding_audit" -> ((s, d) => Similarity.embeddingAuditRate(s, d)),
-    "curate_ppl_buckets" -> ((s, d) => Curation.pplBuckets(s, d)))
+    "curate_ppl_buckets" -> ((s, d) => Curation.pplBuckets(s, d)),
+    "curate_classifier" -> ((s, d) => Classifier.classifierSelect(s, d)),
+    "curate_classifier_hashed" ->
+      ((s, d) => Classifier.classifierSelectHashed(s, d)),
+    "text_readability" -> ((s, d) => TextAnalysis.readabilityScores(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -2378,5 +2382,105 @@ object SparkEntry {
            CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
              ELSE 'tail' END AS bucket
          FROM (SELECT *, ntile(3) OVER (PARTITION BY source
-                 ORDER BY score, doc_id) AS nt FROM sc) t""")
+                 ORDER BY score, doc_id) AS nt FROM sc) t""",
+    // multinomial NB classifier: every weight is ln of an exact
+    // integer ratio (one correctly-rounded division), per-doc sums
+    // bounded by doc length → ROUND(4) (the curate_dsir argument);
+    // the argmax runs on the ROUNDED score with a label tie-break,
+    // so the prediction is deterministic cross-engine
+    "curate_classifier" ->
+      """WITH toks0 AS (SELECT doc_id, source,
+             unnest(string_split(text, ' ')) AS tok FROM documents),
+         tk AS (SELECT doc_id, tok FROM toks0 WHERE tok <> ''),
+         ltk AS (SELECT source AS label, tok AS feat FROM toks0
+                 WHERE tok <> ''),
+         cnt AS (SELECT label, feat, COUNT(*) AS c FROM ltk
+                 GROUP BY 1, 2),
+         labels AS (SELECT source AS label, COUNT(*) AS n_docs
+                    FROM documents GROUP BY 1),
+         tots AS (SELECT label, SUM(c) AS tot FROM cnt GROUP BY 1),
+         vocab AS (SELECT DISTINCT feat FROM cnt),
+         consts AS (SELECT (SELECT COUNT(*) FROM vocab) AS v,
+                           (SELECT COUNT(*) FROM documents) AS n),
+         w AS (SELECT l.label, f.feat,
+                 ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+                    CAST(t.tot + cs.v AS DOUBLE)) AS w,
+                 ln(CAST(l.n_docs AS DOUBLE) / CAST(cs.n AS DOUBLE)) AS lp
+               FROM labels l CROSS JOIN vocab f
+               JOIN tots t ON t.label = l.label
+               LEFT JOIN cnt c ON c.label = l.label AND c.feat = f.feat
+               CROSS JOIN consts cs),
+         sc AS (SELECT tk.doc_id, w.label,
+                  ROUND(SUM(w.w) + MAX(w.lp), 4) AS score
+                FROM tk JOIN w ON w.feat = tk.tok
+                GROUP BY tk.doc_id, w.label),
+         r AS (SELECT doc_id, label, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, label DESC) AS rn,
+                 LEAD(score, 1) OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, label DESC) AS s2
+               FROM sc)
+         SELECT doc_id, label AS pred_source, score,
+           ROUND(score - s2, 4) AS margin
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
+    // hashed-feature twin: feat = first 3 hex chars of md5(token)
+    // (4096 buckets) — DuckDB extracts the identical digits, so the
+    // bounded-table scale path keeps a full oracle
+    "curate_classifier_hashed" ->
+      """WITH toks0 AS (SELECT doc_id, source,
+             unnest(string_split(text, ' ')) AS tok FROM documents),
+         tk AS (SELECT doc_id, substr(md5(tok), 1, 3) AS feat
+                FROM toks0 WHERE tok <> ''),
+         ltk AS (SELECT source AS label, substr(md5(tok), 1, 3) AS feat
+                 FROM toks0 WHERE tok <> ''),
+         cnt AS (SELECT label, feat, COUNT(*) AS c FROM ltk
+                 GROUP BY 1, 2),
+         labels AS (SELECT source AS label, COUNT(*) AS n_docs
+                    FROM documents GROUP BY 1),
+         tots AS (SELECT label, SUM(c) AS tot FROM cnt GROUP BY 1),
+         vocab AS (SELECT DISTINCT feat FROM cnt),
+         consts AS (SELECT (SELECT COUNT(*) FROM vocab) AS v,
+                           (SELECT COUNT(*) FROM documents) AS n),
+         w AS (SELECT l.label, f.feat,
+                 ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+                    CAST(t.tot + cs.v AS DOUBLE)) AS w,
+                 ln(CAST(l.n_docs AS DOUBLE) / CAST(cs.n AS DOUBLE)) AS lp
+               FROM labels l CROSS JOIN vocab f
+               JOIN tots t ON t.label = l.label
+               LEFT JOIN cnt c ON c.label = l.label AND c.feat = f.feat
+               CROSS JOIN consts cs),
+         sc AS (SELECT tk.doc_id, w.label,
+                  ROUND(SUM(w.w) + MAX(w.lp), 4) AS score
+                FROM tk JOIN w ON w.feat = tk.feat
+                GROUP BY tk.doc_id, w.label),
+         r AS (SELECT doc_id, label, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, label DESC) AS rn,
+                 LEAD(score, 1) OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, label DESC) AS s2
+               FROM sc)
+         SELECT doc_id, label AS pred_source, score,
+           ROUND(score - s2, 4) AS margin
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
+    // Flesch counts are exact integers; the score expressions apply
+    // identically-ordered correctly-rounded IEEE ops on both engines
+    // (rung 1/3) — ROUND(4) is belt-and-braces
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[^ ]+'))
+               AS BIGINT) AS words,
+             CAST(greatest(len(regexp_extract_all(lower(text),
+               '[.!?]+')), 1) AS BIGINT) AS sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS syllables
+           FROM documents)
+         SELECT doc_id, words, sentences, syllables,
+           ROUND(206.835
+             - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+             - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)),
+             4) AS reading_ease,
+           ROUND(0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+             + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+             - 15.59, 4) AS fk_grade
+         FROM c WHERE words > 0 ORDER BY doc_id""")
 }

@@ -813,4 +813,63 @@ object TextAnalysis {
         sum(when(col("f_brace"), 1L).otherwise(0L)).as("fail_brace"),
         sum(when(col("f_js"), 1L).otherwise(0L)).as("fail_js"),
         sum(when(col("f_pass"), 1L).otherwise(0L)).as("n_pass"))
+
+  /** Readability scoring (Flesch reading-ease + Flesch-Kincaid grade,
+    * Kincaid et al. 1975) — the audience-level signal education-
+    * targeted curation thresholds on (the FineWeb-Edu family filters
+    * "too advanced / too trivial" ends of exactly this axis). Counts
+    * are the classic proxies, each a single codegen'd regexp over the
+    * lowercased text:
+    *
+    *   words     = whitespace tokens (the shared tokenizer)
+    *   sentences = max(count of `[.!?]+` runs, 1)  — floor avoids the
+    *               ÷0 on unpunctuated docs (this corpus: all of them
+    *               — the curate_c4 degenerate-counts convention; the
+    *               mechanics are fixture-proven in the spec)
+    *   syllables = count of `[aeiouy]+` vowel groups across the doc
+    *               (spaces break groups, so this is the per-word sum;
+    *               consonant-only tokens contribute 0 — documented
+    *               proxy, not a dictionary)
+    *
+    *   ease  = 206.835 − 1.015·(w/s) − 84.6·(y/w)
+    *   grade = 0.39·(w/s) + 11.8·(y/w) − 15.59
+    *
+    * Scale shape: ONE map-only pass, no shuffle, no explode — the
+    * counts never materialize a token stream. FP: every count is an
+    * exact integer; each division/multiplication/subtraction is one
+    * correctly-rounded IEEE op applied in the SAME written order by
+    * both engines (literal constants parse to identical doubles), so
+    * the score is bit-identical cross-engine before the safety
+    * ROUND(4) — rung-1/3 oracle. Docs with zero words drop (no
+    * readability of nothing; both engines filter identically).
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    // no Par.ensure: the op is map-only over the scan (the c4Flags
+    // convention) — an up-front repartition would ADD the only
+    // Exchange in the plan
+    val counted = docs.select(col("doc_id"),
+      // non-empty whitespace tokens == runs of non-space chars; the
+      // regexp form stays inside codegen where an array-filter HOF
+      // lambda would run interpreted
+      regexp_count(t, lit("[^ ]+")).cast("long").as("words"),
+      greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long")
+        .as("sentences"),
+      regexp_count(t, lit("[aeiouy]+")).cast("long").as("syllables"))
+      .filter(col("words") > 0L)
+    val wps = col("words").cast("double") / col("sentences").cast("double")
+    val spw = col("syllables").cast("double") / col("words").cast("double")
+    counted.select(col("doc_id"), col("words"), col("sentences"),
+      col("syllables"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+        .as("reading_ease"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
+        .as("fk_grade"))
+  }
+
+  /** Driver query `text_readability`: per-doc Flesch scores over the
+    * corpus, doc_id-ordered. Full rung-1/3 oracle.
+    */
+  def readabilityScores(spark: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

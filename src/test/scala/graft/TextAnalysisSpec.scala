@@ -443,4 +443,43 @@ class TextAnalysisSpec extends GraftSpecBase {
     assert(row.getAs[Long]("n_pass") == 0L)
     assert(row.getAs[Long]("fail_badword") <= n)
   }
+
+  test("readability: hand-computed Flesch counts and scores") {
+    initLog()
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "The cat sat. It ran fast!"), // 6 words, 2 sentences, 6 syl
+      (1L, "alpha beta gamma"),          // no punctuation: floor s=1
+      (2L, "pfft"),                      // vowel-free (y counts): 0 syl
+      (3L, " "),                         // zero words: dropped
+      (4L, "What?! Really?!")            // multi-char runs: 2 sentences
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(3L), "zero-word doc must drop")
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d0 = got(0L)
+    assert(d0.getAs[Long]("words") == 6L)
+    assert(d0.getAs[Long]("sentences") == 2L)
+    assert(d0.getAs[Long]("syllables") == 6L)
+    assert(d0.getAs[Double]("reading_ease") ==
+      r4(206.835 - 1.015 * 3.0 - 84.6 * 1.0))
+    assert(d0.getAs[Double]("fk_grade") ==
+      r4(0.39 * 3.0 + 11.8 * 1.0 - 15.59))
+    assert(got(1L).getAs[Long]("sentences") == 1L, "unpunctuated floor")
+    assert(got(2L).getAs[Long]("syllables") == 0L)
+    assert(got(4L).getAs[Long]("sentences") == 2L,
+      "a ?! run is ONE sentence boundary")
+    assert(got(4L).getAs[Long]("words") == 2L)
+  }
+
+  test("readability plan: map-only, no shuffle, no explode") {
+    initLog()
+    val plan = graft.operators.TextAnalysis
+      .readability(graft.sources.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+    assert(!plan.toLowerCase.contains("generate"), "no explode expected")
+  }
 }
