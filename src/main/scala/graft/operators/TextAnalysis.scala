@@ -447,7 +447,10 @@ object TextAnalysis {
   def piiScrub(docs: DataFrame): DataFrame = {
     val scrubbed = regexp_replace(regexp_replace(regexp_replace(
       col("text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
-    docs.select(col("doc_id"),
+    // Par.ensure: six regex passes per doc ≫ one scan-copy shuffle
+    // when the scan is split-starved (single-row-group layouts); a
+    // no-op with ample splits — see readability's measured 6× at 100×
+    Par.ensure(docs).select(col("doc_id"),
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
         .cast("long").as("n_emails"),
       size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
@@ -773,7 +776,10 @@ object TextAnalysis {
     require(badwords.forall(w => w.nonEmpty && w == w.toLowerCase),
       "c4Flags: badwords must be lowercase (matching lowercases the text)")
     val t = regexp_replace(col("text"), "\r", "")
-    docs.select(col("doc_id"),
+    // Par.ensure: three multiline regexp_counts + the badword split
+    // per doc ≫ one scan-copy shuffle on split-starved layouts; a
+    // no-op with ample scan splits (the readability measurement)
+    Par.ensure(docs).select(col("doc_id"),
       size(split(t, "\n")).cast("long").as("n_lines"),
       regexp_count(t, lit("(?dm)[.!?\"]$")).cast("long")
         .as("n_term_lines"),
@@ -845,10 +851,15 @@ object TextAnalysis {
     */
   def readability(docs: DataFrame): DataFrame = {
     val t = lower(col("text"))
-    // no Par.ensure: the op is map-only over the scan (the c4Flags
-    // convention) — an up-front repartition would ADD the only
-    // Exchange in the plan
-    val counted = docs.select(col("doc_id"),
+    // Par.ensure, deliberately: the op is logically map-only, but
+    // regex cost ≫ shuffle cost, so when the SCAN can't parallelize
+    // (few files / single parquet row group — the measured 100×
+    // corpus shape: one row group ⇒ one split ⇒ one core, 51 s) a
+    // RoundRobin repartition buys back all cores for ~1 scan-copy of
+    // the text. Par.ensure is adaptive: with ample scan splits (any
+    // healthy 100 TB layout) it is a NO-OP and the plan stays
+    // Exchange-free
+    val counted = Par.ensure(docs).select(col("doc_id"),
       // non-empty whitespace tokens == runs of non-space chars; the
       // regexp form stays inside codegen where an array-filter HOF
       // lambda would run interpreted

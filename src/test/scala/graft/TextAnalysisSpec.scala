@@ -474,12 +474,18 @@ class TextAnalysisSpec extends GraftSpecBase {
     assert(got(4L).getAs[Long]("words") == 2L)
   }
 
-  test("readability plan: map-only, no shuffle, no explode") {
+  test("readability plan: no explode, no join; at most the adaptive " +
+      "scan-parallelize RoundRobin") {
     initLog()
     val plan = graft.operators.TextAnalysis
       .readability(graft.sources.Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan.take(1500))
     assert(!plan.toLowerCase.contains("generate"), "no explode expected")
+    assert(!plan.contains("Join"), "map-only: no join expected")
+    // the only allowed Exchange is Par.ensure's RoundRobin (it fires
+    // here because the tiny local input yields 1 scan split; ample-
+    // split layouts skip it)
+    assert(!plan.contains("hashpartitioning"),
+      "no key shuffle expected: " + plan.take(1200))
   }
 }
