@@ -44,14 +44,11 @@ import graft.sources.Tables
   */
 object Classifier {
 
-  /** (doc_id, label?, tok) token stream — the shared whitespace
-    * tokenizer (`string_split(text, ' ')`, empties dropped).
+  /** The shared whitespace token stream — one definition for every
+    * lane, see [[Par.tokens]].
     */
   private def toks(docs: DataFrame, extra: Column*): DataFrame =
-    Par.ensure(docs)
-      .select(col("doc_id") +: extra :+
-        explode(split(col("text"), " ")).as("tok"): _*)
-      .filter(col("tok") =!= "")
+    Par.tokens(docs, extra: _*)
 
   /** Identity feature (the unigram reference lane). */
   private val unigram: Column => Column = identity
@@ -129,6 +126,14 @@ object Classifier {
     * label, deterministically cross-engine), margin = score gap to
     * the runner-up (NULL when only one label exists), the number a
     * quality-filtering caller thresholds on.
+    *
+    * Docs with NO in-vocabulary token (empty text, or every token
+    * OOV) get NO output row at all — the classifier has no evidence
+    * and declines to predict, rather than emitting a priors-only
+    * argmax that would mislabel every empty doc with the majority
+    * class. [[nbFilter]] therefore DROPS such docs (spec'd); a caller
+    * who wants them kept should anti-join `docs` against the
+    * predictions and route the remainder by policy.
     */
   def nbPredict(docs: DataFrame, weights: DataFrame,
       feature: Column => Column = unigram): DataFrame = {
@@ -150,7 +155,9 @@ object Classifier {
     * `keepLabel` with at least `minMargin` of score separation — the
     * "documents the WebText classifier scores high" filter of Brown
     * et al. 2020, deterministic edition. Margin-null docs (single-
-    * label model) pass on label alone.
+    * label model) pass on label alone; no-evidence docs (no
+    * in-vocabulary token) have no prediction row and are dropped —
+    * see [[nbPredict]].
     */
   def nbFilter(docs: DataFrame, weights: DataFrame, keepLabel: String,
       minMargin: Double = 0.0,
@@ -183,7 +190,11 @@ object Classifier {
     */
   def classifierSelectHashed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    nbPredict(docs, nbWeightsHashed(docs, "source"), hexBucket(_, 3))
+    // ONE width for train and score: a mismatch would make the feat
+    // join match nothing and the lane silently emit zero rows
+    val hexChars = 3
+    nbPredict(docs, nbWeightsHashed(docs, "source", hexChars),
+      hexBucket(_, hexChars))
       .select(col("doc_id"), col("pred").as("pred_source"),
         col("score"), col("margin"))
       .orderBy(col("doc_id"))

@@ -36,14 +36,10 @@ import graft.sources.Tables
   */
 object Importance {
 
-  /** (doc_id, tok) token stream — the whitespace tokenizer every text
-    * lane shares (`len(string_split(text,' '))` on the oracle side),
-    * empties dropped.
+  /** The shared whitespace token stream — one definition for every
+    * lane, see [[Par.tokens]].
     */
-  private def toks(docs: DataFrame): DataFrame =
-    Par.ensure(docs)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
+  private def toks(docs: DataFrame): DataFrame = Par.tokens(docs)
 
   /** Per-token log importance weight over the UNION vocabulary:
     *

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, explode, split}
 
 /** Input-parallelism guard for map-heavy operators.
   *
@@ -41,7 +42,14 @@ private[graft] object Par {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
           // ceil(bytes / maxPartitionBytes): how many splits the scan
-          // yields at most (actual can be fewer after coalescing)
+          // yields at most (actual can be fewer after coalescing).
+          // KNOWN RESIDUAL: the estimate is byte-based, but parquet
+          // splits at ROW-GROUP boundaries — a writer configured for
+          // row groups larger than maxPartitionBytes (non-default)
+          // yields fewer real splits than estimated, and the guard
+          // no-ops while the scan stays starved. Default writers
+          // (128 MB row groups = the default maxPartitionBytes) are
+          // estimated correctly.
           ((fs.location.sizeInBytes + maxSplit - 1) / maxSplit).toInt
         case _ => target // non-file relation: assume ample
       }
@@ -50,4 +58,19 @@ private[graft] object Par {
     }.sum
     if (estimated < target) df.repartition(target) else df
   }
+
+  /** The shared whitespace token stream: (doc_id[, extra...], tok)
+    * via `explode(split(text, ' '))`, empties dropped — THE
+    * tokenization convention every text lane's DuckDB oracle twins
+    * with `string_split(text, ' ')`. One definition so the contract
+    * cannot desynchronize across operators. ([[Relevance]] keeps its
+    * own variant deliberately: its extra `doc_id IS NOT NULL` guard
+    * must sit between ensure and explode for AQE exchange reuse —
+    * see Relevance.docTokens.)
+    */
+  def tokens(docs: DataFrame, extra: Column*): DataFrame =
+    ensure(docs)
+      .select(col("doc_id") +: extra :+
+        explode(split(col("text"), " ")).as("tok"): _*)
+      .filter(col("tok") =!= "")
 }

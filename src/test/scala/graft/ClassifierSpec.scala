@@ -105,6 +105,23 @@ class ClassifierSpec extends GraftSpecBase {
       2L -> "spam", 3L -> "spam"))
   }
 
+  test("no-evidence docs (all-OOV or empty) get no prediction row " +
+      "and nbFilter drops them") {
+    initLog()
+    val weights = Classifier.nbWeights(seed, "label")
+    val docs = Seq(
+      (30L, "alpha"),     // in-vocab: predicted
+      (31L, "qqqq zzzz"), // every token OOV: no evidence
+      (32L, " ")          // no tokens at all
+    ).toDF("doc_id", "text")
+    val preds = Classifier.nbPredict(docs, weights)
+      .select("doc_id").as[Long].collect().toSet
+    assert(preds == Set(30L), "only the evidenced doc predicts")
+    val kept = Classifier.nbFilter(docs, weights, "good")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(30L))
+  }
+
   test("scoring join broadcasts the weight table (no corpus-side SMJ)") {
     initLog()
     val weights = Classifier.nbWeights(seed, "label")
