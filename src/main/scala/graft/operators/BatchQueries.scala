@@ -153,9 +153,14 @@ object BatchQueries {
       .distinct()
   }
 
-  /** JSON field extraction + aggregation over events.props. */
+  /** JSON field extraction + aggregation over events.props.
+    * Par.ensure: the per-row JSON parse is the cost and it runs
+    * BEFORE the partial agg, so its parallelism is the scan's split
+    * count — the readability scan-starvation fix applies (no-op on
+    * ample splits).
+    */
   def jsonExtractAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Par.ensure(Tables.events(spark, dir))
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))

@@ -25,10 +25,13 @@ import graft.sources.Tables
   * `exact = true` switches to `countDistinct`, which makes Catalyst
   * plan a column-count-wide Expand before the partial agg — exact ndv
   * over k columns fundamentally costs k passes' worth of rows.
-  * Measured (SURVEY §4.5): the Expand lane is 11.4× SUPERLINEAR at
-  * the fourth scale decade (208.5 s at 100×) while HLL++ stays linear
-  * (~15 s) — so the 100 TB-safe approx lane is the default and exact
-  * is the opt-in for small-table oracle-grade profiling.
+  * Measured (SURVEY §4.5): the Expand lane read 11.4× SUPERLINEAR at
+  * the fourth scale decade (208.5 s at 100×) until the r11 scan-split
+  * fix (Par.ensure before the Expand: 39.4 s — the superlinearity was
+  * mostly split-starved serialization of the ×k rows) while HLL++
+  * stays linear (~15 s, deliberately WITHOUT the repartition — see
+  * the in-body note) — the 100 TB-safe approx lane is the default and
+  * exact is the opt-in for small-table oracle-grade profiling.
   */
 object Profile {
 
@@ -77,7 +80,15 @@ object Profile {
         minN.as("min_num"), maxN.as("max_num"),
         minS.as("min_str"), maxS.as("max_str"))
     }
-    df.agg(array(metrics: _*).as("m"))
+    // Par.ensure on the EXACT lane only: its Expand multiplies rows
+    // ×k BEFORE the partial agg, so split-starved scans serialize k
+    // passes' worth of work (measured 100×: 187 → 39 s with the
+    // repartition). The HLL lane's per-row cost is one cheap sketch
+    // update — there the scan-copy shuffle COSTS more than the
+    // starved partials (measured ~15 → 20 s), so it stays a pure
+    // one-scan plan (plan-spec'd).
+    val src = if (exact) Par.ensure(df) else df
+    src.agg(array(metrics: _*).as("m"))
       .select(explode(col("m")).as("p"))
       .select(col("p.col_name"), col("p.n_nulls"), col("p.n_distinct"),
         col("p.min_num"), col("p.max_num"),

@@ -291,7 +291,9 @@ object TextAnalysis {
       struct(markers.map(m => countOcc(padded, m)).reduce(_ + _).as("score"),
         lit(lang).as("lang"))
     }
-    docs.select(
+    // Par.ensure: dozens of marker substring counts per doc ≫ one
+    // scan-copy shuffle on split-starved layouts; no-op otherwise
+    Par.ensure(docs).select(
       col("doc_id"), col("lang").as("lang_label"),
       greatest(scores: _*).getField("lang").as("lang_pred"))
   }
@@ -424,7 +426,9 @@ object TextAnalysis {
     normalizeDocs(Tables.documents(spark, dir))
 
   def normalizeDocs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // Par.ensure: two regex rewrites ×2 uses per doc — the
+    // readability scan-starvation fix applies (no-op on ample splits)
+    Par.ensure(docs).select(col("doc_id"),
       md5(normalized(col("text"))).as("norm_md5"),
       size(split(normalized(col("text")), " ")).cast("long")
         .as("n_norm_tokens"))
