@@ -325,7 +325,11 @@ object Similarity {
     // m×(1+iters) tiny jobs whose fixed overhead dominated — 6.7 s at
     // sf0.1 for what is ~1 s of actual work.)
     val ed = col("embedding").cast("array<double>")
-    val sliced = e.select(col("vec_id"),
+    // Par.ensure: the ×m posexplode and every Lloyd argmin pass run
+    // over THIS frame's partitioning (it is persisted), so a
+    // split-starved scan serializes all of training — the
+    // scan-starvation fix (no-op on ample splits)
+    val sliced = Par.ensure(e).select(col("vec_id"),
         posexplode(array((0 until m).map(s =>
           slice(ed, s * dsub + 1, dsub)): _*)))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "x")
@@ -452,7 +456,11 @@ object Similarity {
       // ||x−c||² = (||c||² − 2x·c) + ||x||²
       (best.getField("code"), best.getField("d") + Vectors.dot(xm, xm))
     }
-    e.select(col("vec_id"),
+    // Par.ensure: m native argmins over ksub centroids per vector is
+    // the heavy-map profile — and downstream ADC scoring (broadcast
+    // join, no shuffle) INHERITS this partitioning, so a starved scan
+    // would serialize the whole search lane (no-op on ample splits)
+    Par.ensure(e).select(col("vec_id"),
       array(bests.map(_._1): _*).as("codes"),
       round(bests.map(_._2).reduce(_ + _), 4).as("distortion"))
   }
