@@ -237,7 +237,14 @@ object SparkEntry {
     "curate_classifier" -> ((s, d) => Classifier.classifierSelect(s, d)),
     "curate_classifier_hashed" ->
       ((s, d) => Classifier.classifierSelectHashed(s, d)),
-    "text_readability" -> ((s, d) => TextAnalysis.readabilityScores(s, d)))
+    "text_readability" -> ((s, d) => TextAnalysis.readabilityScores(s, d)),
+    "dedup_priority" -> ((s, d) => Governance.priorityDedupDocs(s, d)),
+    // benchmark-vs-corpus semantic leakage: planted-exact-copy catch
+    // rate 1.0 by construction (spec'd floor); rows-checked
+    // (no_oracle: k-means FP in the benchmark index's coarse
+    // assignment)
+    "decontaminate_semantic" ->
+      ((s, d) => Similarity.semanticDecontaminateEffect(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -2482,5 +2489,21 @@ object SparkEntry {
            ROUND(0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
              + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
              - 15.59, 4) AS fk_grade
-         FROM c WHERE words > 0 ORDER BY doc_id""")
+         FROM c WHERE words > 0 ORDER BY doc_id""",
+    // cross-source priority dedup: pure integer/string argmin (rank,
+    // doc_id) per exact-text group — rung 1
+    "dedup_priority" ->
+      """WITH pr AS (SELECT source,
+             ROW_NUMBER() OVER (ORDER BY source) AS rank
+           FROM (SELECT DISTINCT source FROM documents)),
+         g AS (SELECT md5(d.text) AS h, d.doc_id, d.source, pr.rank
+               FROM documents d JOIN pr ON pr.source = d.source),
+         r AS (SELECT h, doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY h
+                   ORDER BY rank, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY h) AS n_members
+               FROM g)
+         SELECT doc_id AS keep_id, source AS kept_source,
+           CAST(n_members AS BIGINT) AS n_members
+         FROM r WHERE rn = 1 ORDER BY keep_id""")
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -118,6 +119,44 @@ object Governance {
   def keepBestDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     keepBestPerCluster(docs, Dedup.minhashLshPairs(docs))
+  }
+
+  /** Cross-source PRIORITY dedup — the SlimPajama/Dolma policy twin
+    * of [[keepBestPerCluster]]: when the same text appears in several
+    * SOURCES, keep the copy from the most trusted one (curated corpus
+    * beats web crawl), not the highest-scoring one — source identity,
+    * not content quality, is the tiebreaker a mixture designer wants
+    * when provenance drives licensing/quality guarantees.
+    *
+    * `priority` is a (source, rank) table, rank 0 = most preferred —
+    * dimension-sized, broadcast. The keeper of each exact-dup group
+    * is `min(struct(rank, doc_id, source))` — algebraic, so it
+    * combines map-side and a viral mega-group collapses BEFORE the
+    * shuffle (no per-group sort, no window; the keepBest discipline).
+    * Sources absent from the priority table refuse loudly via the
+    * inner join being a silent dropper — callers pass a COMPLETE
+    * table; the driver lane derives one from the data.
+    */
+  def keepByPriority(docs: DataFrame, priority: DataFrame): DataFrame =
+    docs.join(broadcast(priority), Seq("source"))
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(struct(col("rank"), col("doc_id"), col("source"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("m.doc_id").as("keep_id"),
+        col("m.source").as("kept_source"), col("n_members"))
+
+  /** Driver contract `dedup_priority`: priority = lexicographic
+    * source order (src0 most trusted — a deterministic stand-in for
+    * the curated>web ranking a real pipeline configures), keep one
+    * doc per exact-text group. Full rung-1 oracle (argmin via
+    * window twin).
+    */
+  def priorityDedupDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val priority = docs.select(col("source")).distinct()
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("source"))).cast("long"))
+    keepByPriority(docs, priority).orderBy(col("keep_id"))
   }
 
   /** Incremental (delta-vs-corpus) dedup: classify each new document

@@ -931,6 +931,87 @@ object Similarity {
     }
   }
 
+  /** SEMANTIC decontamination — benchmark leakage beyond string
+    * overlap: n-gram decontamination ([[graft.operators.TextAnalysis
+    * .contamination]]) misses paraphrases, translations, and
+    * format-shuffled copies of eval items, which is why recent model
+    * reports flag "contamination that survives n-gram checks"; in
+    * embedding space those near-matches are exactly high-cosine
+    * neighbors. This is [[semanticProbeDelta]] with the roles CAST
+    * THE SCALE-CORRECT WAY AROUND: the benchmark (thousands of items)
+    * is the INDEXED side and the 100 TB corpus is the probed delta —
+    * one corpus pass, each vector assigned to a benchmark centroid
+    * and compared within its probed list only (O(corpus ×
+    * benchmark-cluster)), the benchmark never replicated, the corpus
+    * never self-joined. `semantic_dup` status ⇒ CONTAMINATED.
+    *
+    * Same recall contract as the probe: an exact or near-exact copy
+    * assigns to its original's cluster and cannot be missed; a
+    * paraphrase landing in a different coarse cluster is the
+    * documented trade (raise nprobe via index rebuild if the
+    * benchmark's cluster structure demands it).
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmarkIndexPath: String,
+      tau: Double = 0.9): DataFrame =
+    semanticProbeDelta(corpus, benchmarkIndexPath, tau)
+      .select(col("vec_id"),
+        when(col("status") === "semantic_dup", lit("contaminated"))
+          .otherwise(lit("clean")).as("status"))
+
+  /** Driver contract `decontaminate_semantic`: the planted-signal
+    * summary (the dedup_semantic_effect pattern). Benchmark = every
+    * 97th vector; corpus = the rest PLUS 20 planted exact copies of
+    * benchmark items (ids above any real id) — copies assign to their
+    * original's cluster at cosine exactly 1, so `catch_rate` is 1.0
+    * by construction and any regression in the index build, the
+    * list-pruned probe, or the tagging moves the scalar. One
+    * deterministic row, computed eagerly so the temp benchmark index
+    * deletes before return. Rows-checked (no_oracle: k-means FP);
+    * the 1.0 floor is spec'd.
+    */
+  def semanticDecontaminateEffect(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val benchmark = e.filter(col("vec_id") % 97 === 0)
+    val clean = e.filter(col("vec_id") % 97 =!= 0)
+    val planted = benchmark.filter(col("vec_id") < 97L * 20)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding"))
+    val corpus = clean.unionByName(planted)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-semdecon").toString
+    try {
+      writeIvfIndex(benchmark, tmp, nlist = derivedNlist(benchmark.count()))
+      val agg = semanticDecontaminate(corpus, tmp, tau = 0.45)
+        .agg(count(lit(1)).as("n_corpus"),
+          sum(when(col("status") === "contaminated", 1L).otherwise(0L))
+            .as("n_contaminated"),
+          // n_planted derives from the probe output itself (planted
+          // ids sit above 1 M) — no assumption about table size
+          sum(when(col("vec_id") >= 1000000L, 1L).otherwise(0L))
+            .as("n_planted"),
+          sum(when(col("vec_id") >= 1000000L &&
+              col("status") === "contaminated", 1L).otherwise(0L))
+            .as("planted_caught"))
+        .select(col("n_corpus"), col("n_contaminated"),
+          col("n_planted"), col("planted_caught"),
+          round(col("planted_caught").cast("double") /
+            col("n_planted").cast("double"), 6).as("catch_rate"))
+        .head()
+      import spark.implicits._
+      Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
+        agg.getDouble(4)))
+        .toDF("n_corpus", "n_contaminated", "n_planted",
+          "planted_caught", "catch_rate")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   /** Append new vectors to a persisted [[writePqIndex]] index WITHOUT
     * retraining: encode against the existing codebooks (pure map —
     * one PqArgmin per subspace) and append to the codes table.

@@ -80,6 +80,35 @@ class GovernanceSpec extends GraftSpecBase {
     assert(out(5L) == ((5L, 1.0, 2L)))
   }
 
+  test("keepByPriority keeps the trusted source's copy; doc_id tie-break") {
+    initLog()
+    val docs = Seq(
+      (1L, "web", "same text"),     // dup group: curated copy wins
+      (2L, "curated", "same text"),
+      (3L, "web", "only on web"),   // singleton keeps itself
+      (4L, "curated", "twin"),      // same-source dup: min doc_id
+      (5L, "curated", "twin")
+    ).toDF("doc_id", "source", "text")
+    val priority = Seq(("curated", 0L), ("web", 1L)).toDF("source", "rank")
+    val out = Governance.keepByPriority(docs, priority).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      2L -> (("curated", 2L)), // beat doc 1 on source rank
+      3L -> (("web", 1L)),
+      4L -> (("curated", 2L)))) // tie -> min doc_id
+  }
+
+  test("keepByPriority plan: broadcast priority, algebraic argmin " +
+      "(no window over the corpus)") {
+    initLog()
+    val docs = Seq((1L, "a", "t")).toDF("doc_id", "source", "text")
+    val priority = Seq(("a", 0L)).toDF("source", "rank")
+    val plan = Governance.keepByPriority(docs, priority)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("Window"), "argmin must be the algebraic agg")
+  }
+
   test("incrementalDedup classifies exact/near/novel against the corpus only") {
     initLog()
     val corpus = Seq(

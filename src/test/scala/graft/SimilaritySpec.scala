@@ -369,6 +369,20 @@ class SimilaritySpec extends GraftSpecBase {
     assert(row.getAs[Long]("n_dup") + row.getAs[Long]("n_novel") == 40L)
   }
 
+  test("decontaminate_semantic driver lane: planted benchmark copies " +
+      "are all caught") {
+    initLog()
+    val row = Similarity.semanticDecontaminateEffect(spark, sf).head()
+    assert(row.getAs[Long]("n_planted") > 0L)
+    assert(row.getAs[Double]("catch_rate") == 1.0,
+      s"catch_rate ${row.getAs[Double]("catch_rate")}")
+    // contamination includes every planted copy plus any organic
+    // benchmark near-dups; never fewer than the planted set
+    assert(row.getAs[Long]("n_contaminated") >=
+      row.getAs[Long]("planted_caught"))
+    assert(row.getAs[Long]("n_corpus") > row.getAs[Long]("n_planted"))
+  }
+
   test("IVF/PQ index append: new vectors become findable without retrain") {
     initLog()
     import spark.implicits._
