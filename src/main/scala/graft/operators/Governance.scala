@@ -133,17 +133,27 @@ object Governance {
     * is `min(struct(rank, doc_id, source))` — algebraic, so it
     * combines map-side and a viral mega-group collapses BEFORE the
     * shuffle (no per-group sort, no window; the keepBest discipline).
-    * Sources absent from the priority table refuse loudly via the
-    * inner join being a silent dropper — callers pass a COMPLETE
-    * table; the driver lane derives one from the data.
+    * A source absent from the priority table FAILS LOUDLY up front
+    * (one dimension-sized distinct + anti-join check): an inner join
+    * would silently drop the whole unranked source — silent data
+    * loss in a keeper — and any default rank is a policy decision
+    * the caller must make explicitly.
     */
-  def keepByPriority(docs: DataFrame, priority: DataFrame): DataFrame =
+  def keepByPriority(docs: DataFrame, priority: DataFrame): DataFrame = {
+    val missing = docs.select(col("source")).distinct()
+      .join(priority, Seq("source"), "left_anti")
+      .collect().map(_.getString(0))
+    require(missing.isEmpty,
+      s"keepByPriority: sources without a priority rank: " +
+        s"${missing.sorted.mkString(", ")} — extend the priority table " +
+        "(an unranked source would be silently dropped)")
     docs.join(broadcast(priority), Seq("source"))
       .groupBy(md5(col("text")).as("h"))
       .agg(min(struct(col("rank"), col("doc_id"), col("source"))).as("m"),
         count(lit(1)).as("n_members"))
       .select(col("m.doc_id").as("keep_id"),
         col("m.source").as("kept_source"), col("n_members"))
+  }
 
   /** Driver contract `dedup_priority`: priority = lexicographic
     * source order (src0 most trusted — a deterministic stand-in for

@@ -456,11 +456,13 @@ object Similarity {
       // ||x−c||² = (||c||² − 2x·c) + ||x||²
       (best.getField("code"), best.getField("d") + Vectors.dot(xm, xm))
     }
-    // Par.ensure: m native argmins over ksub centroids per vector is
-    // the heavy-map profile — and downstream ADC scoring (broadcast
-    // join, no shuffle) INHERITS this partitioning, so a starved scan
-    // would serialize the whole search lane (no-op on ample splits)
-    Par.ensure(e).select(col("vec_id"),
+    // NO Par.ensure here: corpus-scale callers (writePqIndex,
+    // annPqSearch, pqCalibration) ensure at their call site — but
+    // appendToPqIndex feeds SMALL batches through this same encode,
+    // and a repartition there would both add a shuffle to the pure-
+    // map ingest contract and fragment the codes table into
+    // numShufflePartitions tiny files per batch
+    e.select(col("vec_id"),
       array(bests.map(_._1): _*).as("codes"),
       round(bests.map(_._2).reduce(_ + _), 4).as("distortion"))
   }
@@ -473,7 +475,9 @@ object Similarity {
   def pqCalibration(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val books = pqTrain(e, m = 8, ksub = 16, dims0 = 64)
-    pqEncode(e, books, dims0 = 64)
+    // ensure at the corpus-scale call site (per-vector m-argmin is
+    // the heavy-map profile; see pqEncode's no-ensure note)
+    pqEncode(Par.ensure(e), books, dims0 = 64)
       .agg(count(lit(1)).as("n_vectors"),
         round(avg(col("distortion")), 4).as("mean_distortion"),
         round(max(col("distortion")), 4).as("max_distortion"))
@@ -531,7 +535,10 @@ object Similarity {
     val dims = dimsOf(e, dims0)
     val books = pqTrain(e, m, ksub, dims0 = dims)
     val dsub = dims / m
-    val codes = pqEncode(e, books, dims0 = dims)
+    // ensure at the corpus-scale call site: the broadcast ADC
+    // scoring join INHERITS the codes frame's partitioning, so a
+    // starved scan would serialize the whole search lane
+    val codes = pqEncode(Par.ensure(e), books, dims0 = dims)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     // code-norm table cn[s][i] = ||c_{s,i}||² — query-independent
     val cn = bookTable(books, m, ksub)((_, c) => c.map(x => x * x).sum)
@@ -737,12 +744,36 @@ object Similarity {
     * pair join, or the anti-join moves the scalar. Rows-checked by
     * the driver; the 1.0 floor is spec'd (SimilaritySpec).
     */
+  /** Planted-copy id offset for the effect lanes: planted ids must
+    * sit ABOVE any real id in ANY corpus these lanes run on —
+    * including the ScaleData replicas, which shift real ids by
+    * replica×10⁹ (up to ~3×10¹¹ at 300×). 10¹⁵ clears that by 3000×;
+    * a predicate on a smaller base (the first cut used 10⁶) counts
+    * replica vectors as "planted" and turns the catch-rate signal
+    * into noise at every scaled bench dir.
+    */
+  private val PlantBase = 1000000000000000L
+
+  /** Temp-dir scaffold for the effect lanes: create, run, always
+    * delete (the result must be computed EAGERLY inside `f` — it
+    * must never re-read the deleted index).
+    */
+  private def withTempIndex[T](prefix: String)(f: String => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    try f(tmp) finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   def semanticDedupEffect(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val nPlanted = 20
     val planted = e.filter(col("vec_id") < nPlanted)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + lit(PlantBase)).as("vec_id"), col("embedding"))
     val all = e.unionByName(planted)
     val kept = semanticDedup(all, tau = 0.45, dims0 = 64)
       .select(col("vec_id")).withColumn("__kept", lit(1L))
@@ -750,7 +781,7 @@ object Similarity {
       .join(kept, Seq("vec_id"), "left")
       .agg(count(lit(1)).as("n_input"),
         sum(coalesce(col("__kept"), lit(0L))).as("n_survivors"),
-        sum(when(col("vec_id") >= 1000000L && col("__kept").isNull, 1L)
+        sum(when(col("vec_id") >= PlantBase && col("__kept").isNull, 1L)
           .otherwise(0L)).as("planted_dropped"))
       .select(col("n_input"), col("n_survivors"),
         (col("n_input") - col("n_survivors")).as("n_dropped"),
@@ -777,7 +808,10 @@ object Similarity {
         books.toSeq.map { case (s, i, c) => (s, i, c.toSeq) })
       .toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    pqEncode(e, books, dims).select(col("vec_id"), col("codes"))
+    // ensure at the corpus-scale call site; the full-corpus codes
+    // write also benefits (numShufflePartitions output files instead
+    // of the scan's possibly-1)
+    pqEncode(Par.ensure(e), books, dims).select(col("vec_id"), col("codes"))
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
@@ -845,17 +879,24 @@ object Similarity {
     * cosine exactly 1).
     */
   def semanticProbeDelta(delta: DataFrame, path: String,
-      tau: Double = 0.9): DataFrame = {
+      tau: Double = 0.9, checkpointDelta: Boolean = true): DataFrame = {
     val spark = delta.sparkSession
     val cents = readCentroids(spark, path)
-    // eager localCheckpoint: the assignment feeds three consumers
-    // (probed-list collect, pair join, final tag) — materialize once,
-    // truncate lineage; blocks release with the frame (the
-    // labelPropagation discipline, no session-lifetime cache entry)
-    val assigned = assignToNearest(Par.ensure(delta), cents)
+    // eager localCheckpoint (default): the assignment feeds three
+    // consumers (probed-list collect, pair join, final tag) —
+    // materialize once, truncate lineage; blocks release with the
+    // frame (the labelPropagation discipline, no session-lifetime
+    // cache entry). `checkpointDelta = false` is for callers whose
+    // "delta" is CORPUS-sized ([[semanticDecontaminate]]): writing
+    // the whole corpus to executor-local storage would trade three
+    // cheap projection re-scans for an O(corpus) disk write — there
+    // the recompute wins
+    val assignedBase = assignToNearest(Par.ensure(delta), cents)
       .select(col("vec_id"), col("embedding"), col("list"),
         Vectors.norm2(col("embedding")).as("nrm"))
-      .localCheckpoint(true)
+    val assigned =
+      if (checkpointDelta) assignedBase.localCheckpoint(true)
+      else assignedBase
     // the probed-list set is bounded by nlist — collect is the same
     // bounded-driver-state class as the centroid table itself
     val lists = assigned.select(col("list")).distinct()
@@ -894,11 +935,9 @@ object Similarity {
     val corpus = e.filter(col("vec_id") >= 20L)
     val held = e.filter(col("vec_id") < 20L)
     val planted = corpus.filter(col("vec_id") < 40L)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + lit(PlantBase)).as("vec_id"), col("embedding"))
     val delta = held.unionByName(planted)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-semdelta").toString
-    try {
+    withTempIndex("graft-semdelta") { tmp =>
       // the index gets the same scale-safe derived cluster count the
       // corpus-wide lane uses (fixed nlist was the r9 dedup_semantic
       // trap: cluster size — and the probe's per-vector compare cost —
@@ -910,24 +949,21 @@ object Similarity {
             .as("n_dup"),
           sum(when(col("status") === "novel", 1L).otherwise(0L))
             .as("n_novel"),
-          sum(when(col("vec_id") >= 1000000L &&
+          sum(when(col("vec_id") >= PlantBase, 1L).otherwise(0L))
+            .as("n_planted"),
+          sum(when(col("vec_id") >= PlantBase &&
               col("status") === "semantic_dup", 1L).otherwise(0L))
             .as("planted_caught"))
         .select(col("n_delta"), col("n_dup"), col("n_novel"),
-          lit(20L).as("n_planted"), col("planted_caught"),
-          round(col("planted_caught").cast("double") / 20.0, 6)
-            .as("dup_catch_rate"))
+          col("n_planted"), col("planted_caught"),
+          round(col("planted_caught").cast("double") /
+            col("n_planted").cast("double"), 6).as("dup_catch_rate"))
         .head()
       import spark.implicits._
       Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
         agg.getLong(4), agg.getDouble(5)))
         .toDF("n_delta", "n_dup", "n_novel", "n_planted",
           "planted_caught", "dup_catch_rate")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(new java.io.File(tmp))
     }
   }
 
@@ -953,15 +989,20 @@ object Similarity {
     */
   def semanticDecontaminate(corpus: DataFrame, benchmarkIndexPath: String,
       tau: Double = 0.9): DataFrame =
-    semanticProbeDelta(corpus, benchmarkIndexPath, tau)
+    // checkpointDelta = false: the probed "delta" here is the CORPUS
+    // — recomputing the cheap assignment projection per consumer
+    // beats writing the whole corpus to executor-local disk
+    semanticProbeDelta(corpus, benchmarkIndexPath, tau,
+        checkpointDelta = false)
       .select(col("vec_id"),
         when(col("status") === "semantic_dup", lit("contaminated"))
           .otherwise(lit("clean")).as("status"))
 
   /** Driver contract `decontaminate_semantic`: the planted-signal
     * summary (the dedup_semantic_effect pattern). Benchmark = every
-    * 97th vector; corpus = the rest PLUS 20 planted exact copies of
-    * benchmark items (ids above any real id) — copies assign to their
+    * 97th vector; corpus = the rest PLUS exact copies of the first
+    * ≤20 benchmark items (6 at the 500-vector fixtures; ids at
+    * [[PlantBase]]) — copies assign to their
     * original's cluster at cosine exactly 1, so `catch_rate` is 1.0
     * by construction and any regression in the index build, the
     * list-pruned probe, or the tagging moves the scalar. One
@@ -976,22 +1017,20 @@ object Similarity {
     val benchmark = e.filter(col("vec_id") % 97 === 0)
     val clean = e.filter(col("vec_id") % 97 =!= 0)
     val planted = benchmark.filter(col("vec_id") < 97L * 20)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      .select((col("vec_id") + lit(PlantBase)).as("vec_id"),
         col("embedding"))
     val corpus = clean.unionByName(planted)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-semdecon").toString
-    try {
+    withTempIndex("graft-semdecon") { tmp =>
       writeIvfIndex(benchmark, tmp, nlist = derivedNlist(benchmark.count()))
       val agg = semanticDecontaminate(corpus, tmp, tau = 0.45)
         .agg(count(lit(1)).as("n_corpus"),
           sum(when(col("status") === "contaminated", 1L).otherwise(0L))
             .as("n_contaminated"),
           // n_planted derives from the probe output itself (planted
-          // ids sit above 1 M) — no assumption about table size
-          sum(when(col("vec_id") >= 1000000L, 1L).otherwise(0L))
+          // ids sit at PlantBase) — no assumption about table size
+          sum(when(col("vec_id") >= PlantBase, 1L).otherwise(0L))
             .as("n_planted"),
-          sum(when(col("vec_id") >= 1000000L &&
+          sum(when(col("vec_id") >= PlantBase &&
               col("status") === "contaminated", 1L).otherwise(0L))
             .as("planted_caught"))
         .select(col("n_corpus"), col("n_contaminated"),
@@ -1004,11 +1043,6 @@ object Similarity {
         agg.getDouble(4)))
         .toDF("n_corpus", "n_contaminated", "n_planted",
           "planted_caught", "catch_rate")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(new java.io.File(tmp))
     }
   }
 

@@ -98,6 +98,17 @@ class GovernanceSpec extends GraftSpecBase {
       4L -> (("curated", 2L)))) // tie -> min doc_id
   }
 
+  test("keepByPriority refuses an incomplete priority table loudly") {
+    initLog()
+    val docs = Seq((1L, "web", "t"), (2L, "academic", "t"))
+      .toDF("doc_id", "source", "text")
+    val priority = Seq(("web", 0L)).toDF("source", "rank")
+    val e = intercept[IllegalArgumentException] {
+      Governance.keepByPriority(docs, priority)
+    }
+    assert(e.getMessage.contains("academic"), e.getMessage)
+  }
+
   test("keepByPriority plan: broadcast priority, algebraic argmin " +
       "(no window over the corpus)") {
     initLog()
