@@ -133,27 +133,28 @@ object Governance {
     * is `min(struct(rank, doc_id, source))` — algebraic, so it
     * combines map-side and a viral mega-group collapses BEFORE the
     * shuffle (no per-group sort, no window; the keepBest discipline).
-    * A source absent from the priority table FAILS LOUDLY up front
-    * (one dimension-sized distinct + anti-join check): an inner join
-    * would silently drop the whole unranked source — silent data
-    * loss in a keeper — and any default rank is a policy decision
-    * the caller must make explicitly.
+    * A source absent from the priority table (or a NULL source, which
+    * no rank row can match) FAILS LOUDLY: an inner join would
+    * silently drop the whole unranked source — silent data loss in a
+    * keeper — and any default rank is a policy decision the caller
+    * must make explicitly. The guard is a `coalesce(rank,
+    * raise_error(...))` inside the one existing pass — loud, lazy
+    * (no eager pre-scan job; the plan stays composable), and free:
+    * the corpus is scanned once and the md5 group key remains the
+    * only shuffle.
     */
-  def keepByPriority(docs: DataFrame, priority: DataFrame): DataFrame = {
-    val missing = docs.select(col("source")).distinct()
-      .join(priority, Seq("source"), "left_anti")
-      .collect().map(_.getString(0))
-    require(missing.isEmpty,
-      s"keepByPriority: sources without a priority rank: " +
-        s"${missing.sorted.mkString(", ")} — extend the priority table " +
-        "(an unranked source would be silently dropped)")
-    docs.join(broadcast(priority), Seq("source"))
+  def keepByPriority(docs: DataFrame, priority: DataFrame): DataFrame =
+    docs.join(broadcast(priority), Seq("source"), "left")
+      .withColumn("rank", coalesce(col("rank"), raise_error(concat(
+        lit("keepByPriority: source without a priority rank: "),
+        coalesce(col("source"), lit("<null>")),
+        lit(" — extend the priority table (an unranked source would " +
+          "otherwise be silently dropped)")))))
       .groupBy(md5(col("text")).as("h"))
       .agg(min(struct(col("rank"), col("doc_id"), col("source"))).as("m"),
         count(lit(1)).as("n_members"))
       .select(col("m.doc_id").as("keep_id"),
         col("m.source").as("kept_source"), col("n_members"))
-  }
 
   /** Driver contract `dedup_priority`: priority = lexicographic
     * source order (src0 most trusted — a deterministic stand-in for

@@ -879,7 +879,8 @@ object Similarity {
     * cosine exactly 1).
     */
   def semanticProbeDelta(delta: DataFrame, path: String,
-      tau: Double = 0.9, checkpointDelta: Boolean = true): DataFrame = {
+      tau: Double = 0.9, checkpointDelta: Boolean = true,
+      pruneLists: Boolean = true): DataFrame = {
     val spark = delta.sparkSession
     val cents = readCentroids(spark, path)
     // eager localCheckpoint (default): the assignment feeds three
@@ -898,11 +899,19 @@ object Similarity {
       if (checkpointDelta) assignedBase.localCheckpoint(true)
       else assignedBase
     // the probed-list set is bounded by nlist — collect is the same
-    // bounded-driver-state class as the centroid table itself
-    val lists = assigned.select(col("list")).distinct()
-      .collect().map(_.getInt(0))
-    val corpus = spark.read.parquet(s"$path/corpus")
-      .filter(col("list").isin(lists.toIndexedSeq: _*))
+    // bounded-driver-state class as the centroid table itself.
+    // `pruneLists = false` skips the collect AND the filter: a
+    // corpus-sized delta ([[semanticDecontaminate]]) touches
+    // essentially every list of its small index, so the pruning pass
+    // would cost one full delta scan to prune nothing
+    val corpusBase = spark.read.parquet(s"$path/corpus")
+    val pruned =
+      if (pruneLists) {
+        val lists = assigned.select(col("list")).distinct()
+          .collect().map(_.getInt(0))
+        corpusBase.filter(col("list").isin(lists.toIndexedSeq: _*))
+      } else corpusBase
+    val corpus = pruned
       .select(col("list"), col("embedding").as("ce"))
       .withColumn("cn", Vectors.norm2(col("ce")))
     val dup = assigned.join(corpus, Seq("list"))
@@ -959,6 +968,10 @@ object Similarity {
           round(col("planted_caught").cast("double") /
             col("n_planted").cast("double"), 6).as("dup_catch_rate"))
         .head()
+      // a zero plant set would make the rate a NULL division — fail
+      // with the real cause instead of an opaque getDouble NPE
+      require(agg.getLong(3) > 0, "semanticDeltaEffect: nothing " +
+        "planted (corpus too small/sparse for the planted-signal row)")
       import spark.implicits._
       Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
         agg.getLong(4), agg.getDouble(5)))
@@ -976,10 +989,12 @@ object Similarity {
     * neighbors. This is [[semanticProbeDelta]] with the roles CAST
     * THE SCALE-CORRECT WAY AROUND: the benchmark (thousands of items)
     * is the INDEXED side and the 100 TB corpus is the probed delta —
-    * one corpus pass, each vector assigned to a benchmark centroid
-    * and compared within its probed list only (O(corpus ×
-    * benchmark-cluster)), the benchmark never replicated, the corpus
-    * never self-joined. `semantic_dup` status ⇒ CONTAMINATED.
+    * TWO corpus passes (the dup probe and the final tag; assignment
+    * is a cheap recomputed projection, nothing corpus-sized is
+    * materialized or checkpointed), each vector compared within its
+    * assigned benchmark list only (O(corpus × benchmark-cluster)),
+    * the benchmark never replicated, the corpus never self-joined.
+    * `semantic_dup` status ⇒ CONTAMINATED.
     *
     * Same recall contract as the probe: an exact or near-exact copy
     * assigns to its original's cluster and cannot be missed; a
@@ -989,11 +1004,15 @@ object Similarity {
     */
   def semanticDecontaminate(corpus: DataFrame, benchmarkIndexPath: String,
       tau: Double = 0.9): DataFrame =
-    // checkpointDelta = false: the probed "delta" here is the CORPUS
-    // — recomputing the cheap assignment projection per consumer
-    // beats writing the whole corpus to executor-local disk
+    // checkpointDelta = false: recomputing the cheap assignment
+    // projection per consumer beats writing the whole corpus to
+    // executor-local disk. pruneLists = false: the corpus probes
+    // essentially every list of the small benchmark index, so the
+    // pruning pass would spend a full corpus scan to prune nothing.
+    // Net shape: TWO corpus passes (dup probe + final tag), zero
+    // corpus materializations, no corpus self-join
     semanticProbeDelta(corpus, benchmarkIndexPath, tau,
-        checkpointDelta = false)
+        checkpointDelta = false, pruneLists = false)
       .select(col("vec_id"),
         when(col("status") === "semantic_dup", lit("contaminated"))
           .otherwise(lit("clean")).as("status"))
@@ -1038,6 +1057,9 @@ object Similarity {
           round(col("planted_caught").cast("double") /
             col("n_planted").cast("double"), 6).as("catch_rate"))
         .head()
+      // same zero-plant guard as semanticDeltaEffect
+      require(agg.getLong(2) > 0, "semanticDecontaminateEffect: " +
+        "nothing planted (corpus too small/sparse for the signal row)")
       import spark.implicits._
       Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
         agg.getDouble(4)))

@@ -103,10 +103,21 @@ class GovernanceSpec extends GraftSpecBase {
     val docs = Seq((1L, "web", "t"), (2L, "academic", "t"))
       .toDF("doc_id", "source", "text")
     val priority = Seq(("web", 0L)).toDF("source", "rank")
-    val e = intercept[IllegalArgumentException] {
-      Governance.keepByPriority(docs, priority)
+    // lazy guard: the plan builds fine, the ACTION raises with the
+    // offending source named somewhere in the failure chain
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    val e = intercept[Exception] {
+      Governance.keepByPriority(docs, priority).collect()
     }
-    assert(e.getMessage.contains("academic"), e.getMessage)
+    assert(chain(e).contains("academic"), chain(e))
+    // a NULL source fails with the placeholder, not an opaque NPE
+    val withNull = Seq((1L, "web", "t"), (2L, null, "t"))
+      .toDF("doc_id", "source", "text")
+    val e2 = intercept[Exception] {
+      Governance.keepByPriority(withNull, priority).collect()
+    }
+    assert(chain(e2).contains("<null>"), chain(e2))
   }
 
   test("keepByPriority plan: broadcast priority, algebraic argmin " +
