@@ -113,18 +113,33 @@ object GraftSession {
     * derivation wants.
     */
   def localInputBytes(path: String, parquetOnly: Boolean = false): Long = {
-    val scheme = try Option(new java.net.URI(path).getScheme) catch {
+    val uri = try Option(new java.net.URI(path)) catch {
       case _: Exception => None // not a parseable URI — a plain local path
     }
+    val scheme = uri.flatMap(u => Option(u.getScheme))
     require(scheme.forall(_ == "file"),
       s"localInputBytes: non-local scheme '${scheme.getOrElse("")}' in " +
         s"'$path' — the local-fs walk cannot size remote data; on a " +
         "cluster ask the Hadoop FileSystem (FileSystem.get(uri, conf)" +
         ".getContentSummary) instead")
+    // An authority-form URI (`file://host/path`) passes the scheme
+    // guard but a TEXTUAL `stripPrefix("file:")` walk would start at
+    // `//host/path` — the silent-0-bytes hole the guard exists to
+    // close. Resolve through java.net.URI instead, and refuse a
+    // non-empty authority outright (java.io.File cannot reach a
+    // remote host either way).
+    val root = uri.filter(_ => scheme.isDefined) match {
+      case Some(u) =>
+        require(Option(u.getAuthority).forall(_.isEmpty),
+          s"localInputBytes: file URI with authority '${u.getAuthority}' " +
+            s"in '$path' — a remote-host file URI cannot be walked locally")
+        new java.io.File(new java.net.URI("file", null, u.getPath, null))
+      case None => new java.io.File(path)
+    }
     def bytes(f: java.io.File): Long =
       if (f.isFile) {
         if (!parquetOnly || f.getName.endsWith(".parquet")) f.length() else 0L
       } else Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
-    bytes(new java.io.File(path.stripPrefix("file:")))
+    bytes(root)
   }
 }

@@ -2289,7 +2289,8 @@ object SparkEntry {
            CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
            CAST(len(regexp_extract_all(t, '[.!?"]$', 0, 'm'))
              AS BIGINT) AS n_term,
-           CAST(len(regexp_extract_all(t, '^(?:\S+ ){4}\S', 0, 'm'))
+           CAST(len(regexp_extract_all(t,
+             '^(?:[^ \t\n\f\r]+ ){4}[^ \t\n\f\r]', 0, 'm'))
              AS BIGINT) AS n_long,
            CAST(len(regexp_extract_all(t, '[.!?]')) AS BIGINT)
              AS n_sent,

@@ -20,6 +20,13 @@ import graft.sources.Tables
   */
 object Curation {
 
+  /** Broadcast ceiling for [[qualityBuckets]]' per-(domain, score)
+    * offsets table: 10^6 groups ≈ tens of MB broadcast — safely under
+    * driver/executor limits; anything larger means the score is not
+    * the bounded quantized signal the operator contracts on.
+    */
+  val MaxOffsetGroups: Long = 1000000L
+
   def curate(docs: DataFrame,
       nearDupTau: Double = 0.8,
       minUniqRatio: Double = 0.2,
@@ -112,7 +119,8 @@ object Curation {
     * contract assumes non-null keys.
     */
   def qualityBuckets(docs: DataFrame, domainCol: String,
-      scoreCol: String, idCol: String, tiles: Int = 3): DataFrame = {
+      scoreCol: String, idCol: String, tiles: Int = 3,
+      maxGroups: Long = MaxOffsetGroups): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(tiles > 0, "qualityBuckets: tiles must be positive")
@@ -142,7 +150,20 @@ object Curation {
     // exchange planned for the window is the ONLY corpus shuffle.
     // Null-safe keys: a plain equi-join would silently DROP rows
     // with a null score/domain that the window above still ranked.
-    val offsR = offs.withColumnRenamed(domainCol, "__jd")
+    // Integral typing bounds the offsets table only if the score's
+    // VALUE RANGE is bounded — an integral-but-high-cardinality score
+    // (row ids, epoch millis) still makes the broadcast corpus-sized.
+    // Materialize the bounded table once (persist — the count below
+    // and the broadcast then share one corpus scan) and fail loud
+    // above the driver-safe ceiling instead of OOMing an executor.
+    val offsP = offs.persist()
+    val nGroups = offsP.count()
+    require(nGroups <= maxGroups,
+      s"qualityBuckets: $nGroups distinct ($domainCol, $scoreCol) " +
+        s"groups exceed the broadcast ceiling $maxGroups — the " +
+        s"score '$scoreCol' looks continuous-in-disguise (ids? " +
+        "timestamps?); quantize it to a bounded range first")
+    val offsR = offsP.withColumnRenamed(domainCol, "__jd")
       .withColumnRenamed(scoreCol, "__js")
     val ranked = base
       .withColumn("__r", row_number().over(wIn).cast("long") - 1)

@@ -787,8 +787,11 @@ object TextAnalysis {
       size(split(t, "\n")).cast("long").as("n_lines"),
       regexp_count(t, lit("(?dm)[.!?\"]$")).cast("long")
         .as("n_term_lines"),
-      regexp_count(t, lit("(?dm)^(?:\\S+ ){4}\\S")).cast("long")
-        .as("n_long_lines"),
+      // explicit non-space class, NOT \S: Java's \S excludes \x0B
+      // (vertical tab) while RE2's — the oracle engine's — includes
+      // it; [^ \t\n\f\r] is the identical shared subset in both
+      regexp_count(t, lit("(?dm)^(?:[^ \\t\\n\\f\\r]+ ){4}[^ \\t\\n\\f\\r]"))
+        .cast("long").as("n_long_lines"),
       regexp_count(t, lit("[.!?]")).cast("long")
         .as("n_sentences"),
       arrays_overlap(split(lower(t), "[^a-z0-9]+"),

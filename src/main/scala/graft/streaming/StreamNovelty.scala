@@ -117,12 +117,21 @@ object StreamNovelty {
       tau: Double, joinType: String): DataFrame = {
     import graft.functions.Vectors
     val spark = stream.sparkSession
-    val assigned = graft.operators.Similarity.assignFromIndex(stream, indexPath)
+    // assignFromIndex materializes its assignment as a `list` column;
+    // a caller whose stream schema ALREADY carries `list` would have
+    // it silently overwritten and then dropped below, breaking the
+    // return-the-input-schema contract. Stash the user's column under
+    // a collision-proof name for the duration of the gate.
+    val hasUserList = stream.columns.contains("list")
+    val in =
+      if (hasUserList) stream.withColumnRenamed("list", "__graft_user_list")
+      else stream
+    val assigned = graft.operators.Similarity.assignFromIndex(in, indexPath)
       .withColumn("__nrm", Vectors.norm2(col("embedding")))
     val corpus = spark.read.parquet(s"$indexPath/corpus")
       .select(col("list").as("__clist"), col("embedding").as("__ce"))
       .withColumn("__cn", Vectors.norm2(col("__ce")))
-    assigned.join(corpus,
+    val gated = assigned.join(corpus,
         col("list") === col("__clist") &&
           round(Vectors.dot(col("embedding"), col("__ce")) /
             (col("__nrm") * col("__cn")), 6) >= tau,
@@ -131,5 +140,7 @@ object StreamNovelty {
       // drops its helper column, and a caller unioning survivors
       // with raw stream rows must not meet an internal `list` column
       .drop("__nrm", "list")
+    if (hasUserList) gated.withColumnRenamed("__graft_user_list", "list")
+    else gated
   }
 }

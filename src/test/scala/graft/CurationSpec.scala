@@ -59,4 +59,23 @@ class CurationSpec extends GraftSpecBase {
       Curation.qualityBuckets(dbl, "dom", "score", "id", tiles = 3))
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
+
+  test("qualityBuckets refuses an integral-but-unbounded score " +
+      "(ids/timestamps) above the broadcast group ceiling") {
+    initLog()
+    import spark.implicits._
+    // an id-valued "score": every row its own (domain, score) group —
+    // integral passes the type gate, but the offsets table would be
+    // corpus-sized. The distinct-group ceiling must fire instead of
+    // shipping the broadcast (small ceiling here; the default is 10^6).
+    val df = (0 until 100).map(i => (i.toLong, "d0", i.toLong))
+      .toDF("id", "dom", "score")
+    val e = intercept[IllegalArgumentException](
+      Curation.qualityBuckets(df, "dom", "score", "id", tiles = 3,
+        maxGroups = 50L))
+    assert(e.getMessage.contains("broadcast ceiling"), e.getMessage)
+    // and under the ceiling the same call is fine
+    assert(Curation.qualityBuckets(df, "dom", "score", "id", tiles = 3,
+      maxGroups = 200L).count() == 100L)
+  }
 }

@@ -74,6 +74,15 @@ class GraftSessionSpec extends GraftSpecBase {
     assert(GraftSession.dataSizedPartitions("file:" + sf, 32) == 32)
     assert(GraftSession.localInputBytes("file:" + sf) ==
       GraftSession.localInputBytes(sf))
+    // triple-slash (empty authority) resolves like the plain path
+    assert(GraftSession.localInputBytes("file://" + sf) ==
+      GraftSession.localInputBytes(sf))
+    // authority-form file://host/path passes the scheme test but a
+    // textual strip would walk //host/path → silent 0 bytes; it must
+    // be an ERROR (java.io.File cannot reach a remote host)
+    val a = intercept[IllegalArgumentException](
+      GraftSession.localInputBytes("file://namenode" + sf))
+    assert(a.getMessage.contains("authority"), a.getMessage)
   }
 
   test("localInputBytes parquetOnly excludes sidecar files") {

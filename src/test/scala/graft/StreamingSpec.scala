@@ -581,6 +581,16 @@ class StreamingSpec extends GraftSpecBase {
     assert(dupDf.columns.toSeq == delta.columns.toSeq)
     val dups = dupDf.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(dups == Set(100L, 102L), dups.mkString(","))
+    // an input that already carries a `list` column must come back
+    // with ITS values — the gate's internal assignment column may not
+    // shadow (and then drop) a user column of the same name
+    val withList = delta.withColumn("list", col("vec_id") * 7L)
+    val kept = graft.streaming.StreamNovelty
+      .semanticNovelOnly(withList, dir, tau = 0.9)
+    assert(kept.columns.toSeq == withList.columns.toSeq)
+    val keptRows = kept.select("vec_id", "list").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keptRows == Map(101L -> 707L), keptRows)
   }
 
   test("semantic ingest loop: novel vectors append to the index, " +
