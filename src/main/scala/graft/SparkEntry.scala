@@ -244,7 +244,10 @@ object SparkEntry {
     // (no_oracle: k-means FP in the benchmark index's coarse
     // assignment)
     "decontaminate_semantic" ->
-      ((s, d) => Similarity.semanticDecontaminateEffect(s, d)))
+      ((s, d) => Similarity.semanticDecontaminateEffect(s, d)),
+    "tok_bpe_train" -> ((s, d) => Bpe.trainLane(s, d)),
+    "tok_count_bpe" -> ((s, d) => Bpe.countLane(s, d)),
+    "mix_token_budget_bpe" -> ((s, d) => Bpe.budgetLane(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -2506,5 +2509,11 @@ object SparkEntry {
                FROM g)
          SELECT doc_id AS keep_id, source AS kept_source,
            CAST(n_members AS BIGINT) AS n_members
-         FROM r WHERE rn = 1 ORDER BY keep_id""")
+         FROM r WHERE rn = 1 ORDER BY keep_id""",
+    // BPE train/count/budget: generated unrolled-recurrence SQL (the
+    // graph_kcore convention — one CTE triple per merge round); see
+    // operators/Bpe.scala for the shared-semantics argument
+    "tok_bpe_train" -> Bpe.trainOracleSql(),
+    "tok_count_bpe" -> Bpe.countOracleSql(),
+    "mix_token_budget_bpe" -> Bpe.budgetOracleSql())
 }

@@ -1,0 +1,356 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deterministic byte-pair-encoding tokenizer: train the merge table
+  * on the corpus (Sennrich et al. 2016, "Neural Machine Translation
+  * of Rare Words with Subword Units" — greedy most-frequent-pair
+  * merges over a word-frequency table), then count corpus tokens
+  * under the learned merges. This closes the gap between the
+  * engine's WHITESPACE token accounting (`mix_token_budget`,
+  * `seq_pack`, `text_tokencount`) and the tokenizer tokens a real
+  * training budget is denominated in — the two diverge 2-5× on web
+  * text, so a mixture tuned on whitespace counts misallocates the
+  * actual budget.
+  *
+  * Determinism contract (what makes the full DuckDB oracle possible):
+  * each round merges the pair with the HIGHEST total count, ties
+  * broken by (left, right) ascending binary string order. No
+  * randomness, no hash maps — re-runs and engines agree exactly.
+  *
+  * Representation: a word's symbol sequence is one STRING, every
+  * symbol PREFIXED by the separator `\u0001` (SEP) (a char outside any
+  * text corpus this engine contracts on): `"hello"` starts as
+  * `SEP+h+SEP+e+SEP+l+SEP+l+SEP+o`. Applying a merge (l, r)
+  * is then one literal `replace(repr, SEP+l+SEP+r, SEP+l+r)` — and
+  * because both Spark's `StringReplace` and DuckDB's `replace` scan
+  * left-to-right, non-overlapping, resuming AFTER each replacement,
+  * the string form reproduces BPE's left-to-right greedy merge
+  * exactly (on `[a,a,a,a]`, merge (a,a) yields `[aa,aa]`, never
+  * `[aa,a,a]`). The prefix form (separator BEFORE each symbol, none
+  * after the last) is what makes the pattern unable to match a
+  * symbol SUFFIX (`…al + l` contains no `SEP+l+SEP+l`) or to consume
+  * the delimiter the next match needs (spec'd).
+  *
+  * Scale shape: the corpus is scanned ONCE into a (word, count)
+  * table — vocabulary-bounded (Heap's law: ~10⁷-10⁸ distinct words
+  * even on 100 TB web text, shuffle-sized, never corpus-sized). All
+  * R training rounds are aggregations over THAT table: pair counts
+  * explode distinct-word symbol arrays (vocab × word-length rows),
+  * the argmax is a 1-row driver collect, the merge application is a
+  * map-only `replace` over the vocab table. Corpus tokenization then
+  * JOINS the corpus word stream against the trained vocab's
+  * final symbol counts — one shuffle on `word`, never R string
+  * passes over 100 TB ([[vocabTokenCounts]]); the R-deep
+  * [[bpeCountExpr]] replace chain is the map-only path for UNSEEN
+  * text (streams, deltas) where no vocab row exists.
+  *
+  * Reference scope: the reference job (DataStreamJob.java:1) counts
+  * no tokens at all — this operator family exists for the
+  * training-data-pipeline surface, not the reference parity surface.
+  */
+object Bpe {
+
+  /** Symbol separator inside a word representation. Outside every
+    * printable corpus; callers feeding binary-ish text must pre-clean
+    * (the train/count lanes contract on the documents table, ASCII).
+    */
+  val Sep = "\u0001"
+
+  /** Merge rounds for the driver lanes — deep enough that multi-step
+    * merges (merged symbols re-merging) occur on the test corpus,
+    * bounded so the unrolled oracle SQL stays readable.
+    */
+  val TrainRounds = 16
+
+  /** Hard ceiling on training rounds: each round is one vocab-table
+    * aggregation + one 1-row collect; 2^12 rounds ≈ real-tokenizer
+    * vocab growth (GPT-2 ran 40k merges of this exact loop) and
+    * bounds a runaway caller before the driver loop becomes the job.
+    */
+  val MaxRounds = 4096
+
+  /** (word, cnt, repr): distinct corpus words with occurrence counts
+    * and the initial (per-character) symbol representation. The ONE
+    * corpus-scale scan of training.
+    */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // prefix every char with SEP — the initial symbol sequence
+      .withColumn("repr", regexp_replace(col("word"), "(.)", Sep + "$1"))
+
+  /** Adjacent-pair counts over the CURRENT symbol sequences, weighted
+    * by word count — one aggregation over the vocab table. Overlapping
+    * occurrences count naively (classic BPE: "aaa" holds (a,a) twice).
+    * zip_with/slice are interpreted HOFs — acceptable here because
+    * they run on the vocab table, never the corpus (see the engine's
+    * HOF doctrine in the verify notes).
+    */
+  private[operators] def pairCounts(words: DataFrame): DataFrame = {
+    val s = split(col("repr"), Sep) // ["", s1, …, sk]
+    words.select(col("cnt"), s.as("s"))
+      .filter(size(col("s")) >= 3) // single-symbol words: no pairs
+      .select(col("cnt"), explode(zip_with(
+        slice(col("s"), lit(2), size(col("s")) - 2),
+        slice(col("s"), lit(3), size(col("s")) - 2),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+  }
+
+  /** Train `rounds` greedy merges. Driver-coordinated loop — each
+    * round collects exactly ONE row (the argmax pair); the vocab
+    * table is persisted and re-persisted per round so lineage stays
+    * flat. Fails loud if the corpus exhausts (every word one symbol)
+    * before `rounds` merges exist — a short merge table would make
+    * the unrolled oracle diverge silently.
+    */
+  def trainMerges(docs: DataFrame, rounds: Int = TrainRounds,
+      textCol: String = "text"): Seq[(String, String)] = {
+    require(rounds > 0 && rounds <= MaxRounds,
+      s"trainMerges: rounds=$rounds outside (0, $MaxRounds]")
+    var words = wordCounts(docs, textCol).persist()
+    words.count()
+    val out = Seq.newBuilder[(String, String)]
+    try {
+      for (k <- 1 to rounds) {
+        val top: Array[Row] = pairCounts(words)
+          .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+        require(top.nonEmpty,
+          s"trainMerges: corpus exhausted after ${k - 1} merges " +
+            "(every word is a single symbol); ask for fewer rounds")
+        val l = top(0).getAs[String]("l")
+        val r = top(0).getAs[String]("r")
+        out += ((l, r))
+        val next = words.withColumn("repr",
+          replace(col("repr"), lit(Sep + l + Sep + r), lit(Sep + l + r)))
+          .persist()
+        next.count()
+        words.unpersist()
+        words = next
+      }
+    } finally words.unpersist()
+    out.result()
+  }
+
+  /** Apply an ordered merge list to a representation column — the
+    * R-deep literal-replace chain (codegen'd string ops, no regex).
+    */
+  private def applyMerges(repr: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(repr) { case (acc, (l, r)) =>
+      replace(acc, lit(Sep + l + Sep + r), lit(Sep + l + r))
+    }
+
+  /** Per-doc BPE token counts via the VOCAB JOIN — the corpus-scale
+    * path: the merge chain runs once per DISTINCT word (vocab table),
+    * the corpus word stream joins the final per-word symbol count and
+    * sums per doc. One corpus scan + one shuffle on `word` + one on
+    * the id — independent of R.
+    */
+  def vocabTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = wordCounts(docs, textCol)
+      .select(col("word"),
+        (size(split(applyMerges(col("repr"), merges), Sep)) - 1)
+          .cast("long").as("n_syms"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(vocab, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_syms")).as("n_tokens_bpe"))
+  }
+
+  /** Map-only BPE token count for UNSEEN text (streams, deltas — no
+    * vocab row to join): sep-prefix every non-space char of the whole
+    * doc, run the merge chain over it (merges cannot cross a word
+    * boundary — the bare space breaks the SEP+l+SEP+r pattern), count
+    * surviving separators. R string passes per row; prefer
+    * [[vocabTokenCounts]] when a vocab table exists.
+    */
+  def bpeCountExpr(text: Column, merges: Seq[(String, String)]): Column = {
+    val repr0 = regexp_replace(text, "([^ ])", Sep + "$1")
+    val reprN = applyMerges(repr0, merges)
+    (length(reprN) - length(replace(reprN, lit(Sep), lit(""))))
+      .cast("long")
+  }
+
+  // ------------------------------------------------------------------
+  // Driver lanes
+  // ------------------------------------------------------------------
+
+  /** Driver query `tok_bpe_train`: the learned merge table —
+    * (rank, lhs, rhs, merged) for [[TrainRounds]] greedy rounds over
+    * the documents corpus. R rows; the oracle re-derives every round
+    * from scratch (unrolled CTEs — [[trainOracleSql]]).
+    */
+  def trainLane(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainMerges(Tables.documents(spark, dir))
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1L, l, r, l + r) }
+      .toDF("rank", "lhs", "rhs", "merged")
+  }
+
+  /** Driver query `tok_count_bpe`: per-doc token counts under the
+    * merges trained on the same corpus — the number every
+    * token-denominated lane SHOULD budget on (whitespace counts are
+    * its upper bound; equality iff every word merged to one symbol).
+    */
+  def countLane(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    vocabTokenCounts(docs, trainMerges(docs))
+  }
+
+  /** Driver query `mix_token_budget_bpe`: the `mix_token_budget`
+    * recipe (½ src0, ¼ src1, ⅛ src2+src3 of a 2000-token budget,
+    * u16 hash-gate keeps) with the token mass measured in BPE tokens
+    * instead of whitespace tokens — same doc set, different rates
+    * wherever the per-source BPE/whitespace ratio differs, which is
+    * exactly the misallocation the whitespace lane cannot see.
+    */
+  def budgetLane(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    budgetFromCounts(docs, vocabTokenCounts(docs, trainMerges(docs)))
+  }
+
+  /** The mix_token_budget recipe over an EXPLICIT per-doc token-count
+    * table (doc_id, n_tokens_bpe) — shared by [[budgetLane]] and the
+    * whitespace-degeneracy equality spec (with a fully-merged vocab,
+    * BPE counts equal whitespace counts, so this function must return
+    * the whitespace lane's rows bit-for-bit).
+    */
+  def budgetFromCounts(docs: DataFrame, toks: DataFrame): DataFrame = {
+    val weights = Map("src0" -> 0.5, "src1" -> 0.25,
+      "src2" -> 0.125, "src3" -> 0.125)
+    val wCase = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
+      when(col("source") === k, lit(w)).otherwise(acc)
+    }
+    val perDoc = docs.select(col("doc_id"), col("source"))
+      .join(toks, Seq("doc_id"))
+    val rates = perDoc.groupBy(col("source"))
+      .agg(sum(col("n_tokens_bpe")).as("toks_obs"))
+      .select(col("source"), col("toks_obs"),
+        floor(least(lit(1.0),
+          wCase * lit(2000.0) / col("toks_obs").cast("double"))
+          * lit(65536.0)).as("rate_u16"))
+      .filter(col("rate_u16") > 0)
+    perDoc.join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"), col("toks_obs"), col("rate_u16"))
+      .agg(
+        sum(when(Sampling.hashUnit16(col("doc_id")) < col("rate_u16"), 1L)
+          .otherwise(0L)).as("docs_kept"),
+        sum(when(Sampling.hashUnit16(col("doc_id")) < col("rate_u16"),
+          col("n_tokens_bpe")).otherwise(0L)).as("toks_kept"))
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------------
+  // Oracle SQL (generated — unrolled-recurrence convention, the
+  // graph_kcore/pagerank pattern: one CTE triple per merge round)
+  // ------------------------------------------------------------------
+
+  /** w0 (initial vocab) plus, per round k: pair counts p_k over
+    * w_{k-1}, the 1-row argmax b_k, and the merged vocab w_k. DuckDB
+    * `replace`/`regexp_replace('g')` share Spark's literal-replace
+    * and global-prefix semantics (validated in the spec); side-by-
+    * side `unnest`s zip positionally, reproducing the slice/zip_with
+    * pair extraction.
+    */
+  private def unrolledCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """w0 AS MATERIALIZED (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    regexp_replace(word, '(.)', chr(1) || '\1', 'g') AS repr
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE len(word) > 0 GROUP BY word)""".stripMargin
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+        |p$k AS MATERIALIZED (SELECT l, r, SUM(cnt) AS c FROM (
+        |  SELECT cnt, unnest(s[2:len(s)-1]) AS l, unnest(s[3:]) AS r
+        |  FROM (SELECT cnt, string_split(repr, chr(1)) AS s FROM w${k - 1})
+        |  WHERE len(s) >= 3) GROUP BY l, r),
+        |b$k AS MATERIALIZED (SELECT l, r FROM p$k
+        |  ORDER BY c DESC, l, r LIMIT 1),
+        |w$k AS MATERIALIZED (SELECT word, cnt,
+        |  replace(repr, (SELECT chr(1)||l||chr(1)||r FROM b$k),
+        |                (SELECT chr(1)||l||r FROM b$k)) AS repr
+        |  FROM w${k - 1})""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Oracle for `tok_bpe_train`: the b_k argmax rows stitched into
+    * the ranked merge table.
+    */
+  def trainOracleSql(rounds: Int = TrainRounds): String = {
+    val rows = (1 to rounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, l AS lhs, r AS rhs, " +
+        s"l||r AS merged FROM b$k").mkString("\n  UNION ALL ")
+    s"WITH ${unrolledCtes(rounds)}\n  $rows"
+  }
+
+  /** Oracle for `tok_count_bpe`: final-vocab symbol counts joined
+    * back onto the corpus word stream.
+    */
+  def countOracleSql(rounds: Int = TrainRounds): String =
+    s"""WITH ${unrolledCtes(rounds)},
+       |v AS (SELECT word,
+       |  CAST(len(string_split(repr, chr(1))) - 1 AS BIGINT) AS n_syms
+       |  FROM w$rounds)
+       |SELECT d.doc_id,
+       |  CAST(SUM(v.n_syms) AS BIGINT) AS n_tokens_bpe
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |      FROM documents) d
+       |JOIN v USING (word)
+       |WHERE len(d.word) > 0
+       |GROUP BY d.doc_id""".stripMargin
+
+  /** Oracle for `mix_token_budget_bpe`: the mix_token_budget oracle
+    * with the whitespace `n_toks` CTE swapped for the BPE count.
+    */
+  def budgetOracleSql(rounds: Int = TrainRounds): String =
+    s"""WITH ${unrolledCtes(rounds)},
+       |v AS (SELECT word,
+       |  CAST(len(string_split(repr, chr(1))) - 1 AS BIGINT) AS n_syms
+       |  FROM w$rounds),
+       |tok AS (SELECT ANY_VALUE(d.source) AS source, d.doc_id,
+       |  CAST(SUM(v.n_syms) AS BIGINT) AS n_toks
+       |  FROM (SELECT source, doc_id,
+       |        unnest(string_split(text, ' ')) AS word FROM documents) d
+       |  JOIN v USING (word) WHERE len(d.word) > 0 GROUP BY d.doc_id),
+       |agg AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS toks_obs
+       |        FROM tok GROUP BY source),
+       |rates AS (SELECT source, toks_obs,
+       |  CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+       |    (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+       |      WHEN 'src2' THEN 0.125 WHEN 'src3' THEN 0.125
+       |      ELSE 0.0 END)
+       |    * 2000.0 / CAST(toks_obs AS DOUBLE)) * 65536.0) AS BIGINT)
+       |    AS rate_u16
+       |  FROM agg),
+       |r2 AS (SELECT * FROM rates WHERE rate_u16 > 0),
+       |u AS (SELECT source, n_toks,
+       |  (strpos('0123456789abcdef',
+       |     substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+       |  (strpos('0123456789abcdef',
+       |     substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+       |  (strpos('0123456789abcdef',
+       |     substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+       |  (strpos('0123456789abcdef',
+       |     substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u16
+       |  FROM tok)
+       |SELECT r2.source, r2.toks_obs, r2.rate_u16,
+       |  CAST(SUM(CASE WHEN u.u16 < r2.rate_u16 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS docs_kept,
+       |  CAST(SUM(CASE WHEN u.u16 < r2.rate_u16 THEN u.n_toks ELSE 0 END)
+       |    AS BIGINT) AS toks_kept
+       |FROM u JOIN r2 ON u.source = r2.source
+       |GROUP BY 1, 2, 3 ORDER BY r2.source""".stripMargin
+}

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE tokenizer specs. The load-bearing oracle is an INDEPENDENT
+  * in-test reference implementation (symbol vectors + left-to-right
+  * single-pass merge — the textbook Sennrich 2016 loop) that shares
+  * no code with the string-replace formulation under test.
+  */
+class BpeSpec extends GraftSpecBase {
+
+  // ---- reference implementation (Vector[String] symbols) ----------
+
+  /** One merge round applied to a symbol sequence: left-to-right,
+    * non-overlapping, all occurrences — the semantics `replace` must
+    * reproduce through the SEP-prefixed string form.
+    */
+  private def mergeOnce(syms: Vector[String],
+      pair: (String, String)): Vector[String] = {
+    val (l, r) = pair
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** Greedy BPE train over a word-count map: max total pair count,
+    * ties by (l, r) ascending.
+    */
+  private def refTrain(words: Map[String, Long], rounds: Int)
+      : (Seq[(String, String)], Map[String, Vector[String]]) = {
+    var w: Map[String, (Vector[String], Long)] =
+      words.map { case (s, c) => s -> (s.map(_.toString).toVector, c) }
+    val out = collection.mutable.Buffer[(String, String)]()
+    for (_ <- 1 to rounds) {
+      val pc = collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((_, (syms, c)) <- w; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) += c
+      val best = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+      out += best
+      w = w.map { case (k, (syms, c)) => k -> (mergeOnce(syms, best), c) }
+    }
+    (out.toSeq, w.map { case (k, (syms, _)) => k -> syms })
+  }
+
+  private def docsDf(texts: Seq[(Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    texts.toDF("doc_id", "source", "text")
+  }
+
+  test("string-replace merge form is exact left-to-right greedy BPE: " +
+      "run merging, overlap continuation, and symbol-suffix non-match") {
+    initLog()
+    import spark.implicits._
+    // [a,a,a,a] under (a,a) must become [aa,aa] (the replace scan
+    // resumes AFTER each replacement, like the reference mergeOnce),
+    // never [aa,a,a]; [a,a,a] → [aa,a]
+    val runs = Seq("aaaa", "aaa", "aa", "a").toDF("text")
+    val got = runs.select(col("text"),
+      Bpe.bpeCountExpr(col("text"), Seq(("a", "a"))).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("aaaa" -> 2L, "aaa" -> 2L, "aa" -> 1L, "a" -> 1L), got)
+    // suffix must NOT match: "al" + "l" contains no (l, l) pair — the
+    // SEP prefix keeps the pattern off symbol suffixes
+    val sfx = Seq("all", "lal", "lla").toDF("text")
+    val g2 = sfx.select(col("text"),
+      Bpe.bpeCountExpr(col("text"), Seq(("l", "l"))).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2 == Map("all" -> 2L, "lal" -> 3L, "lla" -> 2L), g2)
+    // merges never cross the word boundary (bare space breaks the
+    // pattern): "a a" under (a,a) stays 2 tokens
+    val wb = Seq("a a", "aa a").toDF("text")
+    val g3 = wb.select(col("text"),
+      Bpe.bpeCountExpr(col("text"), Seq(("a", "a"))).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g3 == Map("a a" -> 2L, "aa a" -> 2L), g3)
+  }
+
+  test("trainMerges matches the independent reference implementation " +
+      "on the Sennrich-style fixture, including re-merges and ties") {
+    initLog()
+    // counts chosen so ties occur (low×2 vs new×2 prefixes) and
+    // merged symbols re-merge (es+t, lo+w)
+    val corpus = Seq.fill(5)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(2)("low") ++ Seq.fill(2)("lower")
+    val docs = docsDf(Seq((1L, "src0", corpus.mkString(" "))))
+    val wordCounts = corpus.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val rounds = 10
+    val (expMerges, expSyms) = refTrain(wordCounts, rounds)
+    val gotMerges = Bpe.trainMerges(docs, rounds)
+    assert(gotMerges == expMerges,
+      s"got $gotMerges\nexp $expMerges")
+    // and the per-word final token counts agree
+    val counts = Bpe.vocabTokenCounts(docs, gotMerges).collect()
+    assert(counts.length == 1)
+    val expTotal = corpus.map(w => expSyms(w).length.toLong).sum
+    assert(counts(0).getAs[Long]("n_tokens_bpe") == expTotal)
+  }
+
+  test("vocab-join and map-only expression paths agree on the corpus") {
+    initLog()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val merges = Bpe.trainMerges(docs, rounds = 8)
+    val viaVocab = Bpe.vocabTokenCounts(docs, merges)
+    val viaExpr = docs.select(col("doc_id"),
+      Bpe.bpeCountExpr(col("text"), merges).as("n_expr"))
+    val joined = viaVocab.join(viaExpr, Seq("doc_id"))
+    assert(joined.filter(col("n_tokens_bpe") =!= col("n_expr")).count() == 0)
+    assert(joined.count() == docs.count())
+    // BPE token count is bounded by [whitespace words, characters]
+    val bounds = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        (length(col("text")) - (size(split(col("text"), " ")) - 1))
+          .cast("long").as("chars"))
+      .join(viaVocab, Seq("doc_id"))
+    assert(bounds.filter(col("n_tokens_bpe") < col("ws") ||
+      col("n_tokens_bpe") > col("chars")).count() == 0)
+  }
+
+  test("whitespace-degenerate vocab: fully-merged words make BPE " +
+      "counts equal whitespace counts, and the token-budget twin " +
+      "returns the whitespace lane's rows bit-for-bit") {
+    initLog()
+    // 4 two-char words with disjoint letters: 4 merges merge every
+    // word to a single symbol → 1 BPE token per word
+    val docs = docsDf(Seq(
+      (1L, "src0", "ab ab cd ab"), (2L, "src0", "cd cd"),
+      (3L, "src1", "ab cd ef"), (4L, "src1", "ef ef ef"),
+      (5L, "src2", "ef gh"), (6L, "src3", "gh gh gh gh")))
+    val merges = Bpe.trainMerges(docs, rounds = 4)
+    assert(merges.toSet == Set(("a", "b"), ("c", "d"), ("e", "f"),
+      ("g", "h")), merges)
+    val bpeToks = Bpe.vocabTokenCounts(docs, merges)
+    val wsToks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens_bpe"))
+    assert(bpeToks.join(wsToks.withColumnRenamed("n_tokens_bpe", "ws"),
+      Seq("doc_id")).filter(col("n_tokens_bpe") =!= col("ws"))
+      .count() == 0)
+    val viaBpe = Bpe.budgetFromCounts(docs, bpeToks).collect()
+    val viaWs = Bpe.budgetFromCounts(docs, wsToks).collect()
+    assert(viaBpe.toSeq == viaWs.toSeq,
+      s"bpe=${viaBpe.toSeq}\nws =${viaWs.toSeq}")
+    assert(viaBpe.nonEmpty)
+  }
+
+  test("trainMerges fails loud when the corpus exhausts before the " +
+      "requested rounds (a short merge table would desync the oracle)") {
+    initLog()
+    val docs = docsDf(Seq((1L, "src0", "ab ab")))
+    // "ab" exhausts after 1 merge; round 2 must error, not truncate
+    val e = intercept[IllegalArgumentException](
+      Bpe.trainMerges(docs, rounds = 2))
+    assert(e.getMessage.contains("exhausted"), e.getMessage)
+    assert(Bpe.trainMerges(docs, rounds = 1) == Seq(("a", "b")))
+  }
+}
