@@ -28,6 +28,20 @@ object EditStream {
   def fromKafkaShaped(frames: DataFrame): DataFrame =
     EditEvents.fromJson(frames)
 
+  /** Live TCP JSON-lines feed through Spark's built-in `socket`
+    * source — the jar-less half of the reference's "Kafka/socket"
+    * ingestion (the baseline names both; Kafka needs the external
+    * connector jar, socket runs anywhere). Same one-line decode as
+    * every other source: the socket format emits a string `value`
+    * column per line. Dev/demo tool by contract: the socket source
+    * is neither replayable nor fault-tolerant (no offsets — a
+    * restarted query loses in-flight lines); production traffic goes
+    * through [[fromKafkaShaped]].
+    */
+  def readSocket(spark: SparkSession, host: String, port: Int): DataFrame =
+    EditEvents.fromJson(spark.readStream.format("socket")
+      .option("host", host).option("port", port.toString).load())
+
   /** Deterministic synthetic edit stream from the rate source (dev /
     * load-test tool; ~rowsPerSecond events/s).
     */

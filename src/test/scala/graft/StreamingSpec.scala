@@ -51,6 +51,72 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("socket source: the full reference pipeline runs against a " +
+      "live TCP feed, schema and results matching the file-backed twin") {
+    initLog()
+    // local ServerSocket fixture on an ephemeral loopback port; a
+    // feeder thread accepts Spark's one connection and writes the
+    // SAME json lines the file-backed full-pipeline spec uses
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    val lines = Seq(
+      editJson(1, "en.wikipedia.org", "human", "main namespace",
+        "2023-11-27T19:01:00Z", 100, 150),                       // +50
+      editJson(2, "en.wikipedia.org", "human", "main namespace",
+        "2023-11-27T19:03:30Z", 150, 120),                       // +30
+      editJson(3, "en.wikipedia.org", "bot", "main namespace",
+        "2023-11-27T19:02:00Z", 0, 999),                         // dropped
+      editJson(4, "de.wikipedia.org", "human", "talk",
+        "2023-11-27T19:02:00Z", 0, 999),                         // dropped
+      editJson(5, "de.wikipedia.org", "HUMAN", "Main Namespace",
+        "2023-11-27T19:06:00Z", 500, 400))                       // +100
+    @volatile var feedErr: Throwable = null
+    @volatile var conn: java.net.Socket = null
+    val feeder = new Thread(() => {
+      try {
+        conn = server.accept()
+        val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          conn.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+        lines.foreach(w.println)
+        w.flush() // keep the socket OPEN — EOF mid-query is a source stop
+      } catch { case t: Throwable => feedErr = t }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val src = EditStream.readSocket(spark, "127.0.0.1", port)
+    // schema parity: a consumer of the file-backed stream can point
+    // at the socket feed without touching the pipeline
+    assert(src.schema == EditStream.readJsonFiles(spark, tmp("graft_sp"))
+      .schema)
+    val q = WikiEditPipeline.windowedEditSize(src)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("socket_wiki_out").start()
+    try {
+      // socket delivery is asynchronous (a receiver thread buffers
+      // lines) — processAllAvailable drains only what has ARRIVED, so
+      // poll until the expected aggregate materializes
+      val expected = Set(("en.wikipedia.org", 80L, 2L),
+        ("de.wikipedia.org", 100L, 1L))
+      val deadline = System.currentTimeMillis + 60000
+      var got = Set.empty[(String, Long, Long)]
+      while (got != expected && System.currentTimeMillis < deadline) {
+        q.processAllAvailable()
+        got = spark.table("socket_wiki_out")
+          .select(col("domain"), col("edit_size"), col("n_edits"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        if (got != expected) Thread.sleep(200)
+      }
+      assert(feedErr == null, s"feeder failed: $feedErr")
+      assert(got == expected, got.mkString(","))
+    } finally {
+      q.stop()
+      if (conn != null) conn.close()
+      server.close()
+    }
+  }
+
   test("processing-time window mode: literal TumblingProcessingTimeWindows twin") {
     initLog()
     val in = tmp("graft_in_pt")
