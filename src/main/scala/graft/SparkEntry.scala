@@ -245,6 +245,10 @@ object SparkEntry {
     // assignment)
     "decontaminate_semantic" ->
       ((s, d) => Similarity.semanticDecontaminateEffect(s, d)),
+    // exact high-τ cosine pairs (triangle-inequality cluster prune —
+    // clustering affects cost only, the pair set is exact): planted
+    // cos=1.0 copies keep the lane non-empty on the isotropic corpus
+    "dedup_embedding_exact_hi" -> ((s, d) => Similarity.exactHighTauPairs(s, d)),
     "tok_bpe_train" -> ((s, d) => Bpe.trainLane(s, d)),
     "tok_count_bpe" -> ((s, d) => Bpe.countLane(s, d)),
     "mix_token_budget_bpe" -> ((s, d) => Bpe.budgetLane(s, d)))
@@ -2513,6 +2517,19 @@ object SparkEntry {
     // BPE train/count/budget: generated unrolled-recurrence SQL (the
     // graph_kcore convention — one CTE triple per merge round); see
     // operators/Bpe.scala for the shared-semantics argument
+    // exact pair set is clustering-independent → plain brute-force
+    // twin over (embeddings ∪ planted copies); same cosine/round
+    // convention as dedup_embedding
+    "dedup_embedding_exact_hi" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id + 1000000000000000, embedding
+           FROM embeddings WHERE vec_id < 10)
+         SELECT id_a, id_b, cos_sim FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+               b.embedding::DOUBLE[]), 6) AS cos_sim
+           FROM u a JOIN u b ON a.vec_id < b.vec_id) p
+         WHERE cos_sim >= 0.85""",
     "tok_bpe_train" -> Bpe.trainOracleSql(),
     "tok_count_bpe" -> Bpe.countOracleSql(),
     "mix_token_budget_bpe" -> Bpe.budgetOracleSql())

@@ -89,6 +89,57 @@ class SimilaritySpec extends GraftSpecBase {
       s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
   }
 
+  test("exact high-tau pairs (triangle-inequality cluster prune) equal " +
+      "the brute force on planted clusters, at every nlist") {
+    initLog()
+    // 5 clusters of 6 jittered members (high cos within, ~orthogonal
+    // across) in 16 dims — enough structure that the cell prune
+    // actually drops cross-cluster cells, plus a singleton outlier
+    val rows = (for {
+      c <- 0 until 5; m <- 0 until 6
+    } yield {
+      val base = Array.fill(16)(0.0f)
+      base(c * 3) = 1.0f
+      base((c * 3 + m + 1) % 16) = 0.04f * (m + 1)
+      ((c * 6 + m).toLong, base, c)
+    }) :+ ((99L, Array.tabulate(16)(i => if (i % 2 == 0) 0.25f else -0.25f), 9))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    for (tau <- Seq(0.85, 0.95); nlist <- Seq(1, 4, 8)) {
+      val exact = Similarity.embeddingNearDupPairs(df, tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pruned = Similarity.embeddingPairsExactHighTau(df, tau = tau,
+        nlist = nlist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pruned.length == pruned.toSet.size,
+        s"duplicate pairs at tau=$tau nlist=$nlist")
+      assert(exact.nonEmpty || tau > 0.9, "fixture should have pairs")
+      assert(pruned.toSet == exact,
+        s"tau=$tau nlist=$nlist missed=${(exact -- pruned.toSet).size} " +
+          s"extra=${(pruned.toSet -- exact).size}")
+    }
+  }
+
+  test("exact high-tau pairs: threshold-boundary pair is kept (rounding " +
+      "band rides the angular slack)") {
+    initLog()
+    // two unit vectors engineered to cos ≈ 0.85 + 4e-7 → round(.,6)
+    // lands EXACTLY on 0.8500: the pair must be found even though its
+    // true angle exceeds acos(0.85)
+    val c = 0.8499996
+    val s = math.sqrt(1 - c * c)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(c.toFloat, s.toFloat, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val brute = Similarity.embeddingNearDupPairs(df, tau = 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.embeddingPairsExactHighTau(df, tau = 0.85,
+      nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+  }
+
   test("LSH index append: new vectors become findable without a rebuild") {
     initLog()
     import spark.implicits._
