@@ -43,20 +43,51 @@ private[graft] object Par {
         case fs: HadoopFsRelation =>
           // ceil(bytes / maxPartitionBytes): how many splits the scan
           // yields at most (actual can be fewer after coalescing).
-          // KNOWN RESIDUAL: the estimate is byte-based, but parquet
-          // splits at ROW-GROUP boundaries — a writer configured for
-          // row groups larger than maxPartitionBytes (non-default)
-          // yields fewer real splits than estimated, and the guard
-          // no-ops while the scan stays starved. Default writers
-          // (128 MB row groups = the default maxPartitionBytes) are
-          // estimated correctly.
-          ((fs.location.sizeInBytes + maxSplit - 1) / maxSplit).toInt
+          // The byte estimate is optimistic for parquet, which splits
+          // at ROW-GROUP boundaries: a writer configured for row
+          // groups larger than maxPartitionBytes yields fewer real
+          // splits than the bytes suggest (a byte range with no
+          // row-group midpoint reads nothing). So when bytes say
+          // "ample" we confirm against the FOOTER truth — but only
+          // when the file count is below target: with ≥ target files
+          // every file contributes ≥ 1 split, parallelism is proven
+          // without touching a footer, and the driver-side metadata
+          // read stays bounded by `target` files at any corpus size
+          // (a 100 TB table has thousands of files and never probes).
+          val est = ((fs.location.sizeInBytes + maxSplit - 1) / maxSplit).toInt
+          if (est < target) est
+          else {
+            val files = fs.location.inputFiles
+              .filter(_.endsWith(".parquet"))
+            if (files.length >= target) est
+            else math.min(est, rowGroupCount(df, files))
+          }
         case _ => target // non-file relation: assume ample
       }
       case _: LocalRelation => 1 // driver-local test data
       case _ => target // unknown leaf: assume ample, stay lazy
     }.sum
     if (estimated < target) df.repartition(target) else df
+  }
+
+  /** Total parquet row groups across `files` — the scan's TRUE upper
+    * bound on split parallelism (a row group cannot split). Footer
+    * reads are driver-side bounded metadata (a few KB per file) and
+    * only ever run on < target files (see the call site). A file
+    * whose footer cannot be read (non-parquet suffix lies, corrupt)
+    * counts as ample — the guard must never turn a readable plan
+    * into a planning-time failure.
+    */
+  private def rowGroupCount(df: DataFrame, files: Array[String]): Int = {
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    files.map { f =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      } catch { case _: Exception => Int.MaxValue >> 8 }
+    }.sum
   }
 
   /** The shared whitespace token stream: (doc_id[, extra...], tok)
