@@ -125,6 +125,32 @@ object Bench {
   private def isHeadline(name: String): Boolean =
     headlineBatch(name) || headlinePrefixes.exists(name.startsWith)
 
+  /** Lanes whose Ω(n²) cost is CONTRACTUAL (exact pair enumeration) —
+    * reported inside `total` but excluded from `total_nonquadratic`,
+    * the scale-comparison figure: their growth law is pinned by
+    * contract and re-measuring it tells the next round nothing (it
+    * was 51 % of the r11 100× suite). Inputs are additionally capped
+    * at scale (Similarity.QuadraticLaneCapRows).
+    */
+  private[graft] val quadraticContract =
+    Set("dedup_embedding", "dedup_embedding_exact_hi")
+
+  /** Regression gate over the `prev` trend map: lanes ≥ 2× their
+    * previous time, evaluated ONLY when the host is quiet
+    * (contention inflates unevenly — a noisy run would flag half the
+    * suite) and only against a prev run at the SAME sf dir (scale
+    * runs share the cwd artifact; a 100× prev would flag everything).
+    * Failed lanes (-1) never enter either side.
+    */
+  private[graft] def regressedLanes(prev: Map[String, Double],
+      cur: Seq[(String, Double)], noisy: Boolean,
+      sameSf: Boolean): Seq[String] =
+    if (noisy || !sameSf) Seq.empty
+    else cur.collect {
+      case (name, t) if t >= 0 && prev.get(name).exists(p =>
+        p > 0 && t >= 2.0 * p) => name
+    }.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -190,6 +216,11 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum +
       failed.size * 1000.0
+    // the scale-comparison figure: quadratic-contract lanes excluded
+    // (their growth law is pinned; see quadraticContract)
+    val totalNonQuadratic = results.collect {
+      case (n, v) if v >= 0 && !quadraticContract(n) => v
+    }.sum + failed.count(!quadraticContract(_)) * 1000.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // two streaming throughput figures next to the batch seconds — the
     // reference's actual modality is an unbounded stream; the windowed
@@ -210,22 +241,36 @@ object Bench {
     // runs, loadavg measures the bench's own local[N] threads, so an
     // end sample would flag every healthy run.
     val noisy = loadavg > 4.0
-    def line(qs: String, extra: String = "") =
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"stream_rows_per_sec":${fmt(streamRps, 0)},"stream_rows_per_sec_stateful":${fmt(streamRpsStateful, 0)},"loadavg":${fmt(loadavg, 2)},"noisy":$noisy,"full":"bench_full.json","sf":"$sfDir"$extra}"""
     // Round-over-round trend in ONE artifact (r10 VERDICT item 8): the
     // per-query map of the bench_full.json being REPLACED rides the
     // new file as "prev", so a regression diff reads off a single
     // artifact instead of two git revisions. Jackson is already on the
     // Spark classpath; any read/parse failure degrades to {} — the
     // trend field must never cost a run its result.
-    val prevJson = try {
+    val (prevJson, prevMap, prevSf) = try {
       val p = java.nio.file.Paths.get("bench_full.json")
       if (java.nio.file.Files.exists(p)) {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(java.nio.file.Files.readAllBytes(p))
-        Option(root.get("queries")).map(_.toString).getOrElse("{}")
-      } else "{}"
-    } catch { case _: Throwable => "{}" }
+        val q = Option(root.get("queries"))
+        val m = q.map { node =>
+          import scala.jdk.CollectionConverters._
+          node.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble).toMap
+        }.getOrElse(Map.empty[String, Double])
+        (q.map(_.toString).getOrElse("{}"), m,
+          Option(root.get("sf")).map(_.asText).getOrElse(""))
+      } else ("{}", Map.empty[String, Double], "")
+    } catch { case _: Throwable => ("{}", Map.empty[String, Double], "") }
+    // regression gate (r11 VERDICT item 6): ≥2× lanes vs prev, quiet
+    // host + same sf only — one machine-readable field instead of an
+    // artifact diff
+    val regressed = regressedLanes(prevMap, results, noisy,
+      sameSf = prevSf == sfDir)
+    val regressedJson = regressed.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    def line(qs: String, extra: String = "") =
+      s"""{"metric":"total","value":${fmt(total, 4)},"total_nonquadratic":${fmt(totalNonQuadratic, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"regressed":$regressedJson,"stream_rows_per_sec":${fmt(streamRps, 0)},"stream_rows_per_sec_stateful":${fmt(streamRpsStateful, 0)},"loadavg":${fmt(loadavg, 2)},"noisy":$noisy,"full":"bench_full.json","sf":"$sfDir"$extra}"""
     // Full map (4-decimal) to the file artifact; headline map
     // (3-decimal) to stdout, with a hard 1600-char guard: should
     // the headline set ever outgrow the tail budget, drop precision

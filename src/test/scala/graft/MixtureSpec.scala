@@ -199,6 +199,12 @@ class MixtureSpec extends GraftSpecBase {
       .shardShuffle(docs.repartition(5), "doc_id", nShards = 7, buckets = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out64 == out.toSet)
+    // the offset table rides one window task + a broadcast: a bucket
+    // count past the single-task ceiling must refuse loudly instead
+    // of pushing a corpus-sized table through one task
+    val e = intercept[IllegalArgumentException](Mixture.shardShuffle(
+      docs, "doc_id", nShards = 7, buckets = (1 << 22) + 1))
+    assert(e.getMessage.contains("ceiling"), e.getMessage)
   }
 
   test("phasedSchedule: per-phase closed-form multiplicities; the " +
