@@ -234,6 +234,7 @@ object SparkEntry {
     "curate_c4" -> ((s, d) => TextAnalysis.c4Summary(s, d)),
     "dedup_embedding_audit" -> ((s, d) => Similarity.embeddingAuditRate(s, d)),
     "curate_ppl_buckets" -> ((s, d) => Curation.pplBuckets(s, d)),
+    "curate_ppl_buckets_v2" -> ((s, d) => Curation.pplBucketsV2(s, d)),
     "curate_classifier" -> ((s, d) => Classifier.classifierSelect(s, d)),
     "curate_classifier_hashed" ->
       ((s, d) => Classifier.classifierSelectHashed(s, d)),
@@ -2398,6 +2399,52 @@ object SparkEntry {
              ELSE 'tail' END AS bucket
          FROM (SELECT *, ntile(3) OVER (PARTITION BY source
                  ORDER BY score, doc_id) AS nt FROM sc) t""",
+    // v2: the same split driven by the NB classifier margin — the
+    // margin doubles are bit-equal cross-engine (curate_classifier
+    // hash-proof), so floor(margin·100) is an exact integral quantize
+    "curate_ppl_buckets_v2" ->
+      """WITH toks0 AS (SELECT doc_id, source,
+             unnest(string_split(text, ' ')) AS tok FROM documents),
+         tk AS (SELECT doc_id, tok FROM toks0 WHERE tok <> ''),
+         ltk AS (SELECT source AS label, tok AS feat FROM toks0
+                 WHERE tok <> ''),
+         cnt AS (SELECT label, feat, COUNT(*) AS c FROM ltk
+                 GROUP BY 1, 2),
+         labels AS (SELECT source AS label, COUNT(*) AS n_docs
+                    FROM documents GROUP BY 1),
+         tots AS (SELECT label, SUM(c) AS tot FROM cnt GROUP BY 1),
+         vocab AS (SELECT DISTINCT feat FROM cnt),
+         consts AS (SELECT (SELECT COUNT(*) FROM vocab) AS v,
+                           (SELECT COUNT(*) FROM documents) AS n),
+         w AS (SELECT l.label, f.feat,
+                 ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+                    CAST(t.tot + cs.v AS DOUBLE)) AS w,
+                 ln(CAST(l.n_docs AS DOUBLE) / CAST(cs.n AS DOUBLE)) AS lp
+               FROM labels l CROSS JOIN vocab f
+               JOIN tots t ON t.label = l.label
+               LEFT JOIN cnt c ON c.label = l.label AND c.feat = f.feat
+               CROSS JOIN consts cs),
+         scr AS (SELECT tk.doc_id, w.label,
+                  ROUND(SUM(w.w) + MAX(w.lp), 4) AS score
+                FROM tk JOIN w ON w.feat = tk.tok
+                GROUP BY tk.doc_id, w.label),
+         q AS (SELECT d.doc_id, d.source,
+                 CAST(FLOOR(ROUND(m.score - m.s2, 4) * 100) AS BIGINT)
+                   AS score
+               FROM documents d
+               JOIN (SELECT doc_id, score, s2 FROM (
+                   SELECT doc_id, label, score,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, label DESC) AS rn,
+                     LEAD(score, 1) OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, label DESC) AS s2
+                   FROM scr) t WHERE rn = 1) m
+                 ON m.doc_id = d.doc_id)
+         SELECT doc_id, source, score, CAST(nt AS BIGINT) AS tile,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+         FROM (SELECT *, ntile(3) OVER (PARTITION BY source
+                 ORDER BY score, doc_id) AS nt FROM q) z""",
     // multinomial NB classifier: every weight is ln of an exact
     // integer ratio (one correctly-rounded division), per-doc sums
     // bounded by doc length → ROUND(4) (the curate_dsir argument);

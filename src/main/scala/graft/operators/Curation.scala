@@ -204,4 +204,31 @@ object Curation {
         when(col("tile") === 1, "head")
           .when(col("tile") === 2, "middle").otherwise("tail"))
   }
+
+  /** Driver query `curate_ppl_buckets_v2`: the CCNet head/middle/tail
+    * split driven by a REAL model-based quality signal — the NB
+    * classifier's score MARGIN ([[Classifier.nbPredict]], the number
+    * a Brown-2020-style quality filter thresholds on) in place of v1's
+    * chars-per-token proxy. The margin is a ROUND(4) double already
+    * proven bit-equal cross-engine by the curate_classifier lane, so
+    * `floor(margin · 100)` is an exact integral quantization on both
+    * engines and [[qualityBuckets]]' integral-score contract holds —
+    * the composition keeps a FULL oracle (classifier CTEs → quantize →
+    * literal ntile window). Docs with no in-vocabulary token have no
+    * prediction and drop from the split (the [[Classifier.nbPredict]]
+    * no-evidence contract; none exist on this corpus at any SF).
+    */
+  def pplBucketsV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val preds = Classifier.nbPredict(docs,
+      Classifier.nbWeights(docs, "source"))
+    val scored = docs.select(col("doc_id"), col("source"))
+      .join(preds.select(col("doc_id"),
+        floor(col("margin") * lit(100)).cast("long").as("score")),
+        Seq("doc_id"))
+    qualityBuckets(scored, "source", "score", "doc_id", tiles = 3)
+      .withColumn("bucket",
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle").otherwise("tail"))
+  }
 }
