@@ -287,26 +287,34 @@ object Similarity {
       math.acos(math.min(1.0, math.max(-1.0, s)))
     }
     // qualifying unordered cluster cells — driver-side nlist² loop
-    // over the bounded centroid set (the collect discipline)
+    // over the bounded centroid set (the collect discipline). The
+    // cell table carries KEYS AND RADII ONLY — embedding the centroid
+    // vectors into every cell row (nlist²/2 × 2·dims doubles) OOMed
+    // the driver at nlist = 4000 with weak clustering; the partner
+    // centroid joins back from the nlist-row table instead.
     val lists = cn.keys.toSeq.sorted.filter(radii.contains)
     val cells = for {
       i <- lists; j <- lists if i <= j
       if angBetween(cn(i), cn(j)) <= radii(i) + theta + radii(j) + eps
-    } yield (i, j, cn(i).toSeq, cn(j).toSeq, radii(i), radii(j))
+    } yield (i, j, radii(i), radii(j))
     val cellDf = spark.createDataFrame(cells)
-      .toDF("ci", "cj", "civ", "cjv", "radI", "radJ")
+      .toDF("ci", "cj", "radI", "radJ")
     // left role: cluster-ci vectors, per-vector pruned against the
     // PARTNER centroid (θ(x, c_j) ≤ θ_τ + A_j + ε); right symmetric
     val left = withAngle
       .join(broadcast(cellDf), col("list") === col("ci"))
-      .filter(acos(clamp(Vectors.dot(col("embedding"), col("cjv")) /
+      .join(broadcast(centDf.select(col("list").as("cj"),
+        col("cvec").as("pj"))), Seq("cj"))
+      .filter(acos(clamp(Vectors.dot(col("embedding"), col("pj")) /
         col("nrm"))) <= lit(theta) + col("radJ") + lit(eps))
       .select(col("ci"), col("cj"), col("vec_id").as("id_a"),
         col("embedding").as("ea"), col("nrm").as("na"))
       .repartition(col("ci"), col("cj"))
     val right = withAngle
       .join(broadcast(cellDf), col("list") === col("cj"))
-      .filter(acos(clamp(Vectors.dot(col("embedding"), col("civ")) /
+      .join(broadcast(centDf.select(col("list").as("ci"),
+        col("cvec").as("pi"))), Seq("ci"))
+      .filter(acos(clamp(Vectors.dot(col("embedding"), col("pi")) /
         col("nrm"))) <= lit(theta) + col("radI") + lit(eps))
       .select(col("ci"), col("cj"), col("vec_id").as("id_b"),
         col("embedding").as("eb"), col("nrm").as("nb"))
