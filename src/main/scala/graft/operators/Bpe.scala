@@ -109,15 +109,29 @@ object Bpe {
     * before `rounds` merges exist — a short merge table would make
     * the unrolled oracle diverge silently.
     */
+  /** Cache re-anchor cadence: the lazy merge chain grows one narrow
+    * `replace` projection per round on top of the cached vocab;
+    * re-materialize every this-many rounds so expression depth stays
+    * codegen-friendly at large R without paying a materialization
+    * job per round (which DOMINATED the lane at bench SFs — 3 jobs
+    * per round × 16 rounds × tiny tables is pure scheduling overhead).
+    */
+  private val RepersistEvery = 64
+
   def trainMerges(docs: DataFrame, rounds: Int = TrainRounds,
       textCol: String = "text"): Seq[(String, String)] = {
     require(rounds > 0 && rounds <= MaxRounds,
       s"trainMerges: rounds=$rounds outside (0, $MaxRounds]")
-    var words = wordCounts(docs, textCol).persist()
-    words.count()
+    var anchor = wordCounts(docs, textCol).persist()
+    anchor.count() // ONE corpus scan; every round below is vocab-sized
+    var words = anchor
     val out = Seq.newBuilder[(String, String)]
     try {
       for (k <- 1 to rounds) {
+        // one distributed job per round: the argmax collect. The
+        // merge application stays LAZY — round k's pair counting
+        // evaluates ≤ RepersistEvery replace projections over the
+        // cached vocab, never a per-round re-materialization.
         val top: Array[Row] = pairCounts(words)
           .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
         require(top.nonEmpty,
@@ -126,14 +140,17 @@ object Bpe {
         val l = top(0).getAs[String]("l")
         val r = top(0).getAs[String]("r")
         out += ((l, r))
-        val next = words.withColumn("repr",
+        words = words.withColumn("repr",
           replace(col("repr"), lit(Sep + l + Sep + r), lit(Sep + l + r)))
-          .persist()
-        next.count()
-        words.unpersist()
-        words = next
+        if (k % RepersistEvery == 0 && k < rounds) {
+          val next = words.persist()
+          next.count()
+          anchor.unpersist()
+          anchor = next
+          words = next
+        }
       }
-    } finally words.unpersist()
+    } finally anchor.unpersist()
     out.result()
   }
 
