@@ -157,6 +157,12 @@ object Bench {
     // partitions sized to the benched data dir (the §5 rule as
     // default behavior) — at sf0.1 this is still = cores; at the
     // 100×/300× scale corpora it is what keeps per-task state bounded
+    // quadratic-contract lanes cap their inputs ONLY on timing runs
+    // (the growth law is pinned by contract; re-proving it was half
+    // the r11 100× wall-clock). Opt-in here so the correctness path —
+    // which compares against FULL-table oracles — never sees a capped
+    // lane (r12 ADVICE, medium).
+    System.setProperty(graft.operators.Similarity.QuadraticCapProp, "true")
     val spark = GraftSession.localFor(cpus, sfDir, "graft-bench")
     // ERROR, not WARN: the driver parses the LAST stdout line as JSON,
     // and benign per-task WARNs (e.g. WindowExec on the bins-bounded

@@ -80,8 +80,16 @@ object Bpe {
     docs.select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      // prefix every char with SEP — the initial symbol sequence
-      .withColumn("repr", regexp_replace(col("word"), "(.)", Sep + "$1"))
+      // prefix every char with SEP — the initial symbol sequence.
+      // "([^ ])" and not "(.)": the words are space-split so the
+      // classes are equivalent on every char EXCEPT line terminators,
+      // which "." does not match — with "(.)" a token containing \n
+      // would tokenize differently here than in [[bpeCountExpr]]
+      // (which always used "([^ ])") and merges trained over symbols
+      // containing \n could never apply on the expr path (r12 ADVICE).
+      // One charset across all three formulations (this, bpeCountExpr,
+      // the oracle CTEs).
+      .withColumn("repr", regexp_replace(col("word"), "([^ ])", Sep + "$1"))
 
   /** Adjacent-pair counts over the CURRENT symbol sequences, weighted
     * by word count — one aggregation over the vocab table. Overlapping
@@ -283,7 +291,7 @@ object Bpe {
     sb ++=
       """w0 AS MATERIALIZED (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
-        |    regexp_replace(word, '(.)', chr(1) || '\1', 'g') AS repr
+        |    regexp_replace(word, '([^ ])', chr(1) || '\1', 'g') AS repr
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
         |        FROM documents)
         |  WHERE len(word) > 0 GROUP BY word)""".stripMargin

@@ -153,17 +153,23 @@ object Curation {
     // Integral typing bounds the offsets table only if the score's
     // VALUE RANGE is bounded — an integral-but-high-cardinality score
     // (row ids, epoch millis) still makes the broadcast corpus-sized.
-    // Materialize the bounded table once (persist — the count below
-    // and the broadcast then share one corpus scan) and fail loud
-    // above the driver-safe ceiling instead of OOMing an executor.
-    val offsP = offs.persist()
-    val nGroups = offsP.count()
-    require(nGroups <= maxGroups,
-      s"qualityBuckets: $nGroups distinct ($domainCol, $scoreCol) " +
-        s"groups exceed the broadcast ceiling $maxGroups — the " +
-        s"score '$scoreCol' looks continuous-in-disguise (ids? " +
+    // Materialize the bounded table ONCE by collecting it (capped at
+    // ceiling+1 rows, so a continuous-in-disguise score fails loud
+    // BEFORE the driver holds more than the ceiling): the broadcast
+    // exchange below collects to the driver anyway, so this costs
+    // nothing extra — and unlike the r12 persist() it leaves no
+    // session-lifetime cached plan behind (r12 ADVICE: every
+    // qualityBuckets call leaked one cached DataFrame until LRU).
+    val offsRows = offs.limit(
+      math.min(maxGroups, Int.MaxValue - 1L).toInt + 1).collect()
+    require(offsRows.length <= maxGroups,
+      s"qualityBuckets: more than $maxGroups distinct " +
+        s"($domainCol, $scoreCol) groups exceed the broadcast ceiling " +
+        s"— the score '$scoreCol' looks continuous-in-disguise (ids? " +
         "timestamps?); quantize it to a bounded range first")
-    val offsR = offsP.withColumnRenamed(domainCol, "__jd")
+    val offsLocal = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offsRows: _*), offs.schema)
+    val offsR = offsLocal.withColumnRenamed(domainCol, "__jd")
       .withColumnRenamed(scoreCol, "__js")
     val ranked = base
       .withColumn("__r", row_number().over(wIn).cast("long") - 1)

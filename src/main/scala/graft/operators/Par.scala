@@ -80,14 +80,19 @@ private[graft] object Par {
     */
   private def rowGroupCount(df: DataFrame, files: Array[String]): Int = {
     val hconf = df.sparkSession.sessionState.newHadoopConf()
-    files.map { f =>
+    // accumulate as Long: the per-unreadable-file "ample" sentinel is
+    // large, and a few hundred failed footers would wrap an Int sum
+    // NEGATIVE — inverting "count as ample, never fail planning" into
+    // an unconditional forced repartition (r12 ADVICE)
+    val total = files.map { f =>
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(f), hconf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRowGroups.size finally r.close()
-      } catch { case _: Exception => Int.MaxValue >> 8 }
+        try r.getRowGroups.size.toLong finally r.close()
+      } catch { case _: Exception => (Int.MaxValue >> 8).toLong }
     }.sum
+    math.min(total, Int.MaxValue.toLong).toInt
   }
 
   /** The shared whitespace token stream: (doc_id[, extra...], tok)

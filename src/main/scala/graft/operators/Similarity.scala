@@ -79,7 +79,20 @@ object Similarity {
     */
   private[graft] val QuadraticLaneCapRows = 20000L
 
+  /** The cap is OPT-IN from the bench path only (`Bench.main` /
+    * scale tools set this system property): the driver's CORRECTNESS
+    * harness compares these lanes against DuckDB oracles that
+    * enumerate the FULL table, so a silently-capped lane at a >cap
+    * input dir would hash-mismatch a correct implementation — and a
+    * lane documented "exact" would quietly return a hashed-subset
+    * pair set with no marker (r12 ADVICE, medium). The correctness
+    * path therefore ALWAYS sees the uncapped lane; only timing runs,
+    * where the Ω(n²) growth law is already pinned by contract, cap.
+    */
+  private[graft] val QuadraticCapProp = "graft.bench.capQuadratic"
+
   private[graft] def capQuadraticLane(e: DataFrame): DataFrame = {
+    if (!java.lang.Boolean.getBoolean(QuadraticCapProp)) return e
     val n = e.count()
     if (n <= QuadraticLaneCapRows) e
     else e.filter(pmod(xxhash64(col("vec_id")), lit(65536L)) <
@@ -269,7 +282,16 @@ object Similarity {
       (i, if (n == 0) c else c.map(_ / n))
     }.toMap
     def clamp(x: Column): Column = least(lit(1.0), greatest(lit(-1.0), x))
-    val assigned = assignToNearest(e, cArr)
+    // FLAT assignment always, never the two-level shortcut: radii are
+    // MAXES, so one stranded vector (assigned to a far list by the
+    // approximate super-cluster hop) poisons its whole list's radius
+    // toward π/2 and re-admits that list's cells wholesale — the r12
+    // decade curve measured 44×/decade on the 20k→200k leg from
+    // exactly this (SURVEY §4.5). Exactness never depended on the
+    // assignment (the verify step is assignment-independent); COST
+    // does, and for this operator's √-scaled nlist the flat pass is
+    // sub-dominant (see assignToNearestFlat).
+    val assigned = assignToNearestFlat(e, cArr)
       .withColumn("nrm", Vectors.norm2(col("embedding")))
     val centDf = spark.createDataFrame(
       cn.toSeq.map { case (i, c) => (i, c.toSeq) }).toDF("list", "cvec")
@@ -281,24 +303,12 @@ object Similarity {
     val radii = withAngle.groupBy(col("list"))
       .agg(max(col("alpha")).as("rad"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    def angBetween(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      math.acos(math.min(1.0, math.max(-1.0, s)))
-    }
-    // qualifying unordered cluster cells — driver-side nlist² loop
-    // over the bounded centroid set (the collect discipline). The
-    // cell table carries KEYS AND RADII ONLY — embedding the centroid
-    // vectors into every cell row (nlist²/2 × 2·dims doubles) OOMed
-    // the driver at nlist = 4000 with weak clustering; the partner
-    // centroid joins back from the nlist-row table instead.
+    // qualifying unordered cluster cells, (ci, cj, radI, radJ) — the
+    // driver loop below the threshold, a distributed centroid
+    // self-join above it (see qualifyingCells)
     val lists = cn.keys.toSeq.sorted.filter(radii.contains)
-    val cells = for {
-      i <- lists; j <- lists if i <= j
-      if angBetween(cn(i), cn(j)) <= radii(i) + theta + radii(j) + eps
-    } yield (i, j, radii(i), radii(j))
-    val cellDf = spark.createDataFrame(cells)
-      .toDF("ci", "cj", "radI", "radJ")
+    val cellDf = qualifyingCells(spark, lists, cn, radii, theta, eps,
+      distribute = lists.length > CellQualDistributeOver)
     // left role: cluster-ci vectors, per-vector pruned against the
     // PARTNER centroid (θ(x, c_j) ≤ θ_τ + A_j + ε); right symmetric
     val left = withAngle
@@ -328,6 +338,66 @@ object Similarity {
       .filter(col("cos_sim") >= tau)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cos_sim"))
+  }
+
+  /** nlist beyond which cell qualification distributes: the driver
+    * loop is O(nlist²) iterations AND holds the qualifying Seq — at
+    * the nlist ≈ 10⁵ a 10⁹-vector corpus wants, that is 10¹⁰ driver
+    * iterations (r12 VERDICT "What's wrong" #4). Above the threshold
+    * (~10⁷ pairs) the same predicate runs as a self-join of the
+    * nlist-row centroid table — bounded rows, distributed compares.
+    */
+  private[graft] val CellQualDistributeOver = 3162
+
+  /** The qualifying cluster-cell table (ci ≤ cj, both radii): cells
+    * whose centroid angle ≤ radI + θ_τ + radJ + ε — every other cell
+    * provably holds no τ-pair. Two code paths, ONE predicate:
+    * `distribute = false` is the driver-side nlist² loop over the
+    * bounded centroid map (collect discipline — right while the Seq
+    * fits); `distribute = true` evaluates the identical bound as a
+    * broadcast self-join of the nlist-row centroid frame, so neither
+    * the iteration nor the candidate set ever lives on the driver.
+    * Both paths compute the dot in ascending dimension order over the
+    * same normalized doubles (parity spec'd). The cell table carries
+    * KEYS AND RADII ONLY — embedding centroid vectors into every cell
+    * row (nlist²/2 × 2·dims doubles) OOMed the driver at nlist = 4000
+    * with weak clustering; partner centroids join back from the
+    * nlist-row table instead.
+    */
+  private[graft] def qualifyingCells(spark: SparkSession,
+      lists: Seq[Int], cn: Map[Int, Array[Double]],
+      radii: Map[Int, Double], theta: Double, eps: Double,
+      distribute: Boolean): DataFrame = {
+    if (!distribute) {
+      def angBetween(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        math.acos(math.min(1.0, math.max(-1.0, s)))
+      }
+      val cells = for {
+        i <- lists; j <- lists if i <= j
+        if angBetween(cn(i), cn(j)) <= radii(i) + theta + radii(j) + eps
+      } yield (i, j, radii(i), radii(j))
+      spark.createDataFrame(cells).toDF("ci", "cj", "radI", "radJ")
+    } else {
+      def clamp(x: Column): Column = least(lit(1.0), greatest(lit(-1.0), x))
+      val centRad = spark.createDataFrame(
+        lists.map(i => (i, cn(i).toSeq, radii(i))))
+        .toDF("list", "cvec", "rad")
+      val a = centRad.select(col("list").as("ci"), col("cvec").as("ca"),
+        col("rad").as("radI"))
+      val b = centRad.select(col("list").as("cj"), col("cvec").as("cb"),
+        col("rad").as("radJ"))
+      // non-equi (ci ≤ cj) → BroadcastNestedLoop by construction, and
+      // that is CORRECT here: both sides are the bounded nlist-row
+      // centroid table (the broadcast is nlist rows, the loop is the
+      // nlist² predicate evaluation — distributed across tasks, which
+      // is the whole point). cvec is already normalized → dot = cos.
+      a.join(broadcast(b), col("ci") <= col("cj"))
+        .filter(acos(clamp(Vectors.dot(col("ca"), col("cb"))))
+          <= col("radI") + lit(theta) + col("radJ") + lit(eps))
+        .select(col("ci"), col("cj"), col("radI"), col("radJ"))
+    }
   }
 
   /** Driver lane `dedup_embedding_exact_hi`: [[embeddingPairsExactHighTau]]
@@ -1322,17 +1392,31 @@ object Similarity {
       centroids: Array[(Int, Array[Double])]): DataFrame =
     if (centroids.length >= HierAssignThreshold)
       assignToNearestHier(e, centroids)
-    else {
-      val maxList = centroids.map(_._1).max + 1
-      val cube = Array.fill(1)(Array.ofDim[Array[Double]](maxList))
-      centroids.foreach { case (i, c) =>
-        val n = math.sqrt(c.map(x => x * x).sum)
-        cube(0)(i) = if (n == 0) c else c.map(_ / n)
-      }
-      e.withColumn("list",
-        pqArgminCol(lit(0), col("embedding").cast("array<double>"), cube)
-          .getField("code"))
+    else assignToNearestFlat(e, centroids)
+
+  /** EXACT flat argmin over all centroids — O(nlist·dims) flops per
+    * row, bytecode constant in nlist (native PqArgmin). Callers whose
+    * nlist is √-scaled (exact-hi pairs: nlist ≈ √(n/cell)) use this
+    * directly at ANY nlist: for them the assignment pass is
+    * O(n^1.5·dims/√cell) total flops — sub-dominant to their Σnᵢ²
+    * verify stage — and an APPROXIMATE assignment is a scale-killer,
+    * not a saving: one stranded vector inflates its list's radius
+    * toward π/2, which re-admits that list's cells wholesale
+    * (measured: the r12 two-level assignment drove the 20k→200k
+    * decade leg to 44× — radius poisoning, SURVEY §4.5).
+    */
+  private def assignToNearestFlat(e: DataFrame,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val maxList = centroids.map(_._1).max + 1
+    val cube = Array.fill(1)(Array.ofDim[Array[Double]](maxList))
+    centroids.foreach { case (i, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      cube(0)(i) = if (n == 0) c else c.map(_ / n)
     }
+    e.withColumn("list",
+      pqArgminCol(lit(0), col("embedding").cast("array<double>"), cube)
+        .getField("code"))
+  }
 
   /** Flat assignment is O(nlist·dims) flops PER ROW, and with the
     * scale-safe `derivedNlist ≈ n/2000` that makes the one full-corpus

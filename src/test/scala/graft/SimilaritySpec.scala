@@ -140,6 +140,58 @@ class SimilaritySpec extends GraftSpecBase {
     assert(got == brute, s"got=$got brute=$brute")
   }
 
+  test("qualifyingCells: distributed self-join equals the driver loop " +
+      "(same predicate, same normalized doubles)") {
+    initLog()
+    // deterministic centroid fixture: 12 hash-jittered unit vectors in
+    // 8 dims with a spread of radii — wide enough that the angular
+    // bound keeps SOME cells and drops others at θ_τ = acos(0.85)
+    val cn: Map[Int, Array[Double]] = (0 until 12).map { i =>
+      val raw = Array.tabulate(8)(d =>
+        math.sin(i * 37 + d * 13) + (if (d == i % 8) 2.0 else 0.0))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      i -> raw.map(_ / n)
+    }.toMap
+    val radii: Map[Int, Double] =
+      (0 until 12).map(i => i -> (0.05 + 0.04 * (i % 5))).toMap
+    val lists = (0 until 12).toSeq
+    val theta = math.acos(0.85)
+    def cells(distribute: Boolean): Set[(Int, Int, Double, Double)] =
+      Similarity.qualifyingCells(spark, lists, cn, radii, theta, 1e-5,
+          distribute)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+    val driver = cells(distribute = false)
+    val dist = cells(distribute = true)
+    assert(driver.nonEmpty && driver.size < 12 * 13 / 2,
+      s"fixture should neither keep nothing nor everything: ${driver.size}")
+    assert(dist == driver,
+      s"missed=${(driver -- dist).size} extra=${(dist -- driver).size}")
+  }
+
+  test("capQuadraticLane: identity on the correctness path, capped " +
+      "deterministic subset only when the bench property is set") {
+    initLog()
+    val n = (Similarity.QuadraticLaneCapRows * 2).toInt
+    val df = spark.range(n.toLong).select(col("id").as("vec_id"))
+    // correctness path (no property): ALWAYS the full input — the
+    // driver's oracles enumerate the full table (r12 ADVICE, medium)
+    assert(Similarity.capQuadraticLane(df).count() == n.toLong)
+    System.setProperty(Similarity.QuadraticCapProp, "true")
+    try {
+      val capped = Similarity.capQuadraticLane(df)
+      val c1 = capped.count()
+      assert(c1 < n.toLong && c1 > 0,
+        s"bench path should cap $n rows toward ${Similarity.QuadraticLaneCapRows}")
+      // deterministic: same predicate, same subset, run to run
+      assert(Similarity.capQuadraticLane(df).count() == c1)
+      // under the cap: untouched even on the bench path
+      val small = spark.range(100L).select(col("id").as("vec_id"))
+      assert(Similarity.capQuadraticLane(small).count() == 100L)
+    } finally System.clearProperty(Similarity.QuadraticCapProp)
+  }
+
   test("LSH index append: new vectors become findable without a rebuild") {
     initLog()
     import spark.implicits._
