@@ -252,7 +252,8 @@ object SparkEntry {
     "dedup_embedding_exact_hi" -> ((s, d) => Similarity.exactHighTauPairs(s, d)),
     "tok_bpe_train" -> ((s, d) => Bpe.trainLane(s, d)),
     "tok_count_bpe" -> ((s, d) => Bpe.countLane(s, d)),
-    "mix_token_budget_bpe" -> ((s, d) => Bpe.budgetLane(s, d)))
+    "mix_token_budget_bpe" -> ((s, d) => Bpe.budgetLane(s, d)),
+    "seq_pack_bpe" -> ((s, d) => Packing.packDocsBpe(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -2579,5 +2580,6 @@ object SparkEntry {
          WHERE cos_sim >= 0.85""",
     "tok_bpe_train" -> Bpe.trainOracleSql(),
     "tok_count_bpe" -> Bpe.countOracleSql(),
-    "mix_token_budget_bpe" -> Bpe.budgetOracleSql())
+    "mix_token_budget_bpe" -> Bpe.budgetOracleSql(),
+    "seq_pack_bpe" -> Bpe.packOracleSql())
 }

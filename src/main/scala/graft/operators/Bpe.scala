@@ -162,6 +162,114 @@ object Bpe {
     out.result()
   }
 
+  /** Batched training: provably SEQUENTIAL-EQUIVALENT — returns the
+    * exact merge list [[trainMerges]] returns, in fewer driver rounds.
+    * At R = 16 the sequential loop is fine; at a real-tokenizer
+    * R ≈ 40k (GPT-2's merge count) R sequential argmax jobs ARE the
+    * job, so each round here collects the top-(B+1) ranked pairs and
+    * applies the longest safe prefix at once.
+    *
+    * The rule, and why it equals the sequential greedy exactly:
+    * rank pairs by (count desc, l asc, r asc) — the sequential
+    * tie-break. Accept the maximal CONSECUTIVE prefix r_1..r_m that is
+    * pairwise symbol-disjoint, stopping at the first pair sharing a
+    * symbol with an accepted one; then drop trailing accepted pairs
+    * whose count equals the first non-accepted pair's count cStop
+    * (always keeping r_1). Sequential equivalence, by induction on
+    * the batch: when the sequential greedy reaches step j (having
+    * applied r_1..r_{j-1}),
+    *   - accepted pairs are symbol-disjoint, so applying any of them
+    *     leaves the others' counts untouched (matches align to whole
+    *     symbols — the SEP-prefix argument above — and disjoint
+    *     replacements can't create or destroy each other's
+    *     adjacencies);
+    *   - any OTHER pair sharing a symbol with an applied merge cannot
+    *     sit in the accepted prefix (it would have to be accepted,
+    *     contradicting pairwise disjointness), so it ranks at or below
+    *     the stop position: its count ≤ cStop < c(r_j) by the tie
+    *     guard, and application only ever DECREASES an existing
+    *     pair's count;
+    *   - a NEW pair created by an applied merge ((x, l·r) or (l·r, y))
+    *     is bounded by its progenitor's old count (every occurrence
+    *     of x·(lr) was an occurrence of x·l), and the progenitor
+    *     shares a symbol with the applied merge, so again
+    *     ≤ cStop < c(r_j);
+    *   - pairs ranked above r_j are exactly r_1..r_{j-1}, already
+    *     applied, whose own counts fall to zero (the replace is
+    *     exhaustive per round).
+    * Hence r_j is the strict argmax at step j — the same pair, same
+    * order, as the sequential loop. The tie guard is what closes the
+    * only hole: without it a new pair could TIE an accepted count and
+    * win the lexicographic tie-break ((l·r) sorts before l's
+    * successor strings). Spec'd ≡ [[trainMerges]] on the corpus and
+    * on an adversarial tie fixture.
+    *
+    * Worst case (every top pair shares a symbol — common for natural
+    * text's vowel-heavy head) degrades to batch size 1 = the
+    * sequential loop; clean corpora batch tens of merges per round.
+    */
+  def trainMergesBatched(docs: DataFrame, rounds: Int = TrainRounds,
+      textCol: String = "text", batch: Int = 64): Seq[(String, String)] = {
+    require(rounds > 0 && rounds <= MaxRounds,
+      s"trainMergesBatched: rounds=$rounds outside (0, $MaxRounds]")
+    require(batch > 0, s"trainMergesBatched: batch=$batch must be positive")
+    var anchor = wordCounts(docs, textCol).persist()
+    anchor.count()
+    var words = anchor
+    val out = collection.mutable.ArrayBuffer[(String, String)]()
+    var sinceRepersist = 0
+    try {
+      while (out.length < rounds) {
+        val want = math.min(batch, rounds - out.length)
+        val ranked = pairCounts(words)
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(want + 1).collect()
+        require(ranked.nonEmpty,
+          s"trainMergesBatched: corpus exhausted after ${out.length} " +
+            "merges (every word is a single symbol); ask for fewer rounds")
+        val accepted = collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val used = collection.mutable.HashSet[String]()
+        var stopCount: Option[Long] = None
+        var i = 0
+        while (i < ranked.length && stopCount.isEmpty &&
+            accepted.length < want) {
+          val l = ranked(i).getAs[String]("l")
+          val r = ranked(i).getAs[String]("r")
+          val c = ranked(i).getAs[Long]("c")
+          if (accepted.isEmpty || (!used(l) && !used(r))) {
+            accepted += ((l, r, c)); used += l; used += r
+          } else stopCount = Some(c)
+          i += 1
+        }
+        // budget stop (no conflict seen): the next ranked pair still
+        // bounds every changed/new count — same guard applies
+        if (stopCount.isEmpty && i < ranked.length)
+          stopCount = Some(ranked(i).getAs[Long]("c"))
+        val kept = stopCount match {
+          case Some(cs) =>
+            val safe = accepted.takeWhile(_._3 > cs)
+            if (safe.isEmpty) accepted.take(1) else safe
+          case None => accepted // list exhausted: no competitor exists
+        }
+        kept.foreach { case (l, r, _) =>
+          out += ((l, r))
+          words = words.withColumn("repr",
+            replace(col("repr"), lit(Sep + l + Sep + r), lit(Sep + l + r)))
+        }
+        sinceRepersist += kept.length
+        if (sinceRepersist >= RepersistEvery && out.length < rounds) {
+          val next = words.persist()
+          next.count()
+          anchor.unpersist()
+          anchor = next
+          words = next
+          sinceRepersist = 0
+        }
+      }
+    } finally anchor.unpersist()
+    out.toSeq
+  }
+
   /** Apply an ordered merge list to a representation column — the
     * R-deep literal-replace chain (codegen'd string ops, no regex).
     */
@@ -183,11 +291,19 @@ object Bpe {
       .select(col("word"),
         (size(split(applyMerges(col("repr"), merges), Sep)) - 1)
           .cast("long").as("n_syms"))
+    // pre-aggregate to (doc, word, k) BEFORE the vocab join: the r12
+    // form joined the per-OCCURRENCE word stream on `word`, making
+    // stopwords the hottest join keys imaginable; the (doc, word)
+    // groupBy collapses repeats MAP-SIDE (partial aggregation), so
+    // the word-keyed shuffle carries distinct (doc, word) pairs —
+    // smaller by the corpus's repetition factor — instead of leaning
+    // on AQE skew splitting (r12 VERDICT "What's wrong" #5)
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("k"))
       .join(vocab, Seq("word"))
       .groupBy(col(idCol))
-      .agg(sum(col("n_syms")).as("n_tokens_bpe"))
+      .agg(sum(col("n_syms") * col("k")).as("n_tokens_bpe"))
   }
 
   /** Map-only BPE token count for UNSEEN text (streams, deltas — no
@@ -208,13 +324,35 @@ object Bpe {
   // Driver lanes
   // ------------------------------------------------------------------
 
+  /** The merge table is a PURE function of (corpus dir, rounds) — the
+    * four driver lanes train on the same corpus, and the r12 suite
+    * re-derived one identical 16-round table three times (~9 s of
+    * 146 s; r12 VERDICT "What's wrong" #5). Memoize per (dir, rounds):
+    * training is deterministic, so the cache is semantics-free (same
+    * key ⟹ bit-identical table). Keyed by the input PATH — the test
+    * and bench corpora are immutable per run; callers training on a
+    * mutating location use [[trainMerges]]/[[trainMergesBatched]]
+    * directly. Bounded: a handful of (dir, rounds) keys per process,
+    * each R small tuples.
+    */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      Seq[(String, String)]]()
+
+  private[graft] def cachedMerges(spark: SparkSession, dir: String,
+      rounds: Int = TrainRounds): Seq[(String, String)] =
+    mergeCache.computeIfAbsent((dir, rounds),
+      _ => trainMergesBatched(Tables.documents(spark, dir), rounds))
+
   /** Driver query `tok_bpe_train`: the learned merge table —
     * (rank, lhs, rhs, merged) for [[TrainRounds]] greedy rounds over
     * the documents corpus. R rows; the oracle re-derives every round
-    * from scratch (unrolled CTEs — [[trainOracleSql]]).
+    * from scratch (unrolled CTEs — [[trainOracleSql]]). Trains via
+    * [[trainMergesBatched]] (spec'd ≡ sequential) through the shared
+    * [[cachedMerges]] memo.
     */
   def trainLane(spark: SparkSession, dir: String): DataFrame = {
-    val merges = trainMerges(Tables.documents(spark, dir))
+    val merges = cachedMerges(spark, dir)
     import spark.implicits._
     merges.zipWithIndex
       .map { case ((l, r), i) => (i + 1L, l, r, l + r) }
@@ -228,7 +366,7 @@ object Bpe {
     */
   def countLane(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    vocabTokenCounts(docs, trainMerges(docs))
+    vocabTokenCounts(docs, cachedMerges(spark, dir))
   }
 
   /** Driver query `mix_token_budget_bpe`: the `mix_token_budget`
@@ -240,7 +378,7 @@ object Bpe {
     */
   def budgetLane(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    budgetFromCounts(docs, vocabTokenCounts(docs, trainMerges(docs)))
+    budgetFromCounts(docs, vocabTokenCounts(docs, cachedMerges(spark, dir)))
   }
 
   /** The mix_token_budget recipe over an EXPLICIT per-doc token-count
@@ -336,6 +474,29 @@ object Bpe {
        |JOIN v USING (word)
        |WHERE len(d.word) > 0
        |GROUP BY d.doc_id""".stripMargin
+
+  /** Oracle for `seq_pack_bpe`: the seq_pack oracle with the
+    * whitespace token CTE swapped for the BPE vocab-join count.
+    */
+  def packOracleSql(rounds: Int = TrainRounds, nShards: Int = 8,
+      budget: Long = 256L): String =
+    s"""WITH ${unrolledCtes(rounds)},
+       |v AS (SELECT word,
+       |  CAST(len(string_split(repr, chr(1))) - 1 AS BIGINT) AS n_syms
+       |  FROM w$rounds),
+       |tok AS (SELECT d.doc_id,
+       |  CAST(SUM(v.n_syms) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents) d
+       |  JOIN v USING (word) WHERE len(d.word) > 0 GROUP BY d.doc_id),
+       |o AS (SELECT doc_id, doc_id % $nShards AS shard, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % $nShards
+       |    ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS start_off
+       |  FROM tok)
+       |SELECT doc_id, shard, n_tokens, start_off,
+       |  start_off // $budget AS bin FROM o""".stripMargin
 
   /** Oracle for `mix_token_budget_bpe`: the mix_token_budget oracle
     * with the whitespace `n_toks` CTE swapped for the BPE count.

@@ -35,15 +35,47 @@ object Packing {
   def packDocs(docs: DataFrame, nShards: Int = 8,
       budget: Long = 256L): DataFrame = {
     require(nShards > 0 && budget > 0)
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     Par.ensure(docs)
       .select(col("doc_id"),
-        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .transform(packCounts(nShards, budget))
+  }
+
+  /** The packing recurrence over an EXPLICIT per-doc token-count
+    * table (doc_id, n_tokens) — the shard routing, running offset,
+    * and bin assignment shared by [[packDocs]] (whitespace counts)
+    * and [[packDocsBpe]] (tokenizer counts): a context window is a
+    * TOKENIZER-token budget, so packing on whitespace counts
+    * systematically over-fills real windows wherever the BPE/
+    * whitespace ratio exceeds 1 (it does, 2-5× on web text).
+    */
+  def packCounts(nShards: Int = 8, budget: Long = 256L)(
+      toks: DataFrame): DataFrame = {
+    require(nShards > 0 && budget > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("start_off",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin",
         call_function("div", col("start_off"), lit(budget)))
+  }
+
+  /** Driver query `seq_pack_bpe`: [[packDocs]] with the token mass
+    * measured in BPE tokens (the merges trained on the same corpus,
+    * via the shared [[Bpe.cachedMerges]] memo) instead of whitespace
+    * tokens — the other half of the whitespace→tokenizer gap r12's
+    * `mix_token_budget_bpe` closed for mixtures. Same shard routing
+    * and recurrence; only the per-doc mass differs.
+    */
+  def packDocsBpe(spark: SparkSession, dir: String,
+      nShards: Int = 8, budget: Long = 256L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Bpe.vocabTokenCounts(docs, Bpe.cachedMerges(spark, dir))
+      .withColumnRenamed("n_tokens_bpe", "n_tokens")
+      .transform(packCounts(nShards, budget))
   }
 }

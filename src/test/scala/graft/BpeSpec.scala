@@ -152,6 +152,57 @@ class BpeSpec extends GraftSpecBase {
     assert(viaBpe.nonEmpty)
   }
 
+  test("trainMergesBatched equals the sequential greedy exactly — " +
+      "real corpus and tie-heavy fixture, at every batch size") {
+    initLog()
+    // the real corpus at R=48 runs deep into the low-count tie plateau
+    // where the tie guard is load-bearing; batch=2/8/64 exercise
+    // conflict stops, budget stops, and list-exhausted rounds
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val seqMerges = Bpe.trainMerges(docs, rounds = 48)
+    for (b <- Seq(2, 8, 64)) {
+      val got = Bpe.trainMergesBatched(docs, rounds = 48, batch = b)
+      assert(got == seqMerges, s"batch=$b diverges from sequential at " +
+        s"index ${got.zip(seqMerges).indexWhere(p => p._1 != p._2)}")
+    }
+    // Sennrich fixture: re-merges and exact ties
+    val corpus = Seq.fill(5)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(2)("low") ++ Seq.fill(2)("lower")
+    val fix = docsDf(Seq((1L, "src0", corpus.mkString(" "))))
+    val seqFix = Bpe.trainMerges(fix, rounds = 10)
+    for (b <- Seq(1, 3, 16))
+      assert(Bpe.trainMergesBatched(fix, rounds = 10, batch = b) == seqFix,
+        s"fixture batch=$b")
+    // exhaustion errors match the sequential contract
+    val tiny = docsDf(Seq((1L, "src0", "ab ab")))
+    val e = intercept[IllegalArgumentException](
+      Bpe.trainMergesBatched(tiny, rounds = 2, batch = 4))
+    assert(e.getMessage.contains("exhausted"), e.getMessage)
+    assert(Bpe.trainMergesBatched(tiny, rounds = 1, batch = 4) ==
+      Seq(("a", "b")))
+  }
+
+  test("whitespace-degenerate vocab: seq_pack on BPE counts returns " +
+      "the whitespace packing bit-for-bit") {
+    initLog()
+    import graft.operators.Packing
+    // same fully-merging fixture as the budget twin: 1 BPE token per
+    // word ⟹ BPE counts equal whitespace counts ⟹ identical packing
+    val docs = docsDf(Seq(
+      (1L, "src0", "ab ab cd ab"), (2L, "src0", "cd cd"),
+      (3L, "src1", "ab cd ef"), (4L, "src1", "ef ef ef"),
+      (5L, "src2", "ef gh"), (6L, "src3", "gh gh gh gh")))
+    val merges = Bpe.trainMerges(docs, rounds = 4)
+    val viaBpe = Bpe.vocabTokenCounts(docs, merges)
+      .withColumnRenamed("n_tokens_bpe", "n_tokens")
+      .transform(Packing.packCounts(nShards = 3, budget = 4L))
+      .collect().map(_.toSeq).toSet
+    val viaWs = Packing.packDocs(docs, nShards = 3, budget = 4L)
+      .collect().map(_.toSeq).toSet
+    assert(viaBpe == viaWs, s"bpe=$viaBpe\nws =$viaWs")
+    assert(viaBpe.nonEmpty)
+  }
+
   test("trainMerges fails loud when the corpus exhausts before the " +
       "requested rounds (a short merge table would desync the oracle)") {
     initLog()
