@@ -67,7 +67,7 @@ object Bench {
     * agg (update mode) → DocStoreSink chunked/retried writes against
     * DirDocStore. Returns rows/sec from the per-trigger progress.
     */
-  private def streamBench(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def streamBench(spark: org.apache.spark.sql.SparkSession,
       seconds: Int = 12): Double = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench")
     deferredTmps += tmp.toFile
@@ -85,7 +85,7 @@ object Bench {
     * lane never exercises. Noop sink (full computation, nothing
     * written) so the figure is the stateful operator's capacity.
     */
-  private def streamBenchStateful(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def streamBenchStateful(spark: org.apache.spark.sql.SparkSession,
       seconds: Int = 12): Double = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -134,6 +134,49 @@ object Bench {
     */
   private[graft] val quadraticContract =
     Set("dedup_embedding", "dedup_embedding_exact_hi")
+
+  /** Fixed-work calibration probe: a single-threaded xorshift loop
+    * whose quiet-host time is known, run (after one untimed JIT warm)
+    * right before the suite. Exists because loadavg alone MISSED a
+    * loaded host in r12: `noisy:false` at loadavg 2.78 while the
+    * whole 161-lane suite shifted a uniform 1.37× and four lanes
+    * crossed the 2× regression gate with zero code changes (r12
+    * VERDICT item 8). Loadavg is a 1/5/15-min average that lags both
+    * bursts and just-started competitors; actually TIMING fixed work
+    * measures the contention the suite is about to experience.
+    */
+  private[graft] def calibrationProbeMs(): Double = {
+    def pass(): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      x
+    }
+    val sink = pass() // untimed JIT warm
+    val t0 = System.nanoTime()
+    val sink2 = pass()
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (sink == 42L && sink2 == 43L) System.err.println("[bench] probe")
+    ms
+  }
+
+  /** Quiet-host probe time on the reference box (measured r13:
+    * 336-345 ms over 5 post-warm runs at loadavg ~1.9); 3× is the
+    * contention slack — CPU-steal that triples fixed single-threaded
+    * work will inflate suite lanes well past the 2× gate, so the
+    * gate must not fire.
+    */
+  private[graft] val QuietProbeMs = 340.0
+
+  /** The host is too contended for round-over-round lane comparisons
+    * when EITHER signal fires: loadavg (cheap, catches sustained
+    * load) or the calibration probe (catches what loadavg lags).
+    */
+  private[graft] def noisyHost(loadavg: Double, probeMs: Double,
+      quietProbeMs: Double = QuietProbeMs): Boolean =
+    loadavg > 4.0 || probeMs > 3.0 * quietProbeMs
 
   /** Regression gate over the `prev` trend map: lanes ≥ 2× their
     * previous time, evaluated ONLY when the host is quiet
@@ -191,6 +234,9 @@ object Bench {
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()
     SparkEntry.queries.get("q_filter_project")
       .foreach(fn => try run(fn(spark, sfDir)) catch { case _: Throwable => () })
+    // calibration probe AFTER the JVM warm, BEFORE the suite — the
+    // direct host-contention measurement the noisy gate uses
+    val probeMs = calibrationProbeMs()
     // min of 2 runs per query: the shared host shows multi-second
     // scheduling noise; the minimum is the reproducible cost.
     // A failed query must NOT masquerade as a fast success: record it
@@ -239,14 +285,12 @@ object Bench {
     val streamRpsStateful =
       if (only.isDefined) 0.0
       else try streamBenchStateful(spark) catch { case _: Throwable => -1.0 }
-    // loadavg gate (r9 VERDICT item 8): a contended host inflates
-    // in-suite times 10-40× unevenly (SURVEY §4.5) — when loadavg at
-    // START exceeds the threshold, the artifact says so up-front
-    // ("noisy":true) instead of leaving round-over-round diffs to
-    // manual contention adjudication. START only: once the suite
-    // runs, loadavg measures the bench's own local[N] threads, so an
-    // end sample would flag every healthy run.
-    val noisy = loadavg > 4.0
+    // noisy-host gate (r9 item 8, hardened r13): loadavg at START
+    // (once the suite runs, loadavg measures the bench's own local[N]
+    // threads) OR a slowed calibration probe — the probe is what
+    // catches the contention loadavg lagged in r12. probeMs is
+    // sampled BEFORE the suite for the same reason.
+    val noisy = noisyHost(loadavg, probeMs)
     // Round-over-round trend in ONE artifact (r10 VERDICT item 8): the
     // per-query map of the bench_full.json being REPLACED rides the
     // new file as "prev", so a regression diff reads off a single
@@ -276,7 +320,7 @@ object Bench {
     val regressedJson = regressed.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     def line(qs: String, extra: String = "") =
-      s"""{"metric":"total","value":${fmt(total, 4)},"total_nonquadratic":${fmt(totalNonQuadratic, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"regressed":$regressedJson,"stream_rows_per_sec":${fmt(streamRps, 0)},"stream_rows_per_sec_stateful":${fmt(streamRpsStateful, 0)},"loadavg":${fmt(loadavg, 2)},"noisy":$noisy,"full":"bench_full.json","sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"total_nonquadratic":${fmt(totalNonQuadratic, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"regressed":$regressedJson,"stream_rows_per_sec":${fmt(streamRps, 0)},"stream_rows_per_sec_stateful":${fmt(streamRpsStateful, 0)},"loadavg":${fmt(loadavg, 2)},"probe_ms":${fmt(probeMs, 1)},"noisy":$noisy,"full":"bench_full.json","sf":"$sfDir"$extra}"""
     // Full map (4-decimal) to the file artifact; headline map
     // (3-decimal) to stdout, with a hard 1600-char guard: should
     // the headline set ever outgrow the tail budget, drop precision

@@ -31,6 +31,26 @@ class BenchSpec extends AnyFunSuite {
       noisy = false, sameSf = true).isEmpty)
   }
 
+  test("slowed calibration probe forces noisy and suppresses the " +
+      "regressed field even at low loadavg (the r12 detector gap)") {
+    // r12 shipped regressed:[4 lanes] at loadavg 2.78 on a uniformly
+    // 1.37x-shifted suite — loadavg alone is not a contention signal.
+    // A probe 3x over its quiet baseline must flip noisy...
+    assert(Bench.noisyHost(loadavg = 2.78, probeMs = 4 * Bench.QuietProbeMs))
+    assert(!Bench.noisyHost(loadavg = 2.78, probeMs = Bench.QuietProbeMs))
+    // ...and loadavg still fires on its own
+    assert(Bench.noisyHost(loadavg = 5.0, probeMs = Bench.QuietProbeMs))
+    // noisy suppresses the regression gate end to end
+    val cur = Seq("a" -> 2.5)
+    val noisy = Bench.noisyHost(2.78, 4 * Bench.QuietProbeMs)
+    assert(Bench.regressedLanes(prev, cur, noisy = noisy,
+      sameSf = true).isEmpty)
+    // the probe itself runs and returns a plausible figure (smoke —
+    // an unJITed or dead-code-eliminated loop would return ~0)
+    val ms = Bench.calibrationProbeMs()
+    assert(ms > 1.0 && ms < 60000.0, s"probe measured $ms ms")
+  }
+
   test("quadratic-contract set matches the capped lanes") {
     assert(Bench.quadraticContract ==
       Set("dedup_embedding", "dedup_embedding_exact_hi"))
