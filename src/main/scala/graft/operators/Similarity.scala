@@ -440,7 +440,7 @@ object Similarity {
   /** Sign-bit bucket for hash table `table` (coefficients seeded by
     * (table, plane, dim) — deterministic, no RNG state to ship).
     */
-  private def bucketCol(dims: Int, planes: Int, table: Int): org.apache.spark.sql.Column = {
+  private[operators] def bucketCol(dims: Int, planes: Int, table: Int): org.apache.spark.sql.Column = {
     // each plane projection = native dot(embedding, constant vector):
     // one tight codegen'd loop per plane instead of a dims-term scalar
     // expression tree (which falls out of codegen and runs interpreted)
@@ -456,7 +456,7 @@ object Similarity {
     * real at cluster scale; the VERDICT r1 flagged it); `dims <= 0`
     * infers from the first row.
     */
-  private def dimsOf(e: DataFrame, dims: Int): Int =
+  private[operators] def dimsOf(e: DataFrame, dims: Int): Int =
     if (dims > 0) dims else e.select(size(col("embedding"))).head().getInt(0)
 
   /** Driver-side twin of [[bucketCol]] for a single query vector. */

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Hnsw, Similarity}
+
+class HnswSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Deterministic synthetic corpus: hash-derived unit-ish vectors,
+    * larger than the sf0.001 table so the beam genuinely navigates
+    * (not just exhausts the corpus).
+    */
+  private def synth(n: Int, dims: Int = 16) = {
+    val rows = (0 until n).map { i =>
+      val v = Array.tabulate(dims)(d =>
+        (math.sin(i * 131 + d * 31) + math.cos(i * 17 - d * 7)).toFloat)
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("build is deterministic and invariant under input partitioning") {
+    initLog()
+    val e = synth(150)
+    val a1 = Hnsw.buildGraph(e, dims0 = 16).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val a2 = Hnsw.buildGraph(e.repartition(7), dims0 = 16).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(a1 == a2, s"adjacency differs under repartition: " +
+      s"only1=${(a1 -- a2).size} only2=${(a2 -- a1).size}")
+    assert(a1.nonEmpty)
+  }
+
+  test("every layer is one connected component (the ring guarantee) " +
+      "and out-degree is capped at 2M") {
+    initLog()
+    val e = synth(200)
+    val adj = Hnsw.buildGraph(e, dims0 = 16).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    for (layer <- 0 to Hnsw.MaxLayer) {
+      val edges = adj.filter(_._1 == layer).map(t => (t._2, t._3))
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSet
+      if (nodes.size > 1) {
+        // BFS from the smallest node
+        val g = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        val seen = collection.mutable.Set(nodes.min)
+        val queue = collection.mutable.Queue(nodes.min)
+        while (queue.nonEmpty) {
+          val u = queue.dequeue()
+          g.getOrElse(u, Array.empty[Long]).foreach { v =>
+            if (!seen(v)) { seen += v; queue += v }
+          }
+        }
+        assert(seen.size == nodes.size,
+          s"layer $layer: ${nodes.size - seen.size} nodes unreachable")
+      }
+      val deg = edges.groupBy(_._1).values.map(_.length)
+      assert(deg.forall(_ <= 2 * Hnsw.M),
+        s"layer $layer: out-degree above 2M")
+    }
+  }
+
+  test("recall@10 >= 0.8 vs brute force on the synthetic corpus and " +
+      "the embeddings table") {
+    initLog()
+    for (e <- Seq(synth(400),
+        graft.sources.Tables.embeddings(spark, sf)
+          .select(col("vec_id"), col("embedding")))) {
+      val dims = e.select(size(col("embedding"))).head().getInt(0)
+      val exact = Similarity.annBruteForce(e, nQueries = 5, k = 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Hnsw.annHnswSearch(e, nQueries = 5, k = 10, dims0 = dims)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & got).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall=$recall dims=$dims")
+    }
+  }
+
+  test("persisted index probe equals the in-memory search for a " +
+      "corpus query (IVF parity conventions)") {
+    initLog()
+    val e = synth(150)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-hnsw-idx").toString
+    Hnsw.writeHnswIndex(e, tmp, dims0 = 16)
+    val qv = e.filter(col("vec_id") === 3L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val probe = Hnsw.hnswIndexProbe(spark, tmp, qv, k = 5,
+      excludeId = Some(3L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = Hnsw.annHnswSearch(e, nQueries = 5, k = 5, dims0 = 16)
+      .filter(col("query_id") === 3L)
+      .select(col("neighbor_id"), col("cos_sim")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe == mem, s"probe=$probe\nmem  =$mem")
+    // the probed twin of an indexed vector: its own exact copy plants
+    // cos 1.0 at the top when not excluded
+    val self = Hnsw.hnswIndexProbe(spark, tmp, qv, k = 1).collect()
+    assert(self.head.getLong(0) == 3L && self.head.getDouble(1) == 1.0)
+  }
+}
