@@ -265,7 +265,8 @@ object SparkEntry {
     "tok_bpe_train" -> ((s, d) => Bpe.trainLane(s, d)),
     "tok_count_bpe" -> ((s, d) => Bpe.countLane(s, d)),
     "mix_token_budget_bpe" -> ((s, d) => Bpe.budgetLane(s, d)),
-    "seq_pack_bpe" -> ((s, d) => Packing.packDocsBpe(s, d)))
+    "seq_pack_bpe" -> ((s, d) => Packing.packDocsBpe(s, d)),
+    "text_chunk_bpe" -> ((s, d) => Bpe.chunkDocsBpe(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -2593,5 +2594,6 @@ object SparkEntry {
     "tok_bpe_train" -> Bpe.trainOracleSql(),
     "tok_count_bpe" -> Bpe.countOracleSql(),
     "mix_token_budget_bpe" -> Bpe.budgetOracleSql(),
-    "seq_pack_bpe" -> Bpe.packOracleSql())
+    "seq_pack_bpe" -> Bpe.packOracleSql(),
+    "text_chunk_bpe" -> Bpe.chunkOracleSql())
 }

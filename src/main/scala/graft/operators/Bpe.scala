@@ -285,12 +285,21 @@ object Bpe {
     * sums per doc. One corpus scan + one shuffle on `word` + one on
     * the id — independent of R.
     */
-  def vocabTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val vocab = wordCounts(docs, textCol)
+  /** (word, n_syms): the final per-word BPE symbol counts under an
+    * ordered merge list — the merge chain evaluated once per DISTINCT
+    * word. The shared vocab side of [[vocabTokenCounts]] and
+    * [[chunkDocsBpe]].
+    */
+  def vocabSymCounts(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame =
+    wordCounts(docs, textCol)
       .select(col("word"),
         (size(split(applyMerges(col("repr"), merges), Sep)) - 1)
           .cast("long").as("n_syms"))
+
+  def vocabTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = vocabSymCounts(docs, merges, textCol)
     // pre-aggregate to (doc, word, k) BEFORE the vocab join: the r12
     // form joined the per-OCCURRENCE word stream on `word`, making
     // stopwords the hottest join keys imaginable; the (doc, word)
@@ -379,6 +388,55 @@ object Bpe {
   def budgetLane(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     budgetFromCounts(docs, vocabTokenCounts(docs, cachedMerges(spark, dir)))
+  }
+
+  /** Driver query `text_chunk_bpe`: split each document into
+    * `budget`-BPE-token chunks at WORD granularity — the
+    * context-window chunker denominated in tokenizer tokens instead
+    * of `text_chunk`'s whitespace windows (the remaining half of the
+    * whitespace→tokenizer gap: a 32-whitespace-token chunk is 64-160
+    * REAL tokens on web text, blowing the context budget it was cut
+    * for). Convention mirrors seq_pack: a word's chunk is the one its
+    * FIRST token lands in (chunk = start_offset div budget) — fixed
+    * token-offset bins, associative, windowable; a greedy
+    * never-straddle packer would be order-SEQUENTIAL per doc (each
+    * boundary depends on the previous) and is deliberately not this
+    * operator.
+    *
+    * Scale shape: one vocab join (word-keyed, pre-aggregation not
+    * applicable — position must survive), one per-doc window (the
+    * seq_pack shard-window shape with doc_id as the shard), one
+    * aggregation per (doc, chunk). Chunk text ships as md5 (32
+    * bytes), the text_chunk convention.
+    */
+  def chunkDocsBpe(spark: SparkSession, dir: String,
+      budget: Long = 32L): DataFrame =
+    chunkByBudget(Tables.documents(spark, dir),
+      cachedMerges(spark, dir), budget)
+
+  def chunkByBudget(docs: DataFrame, merges: Seq[(String, String)],
+      budget: Long = 32L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"chunkByBudget: budget=$budget must be positive")
+    val vocab = vocabSymCounts(docs, merges, textCol)
+    val words = Par.ensure(docs)
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "word")
+      .filter(length(col("word")) > 0)
+      .join(vocab, Seq("word"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    words
+      .withColumn("__off", coalesce(sum(col("n_syms")).over(w), lit(0L)))
+      .withColumn("chunk_id", call_function("div", col("__off"), lit(budget)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_tokens_bpe"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("__pos"), col("word")))),
+          s => s.getField("word")), " ")).as("chunk_md5"))
   }
 
   /** The mix_token_budget recipe over an EXPLICIT per-doc token-count
@@ -497,6 +555,32 @@ object Bpe {
        |  FROM tok)
        |SELECT doc_id, shard, n_tokens, start_off,
        |  start_off // $budget AS bin FROM o""".stripMargin
+
+  /** Oracle for `text_chunk_bpe`: positions from side-by-side unnest
+    * (positional zip, the pairCounts convention), the same vocab CTEs,
+    * a per-doc prefix-sum window, md5 of the ordered chunk words.
+    */
+  def chunkOracleSql(rounds: Int = TrainRounds,
+      budget: Long = 32L): String =
+    s"""WITH ${unrolledCtes(rounds)},
+       |v AS (SELECT word,
+       |  CAST(len(string_split(repr, chr(1))) - 1 AS BIGINT) AS n_syms
+       |  FROM w$rounds),
+       |wds AS (SELECT doc_id, unnest(t) AS word,
+       |        unnest(range(1, len(t) + 1)) AS pos
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |              FROM documents)),
+       |j AS (SELECT w.doc_id, w.pos, w.word, v.n_syms
+       |      FROM wds w JOIN v USING (word) WHERE len(w.word) > 0),
+       |o AS (SELECT doc_id, pos, word, n_syms,
+       |  COALESCE(SUM(n_syms) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM j)
+       |SELECT doc_id, CAST(off // $budget AS BIGINT) AS chunk_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_syms) AS BIGINT) AS n_tokens_bpe,
+       |  md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
+       |FROM o GROUP BY doc_id, off // $budget""".stripMargin
 
   /** Oracle for `mix_token_budget_bpe`: the mix_token_budget oracle
     * with the whitespace `n_toks` CTE swapped for the BPE count.

@@ -203,6 +203,39 @@ class BpeSpec extends GraftSpecBase {
     assert(viaBpe.nonEmpty)
   }
 
+  test("chunkByBudget: hand-computed token-offset chunks, md5 of the " +
+      "ordered words, whitespace degeneracy") {
+    initLog()
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // merges (a,b),(c,d): "ab"→1 token, "cd"→1, "xy" stays 2 ("x","y"
+    // never merge), "q" →1. Doc 1 = [ab(1) xy(2) cd(1) q(1)] with
+    // budget 2: offsets 0,1,3,4 → chunks 0,0,1,2
+    val docs = docsDf(Seq(
+      (1L, "src0", "ab xy cd q"),
+      (2L, "src0", "ab ab ab")))
+    val merges = Seq(("a", "b"), ("c", "d"))
+    val got = Bpe.chunkByBudget(docs, merges, budget = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got == Map(
+      (1L, 0L) -> (2L, 3L, md5hex("ab xy")),
+      (1L, 1L) -> (1L, 1L, md5hex("cd")),
+      (1L, 2L) -> (1L, 1L, md5hex("q")),
+      (2L, 0L) -> (2L, 2L, md5hex("ab ab")),
+      (2L, 1L) -> (1L, 1L, md5hex("ab"))), got)
+    // whitespace degeneracy: fully-merged vocab ⟹ chunking equals
+    // plain n-words-per-chunk windows
+    val docs2 = docsDf(Seq((1L, "src0", "ab cd ef gh ab cd")))
+    val m2 = Seq(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h"))
+    val got2 = Bpe.chunkByBudget(docs2, m2, budget = 4L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(4))).toSet
+    assert(got2 == Set(
+      (0L, 4L, md5hex("ab cd ef gh")),
+      (1L, 2L, md5hex("ab cd"))), got2)
+  }
+
   test("trainMerges fails loud when the corpus exhausts before the " +
       "requested rounds (a short merge table would desync the oracle)") {
     initLog()
