@@ -312,6 +312,122 @@ object Hnsw {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Append new vectors into a persisted index WITHOUT a rebuild —
+    * the LSH/IVF/PQ append convention, graph-flavored. New nodes get
+    * geometric levels from the same hash draw, then per layer:
+    * (a) sign-LSH bucket candidates against (existing ∪ new) layer
+    * members — existing members and their embeddings are recovered
+    * from the adjacency itself (every layer member has in-edges by
+    * the ring guarantee, so `distinct (dst, de)` IS the layer's node
+    * set); only pairs touching a new node survive (existing↔existing
+    * edges already exist); top-M per NEW src, plus the REVERSE rows
+    * so new nodes are reachable (existing nodes' in-degree may
+    * exceed the 2M cap after appends — the documented drift; rebuild
+    * to re-tighten); (b) a ring chain over the new nodes anchored to
+    * the layer's minimum existing node at BOTH ends of the chain —
+    * connectivity of every appended node holds by construction even
+    * with zero bucket collisions. The entry point is NOT moved (a
+    * new top-level node is still reachable through its own appended
+    * edges); neighbor quality drifts vs a fresh build — the standard
+    * graph-index append trade, spec'd findable-after-append.
+    */
+  def appendToHnswIndex(newE: DataFrame, path: String,
+      dims0: Int = -1): Unit = {
+    val spark = newE.sparkSession
+    import spark.implicits._
+    val dims = Similarity.dimsOf(newE, dims0)
+    val adj = spark.read.parquet(s"$path/adj")
+    val existing = adj.select(col("layer"), col("dst").as("vec_id"),
+      col("de").cast("array<double>").as("embedding")).distinct()
+    val newMem = Par.ensure(newE)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+      .withColumn("__lvl", levelCol(col("vec_id")))
+      .withColumn("layer", explode(sequence(lit(0), col("__lvl"))))
+      .select(col("layer"), col("vec_id"), col("embedding"))
+    val exN = existing.groupBy(col("layer")).agg(
+      count(lit(1)).as("n"), min(col("vec_id")).as("anchor"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val union = existing.withColumn("__new", lit(false))
+      .unionByName(newMem.withColumn("__new", lit(true)))
+    val bucketed = (0 to MaxLayer).map { l =>
+      val nL = exN.get(l).map(_._1).getOrElse(0L) + 1L
+      union.filter(col("layer") === l)
+        .select(col("layer"), col("vec_id"), col("embedding"), col("__new"),
+          posexplode(array((0 until Tables).map(t =>
+            Similarity.bucketCol(dims, planesFor(nL), l * Tables + t)): _*)))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "__bkt")
+    }.reduce(_ unionByName _)
+    val left = bucketed.select(col("layer"), col("tbl"), col("__bkt"),
+      col("vec_id").as("src"), col("embedding").as("se"),
+      col("__new").as("srcNew"))
+      .repartition(col("layer"), col("tbl"), col("__bkt"))
+    val right = bucketed.select(col("layer"), col("tbl"), col("__bkt"),
+      col("vec_id").as("dst"), col("embedding").as("de"),
+      col("__new").as("dstNew"))
+    val cand = left.join(right, Seq("layer", "tbl", "__bkt"))
+      .filter(col("src") =!= col("dst"))
+      .filter(col("srcNew") || col("dstNew"))
+      .select(col("layer"), col("src"), col("se"), col("dst"), col("de"),
+        col("srcNew"))
+    // top-M per NEW src; existing→new edges ride as the reverse rows
+    val wTop = Window.partitionBy(col("layer"), col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val newSrc = cand.filter(col("srcNew"))
+      .withColumn("cos", round(Vectors.cosine(col("se"), col("de")), 6))
+      .groupBy(col("layer"), col("src"), col("dst"))
+      .agg(max(col("cos")).as("cos"), first(col("de")).as("de"),
+        first(col("se")).as("se"))
+      .withColumn("__r", row_number().over(wTop))
+      .filter(col("__r") <= M).drop("__r")
+    val fwd = newSrc.select(col("layer"), col("src"), col("dst"),
+      col("cos"), col("de"))
+    val rev = newSrc.select(col("layer"), col("dst").as("src"),
+      col("src").as("dst"), col("cos"), col("se").as("de"))
+    // ring over the new nodes, anchored per layer to the minimum
+    // existing node (both directions at both splice points)
+    val ordered = newMem
+      .withColumn("__rh", xxhash64(col("vec_id")))
+      .select(col("layer"), col("vec_id"), col("embedding"), col("__rh"))
+    val wRing = Window.partitionBy(col("layer"))
+      .orderBy(col("__rh"), col("vec_id"))
+    // new-node count per layer is the APPEND batch (bounded by the
+    // caller's delta, not the corpus) — a single window per layer
+    // over the delta is fine at any corpus size
+    val chain = ordered
+      .withColumn("__nxt", lead(col("vec_id"), 1).over(wRing))
+      .filter(col("__nxt").isNotNull)
+      .select(col("layer"), col("vec_id").as("src"), col("__nxt").as("dst"))
+    val firsts = ordered.withColumn("__r", row_number().over(wRing))
+      .filter(col("__r") === 1)
+      .select(col("layer"), col("vec_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val anchors = firsts.flatMap { case (l, first) =>
+      exN.get(l).map { case (_, anchor) => (l, anchor, first) }
+    }.toSeq
+    val anchorDf =
+      if (anchors.isEmpty)
+        spark.emptyDataset[(Int, Long, Long)].toDF("layer", "src", "dst")
+      else anchors.toDF("layer", "src", "dst")
+    val ringDir = chain.unionByName(anchorDf)
+    val ring = ringDir.unionByName(ringDir.select(col("layer"),
+      col("dst").as("src"), col("src").as("dst")))
+    val allNodes = union.select(col("layer"), col("vec_id"),
+      col("embedding"))
+    val ringE = ring
+      .join(allNodes.select(col("layer"), col("vec_id").as("src"),
+        col("embedding").as("se")), Seq("layer", "src"))
+      .join(allNodes.select(col("layer"), col("vec_id").as("dst"),
+        col("embedding").as("de")), Seq("layer", "dst"))
+      .withColumn("cos", round(Vectors.cosine(col("se"), col("de")), 6))
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("de"))
+    fwd.unionByName(rev).unionByName(ringE)
+      .dropDuplicates("layer", "src", "dst")
+      .repartition(col("layer"))
+      .write.mode("append").partitionBy("layer").parquet(s"$path/adj")
+  }
+
   /** Top-k probe against a persisted index for one query vector —
     * the same fixed-budget descent as [[annHnswSearch]] driven off
     * the on-disk adjacency (layer-pruned reads; embeddings come with

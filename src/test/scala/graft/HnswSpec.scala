@@ -80,6 +80,46 @@ class HnswSpec extends GraftSpecBase {
     }
   }
 
+  test("append: new vectors become findable without a rebuild, and " +
+      "appended-layer connectivity holds (anchored ring)") {
+    initLog()
+    val e = synth(150)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-hnsw-append").toString
+    Hnsw.writeHnswIndex(e, tmp, dims0 = 16)
+    // twins of vectors 0..4 at shifted ids — each must surface at
+    // cos 1.0 for a probe with its original's embedding
+    val twins = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    Hnsw.appendToHnswIndex(twins, tmp, dims0 = 16)
+    val qv = e.filter(col("vec_id") === 2L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val got = Hnsw.hnswIndexProbe(spark, tmp, qv, k = 3,
+      excludeId = Some(2L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.head == ((1002L, 1.0)), got.toSeq)
+    // layer-0 connectivity still holds over original ∪ appended
+    val adj = spark.read.parquet(s"$tmp/adj")
+      .filter(col("layer") === 0)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (adj.map(_._1) ++ adj.map(_._2)).toSet
+    assert((0 until 5).forall(i => nodes(1000L + i)),
+      "appended nodes missing from layer 0")
+    val g = adj.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seen = collection.mutable.Set(nodes.min)
+    val queue = collection.mutable.Queue(nodes.min)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      g.getOrElse(u, Array.empty[Long]).foreach { v =>
+        if (!seen(v)) { seen += v; queue += v }
+      }
+    }
+    assert(seen.size == nodes.size,
+      s"${nodes.size - seen.size} nodes unreachable after append")
+  }
+
   test("persisted index probe equals the in-memory search for a " +
       "corpus query (IVF parity conventions)") {
     initLog()
