@@ -169,13 +169,31 @@ object Hnsw {
       .select(col("layer"), col("src"), col("se"), col("dst"), col("de"))
     val wTop = Window.partitionBy(col("layer"), col("src"))
       .orderBy(col("cos").desc, col("dst"))
-    cand.unionByName(ringE)
+    // top-2M applies to the LSH candidates ONLY; ring edges are
+    // UNIONED AFTERWARDS, exempt from the cap. Capping them too
+    // voided the connectivity guarantee on exactly the corpora a
+    // graph index exists for: two tight clusters of > 2M members
+    // each fill every node's top-2M with in-cluster edges, the
+    // cross-cluster ring edges lose the window at both endpoints,
+    // and the layer splits into unreachable components (found by
+    // review; clustered-fixture spec pins it). Degree is ≤ 2M + 4
+    // (ring adds ≤ 2 within-bucket + ≤ 2 bucket-chain links).
+    val lshTop = cand
       .withColumn("cos", round(Vectors.cosine(col("se"), col("de")), 6))
-      // a pair can meet in several tables AND the ring — keep one
+      // a pair can meet in several tables — keep one
       .groupBy(col("layer"), col("src"), col("dst"))
       .agg(max(col("cos")).as("cos"), first(col("de")).as("de"))
       .withColumn("__r", row_number().over(wTop))
       .filter(col("__r") <= 2 * M).drop("__r")
+    val ringScored = ringE
+      .withColumn("cos", round(Vectors.cosine(col("se"), col("de")), 6))
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("de"))
+    lshTop.select(col("layer"), col("src"), col("dst"), col("cos"),
+        col("de"))
+      .unionByName(ringScored)
+      // a ring edge may also be an LSH survivor — keep one
+      .groupBy(col("layer"), col("src"), col("dst"))
+      .agg(max(col("cos")).as("cos"), first(col("de")).as("de"))
       .select(col("layer"), col("src"), col("dst"), col("cos"), col("de"))
   }
 
@@ -284,6 +302,13 @@ object Hnsw {
 
   def searchLane(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
+    // evict entries owned by STOPPED sessions: unlike Bpe's
+    // string-tuple memo, these hold block-manager-backed frames —
+    // without eviction a long-lived JVM cycling sessions (test
+    // suites, repeated tool runs) pins dead sessions and their
+    // checkpointed adjacency blocks forever (found by review)
+    graphCache.entrySet().removeIf(ent =>
+      ent.getKey._1.sparkContext.isStopped)
     val e = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val (adj, entry) = graphCache.computeIfAbsent((spark, dir), _ =>
@@ -295,15 +320,25 @@ object Hnsw {
   /** Persist the index: adjacency PARTITIONED BY layer (a probe
     * reads its layer directories only — the writeIvfIndex layout
     * discipline, incl. the repartition-before-partitioned-write
-    * one-file-per-layer rule) plus a 1-row meta table (entry point +
-    * its embedding, M, layer count) alongside. Embeddings ride the
-    * adjacency, so a probe needs NO separate corpus frame.
+    * one-file-per-layer rule), a NODES catalog (layer, vec_id,
+    * embedding — the authoritative layer membership: an append must
+    * see every member, and "recover members from adjacency dst rows"
+    * misses edge-less nodes such as a single-member top layer), plus
+    * a 1-row meta table (entry point + its embedding, M, layer
+    * count). Embeddings ride the adjacency, so a probe needs NO
+    * separate corpus frame.
     */
   def writeHnswIndex(e: DataFrame, path: String, dims0: Int = -1): Unit = {
     val spark = e.sparkSession
     buildGraph(e, dims0)
       .repartition(col("layer"))
       .write.mode("overwrite").partitionBy("layer").parquet(s"$path/adj")
+    Par.ensure(e).select(col("vec_id"), col("embedding"))
+      .withColumn("__lvl", levelCol(col("vec_id")))
+      .withColumn("layer", explode(sequence(lit(0), col("__lvl"))))
+      .select(col("layer"), col("vec_id"), col("embedding"))
+      .repartition(col("layer"))
+      .write.mode("overwrite").partitionBy("layer").parquet(s"$path/nodes")
     val entry = entryPoint(e)
     e.filter(col("vec_id") === entry)
       .select(col("vec_id").as("entry"),
@@ -316,31 +351,36 @@ object Hnsw {
     * the LSH/IVF/PQ append convention, graph-flavored. New nodes get
     * geometric levels from the same hash draw, then per layer:
     * (a) sign-LSH bucket candidates against (existing ∪ new) layer
-    * members — existing members and their embeddings are recovered
-    * from the adjacency itself (every layer member has in-edges by
-    * the ring guarantee, so `distinct (dst, de)` IS the layer's node
-    * set); only pairs touching a new node survive (existing↔existing
-    * edges already exist); top-M per NEW src, plus the REVERSE rows
-    * so new nodes are reachable (existing nodes' in-degree may
-    * exceed the 2M cap after appends — the documented drift; rebuild
-    * to re-tighten); (b) a ring chain over the new nodes anchored to
-    * the layer's minimum existing node at BOTH ends of the chain —
-    * connectivity of every appended node holds by construction even
-    * with zero bucket collisions. The entry point is NOT moved (a
-    * new top-level node is still reachable through its own appended
-    * edges); neighbor quality drifts vs a fresh build — the standard
-    * graph-index append trade, spec'd findable-after-append.
+    * members — existing members come from the index's NODES catalog
+    * (authoritative membership incl. edge-less nodes; deriving
+    * members from adjacency dst rows missed single-member layers —
+    * found by review); only pairs touching a new node survive
+    * (existing↔existing edges already exist); top-M per NEW src,
+    * plus the REVERSE rows so new nodes are reachable (existing
+    * nodes' in-degree may exceed the degree cap after appends — the
+    * documented drift; rebuild to re-tighten); (b) a ring chain over
+    * the new nodes anchored to the layer's minimum existing node at
+    * BOTH ends of the chain — connectivity of every appended node
+    * holds by construction even with zero bucket collisions. The
+    * entry point is NOT moved (a new top-level node is still
+    * reachable through its own appended edges); neighbor quality
+    * drifts vs a fresh build — the standard graph-index append
+    * trade, spec'd findable-after-append.
     */
   def appendToHnswIndex(newE: DataFrame, path: String,
       dims0: Int = -1): Unit = {
     val spark = newE.sparkSession
     import spark.implicits._
     val dims = Similarity.dimsOf(newE, dims0)
-    val adj = spark.read.parquet(s"$path/adj")
-    val existing = adj.select(col("layer"), col("dst").as("vec_id"),
-      col("de").cast("array<double>").as("embedding")).distinct()
+    val existing = spark.read.parquet(s"$path/nodes")
+      .select(col("layer"), col("vec_id"), col("embedding"))
+    // appended rows must carry the SAME embedding element type the
+    // index was written with — one partitioned dataset cannot mix
+    // float and double files (readers fail on the schema mismatch;
+    // found by review)
+    val elemType = existing.schema("embedding").dataType
     val newMem = Par.ensure(newE)
-      .select(col("vec_id"), col("embedding").cast("array<double>")
+      .select(col("vec_id"), col("embedding").cast(elemType)
         .as("embedding"))
       .withColumn("__lvl", levelCol(col("vec_id")))
       .withColumn("layer", explode(sequence(lit(0), col("__lvl"))))
@@ -426,6 +466,10 @@ object Hnsw {
       .dropDuplicates("layer", "src", "dst")
       .repartition(col("layer"))
       .write.mode("append").partitionBy("layer").parquet(s"$path/adj")
+    // the nodes catalog is the membership ground truth the NEXT
+    // append reads — record the delta
+    newMem.repartition(col("layer"))
+      .write.mode("append").partitionBy("layer").parquet(s"$path/nodes")
   }
 
   /** Top-k probe against a persisted index for one query vector —

@@ -79,8 +79,8 @@ object Similarity {
     */
   private[graft] val QuadraticLaneCapRows = 20000L
 
-  /** The cap is OPT-IN from the bench path only (`Bench.main` /
-    * scale tools set this system property): the driver's CORRECTNESS
+  /** The cap is OPT-IN from the timing paths only (`Bench.main` and
+    * `tools.QuickTime` set this system property): the driver's CORRECTNESS
     * harness compares these lanes against DuckDB oracles that
     * enumerate the FULL table, so a silently-capped lane at a >cap
     * input dir would hash-mismatch a correct implementation — and a
@@ -310,9 +310,18 @@ object Similarity {
     val cellDf = qualifyingCells(spark, lists, cn, radii, theta, eps,
       distribute = lists.length > CellQualDistributeOver)
     // left role: cluster-ci vectors, per-vector pruned against the
-    // PARTNER centroid (θ(x, c_j) ≤ θ_τ + A_j + ε); right symmetric
+    // PARTNER centroid (θ(x, c_j) ≤ θ_τ + A_j + ε); right symmetric.
+    // cellDf joins carry NO broadcast hint: the qualifying-cell count
+    // is DATA-DEPENDENT — near-diagonal under tight clustering but
+    // toward nlist²/2 under weak clustering, and a forced broadcast
+    // of an nlist²-row table is a driver OOM (measured: the 2M-vector
+    // / nlist=40k tool leg crashed exactly there). AQE picks
+    // broadcast at runtime when the built table is actually small —
+    // the prune degrades with clustering quality instead of crashing,
+    // per the operator's cost contract. centDf stays hinted (bounded
+    // nlist rows by construction).
     val left = withAngle
-      .join(broadcast(cellDf), col("list") === col("ci"))
+      .join(cellDf, col("list") === col("ci"))
       .join(broadcast(centDf.select(col("list").as("cj"),
         col("cvec").as("pj"))), Seq("cj"))
       .filter(acos(clamp(Vectors.dot(col("embedding"), col("pj")) /
@@ -321,7 +330,7 @@ object Similarity {
         col("embedding").as("ea"), col("nrm").as("na"))
       .repartition(col("ci"), col("cj"))
     val right = withAngle
-      .join(broadcast(cellDf), col("list") === col("cj"))
+      .join(cellDf, col("list") === col("cj"))
       .join(broadcast(centDf.select(col("list").as("ci"),
         col("cvec").as("pi"))), Seq("ci"))
       .filter(acos(clamp(Vectors.dot(col("embedding"), col("pi")) /

@@ -13,6 +13,9 @@ object QuickTime {
     val names = args.lift(2).map(_.split(",").toSeq)
       .getOrElse(Seq("q_filter_project"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // timing path: quadratic-contract lanes cap like Bench, so a
+    // QuickTime figure is comparable to the Bench lane at any scale
+    System.setProperty(graft.operators.Similarity.QuadraticCapProp, "true")
     val spark = graft.GraftSession.localFor(cpus, dir, "graft-quicktime")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()

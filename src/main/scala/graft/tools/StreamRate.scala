@@ -18,5 +18,9 @@ object StreamRate {
     println("windowed rows/s: " + win.map(v => f"$v%.0f").mkString(" "))
     println("stateful rows/s: " + st.map(v => f"$v%.0f").mkString(" "))
     spark.stop()
+    // the stream sink/checkpoint temp dirs register in Bench's
+    // deferred list — sweep them here or every StreamRate run leaks
+    // 2n directories into /tmp (session must be stopped first)
+    graft.Bench.cleanupStreamTmps()
   }
 }

@@ -51,6 +51,22 @@ class BenchSpec extends AnyFunSuite {
     assert(ms > 1.0 && ms < 60000.0, s"probe measured $ms ms")
   }
 
+  test("quiet baseline is the rolling min — a slower host is its own " +
+      "reference, never permanently noisy") {
+    // first run on any box: its own baseline — probe-arm can't fire
+    assert(Bench.quietBaseline(1100.0, None) == 1100.0)
+    assert(!Bench.noisyHost(1.0, 1100.0,
+      Bench.quietBaseline(1100.0, None)))
+    // history converges downward: min(prev, current)
+    assert(Bench.quietBaseline(1100.0, Some(950.0)) == 950.0)
+    assert(Bench.quietBaseline(900.0, Some(950.0)) == 900.0)
+    // with a real quiet history, a 3x-slowed probe flags
+    assert(Bench.noisyHost(1.0, 1100.0,
+      Bench.quietBaseline(1100.0, Some(340.0))))
+    // a garbage prev (<= 0, corrupted artifact) is ignored
+    assert(Bench.quietBaseline(400.0, Some(0.0)) == 400.0)
+  }
+
   test("quadratic-contract set matches the capped lanes") {
     assert(Bench.quadraticContract ==
       Set("dedup_embedding", "dedup_embedding_exact_hi"))

@@ -34,7 +34,7 @@ class HnswSpec extends GraftSpecBase {
   }
 
   test("every layer is one connected component (the ring guarantee) " +
-      "and out-degree is capped at 2M") {
+      "and out-degree is capped at 2M+4") {
     initLog()
     val e = synth(200)
     val adj = Hnsw.buildGraph(e, dims0 = 16).collect()
@@ -56,10 +56,59 @@ class HnswSpec extends GraftSpecBase {
         assert(seen.size == nodes.size,
           s"layer $layer: ${nodes.size - seen.size} nodes unreachable")
       }
+      // 2M LSH edges + up to 4 cap-exempt ring edges (2 within-bucket
+      // chain + 2 bucket-chain links) — the connectivity guarantee's
+      // price (see buildGraph)
       val deg = edges.groupBy(_._1).values.map(_.length)
-      assert(deg.forall(_ <= 2 * Hnsw.M),
-        s"layer $layer: out-degree above 2M")
+      if (deg.nonEmpty)
+        assert(deg.forall(_ <= 2 * Hnsw.M + 4),
+          s"layer $layer: out-degree above 2M+4 (max ${deg.max})")
     }
+  }
+
+  test("two tight clusters larger than the degree cap stay connected " +
+      "(ring edges exempt from the top-2M cut) and recall holds") {
+    initLog()
+    // 2 clusters of 40 near-identical vectors: every node's 16
+    // highest-cosine neighbors are in-cluster, so a capped ring
+    // would lose all cross-cluster edges and split the layer (the
+    // review-found hole; capping ring edges made half the queries
+    // unreachable from the entry point)
+    val rows = (0 until 80).map { i =>
+      val c = i / 40
+      val v = Array.tabulate(16)(d =>
+        (if (d == c * 8) 1.0f else 0.0f) +
+          0.001f * ((i * 31 + d * 7) % 10))
+      (i.toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val adj = Hnsw.buildGraph(e, dims0 = 16)
+      .filter(col("layer") === 0)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (adj.map(_._1) ++ adj.map(_._2)).toSet
+    assert(nodes.size == 80)
+    val g = adj.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seen = collection.mutable.Set(0L)
+    val queue = collection.mutable.Queue(0L)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      g.getOrElse(u, Array.empty[Long]).foreach { v =>
+        if (!seen(v)) { seen += v; queue += v }
+      }
+    }
+    assert(seen.size == 80, s"${80 - seen.size} nodes unreachable — " +
+      "cross-cluster ring edges were pruned")
+    // and the beam actually crosses: queries in cluster 0, brute-force
+    // recall over the whole corpus
+    val exact = Similarity.annBruteForce(e, nQueries = 4, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Hnsw.annHnswSearch(e, nQueries = 4, k = 10, dims0 = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"clustered recall=$recall")
   }
 
   test("recall@10 >= 0.8 vs brute force on the synthetic corpus and " +
