@@ -172,11 +172,13 @@ object Bpe {
     * The rule, and why it equals the sequential greedy exactly:
     * rank pairs by (count desc, l asc, r asc) — the sequential
     * tie-break. Accept the maximal CONSECUTIVE prefix r_1..r_m that is
-    * pairwise symbol-disjoint, stopping at the first pair sharing a
-    * symbol with an accepted one; then drop trailing accepted pairs
-    * whose count equals the first non-accepted pair's count cStop
-    * (always keeping r_1). Sequential equivalence, by induction on
-    * the batch: when the sequential greedy reaches step j (having
+    * pairwise symbol-disjoint INCLUDING each accepted pair's produced
+    * string l·r, contains no SELF-merge (l == r) after the head, and
+    * produces no string equal to a previously produced merge output;
+    * stop at the first violating pair; then drop trailing accepted
+    * pairs whose count equals the first non-accepted pair's count
+    * cStop (always keeping r_1). Sequential equivalence, by induction
+    * on the batch: when the sequential greedy reaches step j (having
     * applied r_1..r_{j-1}),
     *   - accepted pairs are symbol-disjoint, so applying any of them
     *     leaves the others' counts untouched (matches align to whole
@@ -191,18 +193,42 @@ object Bpe {
     *     pair's count;
     *   - a NEW pair created by an applied merge ((x, l·r) or (l·r, y))
     *     is bounded by its progenitor's old count (every occurrence
-    *     of x·(lr) was an occurrence of x·l), and the progenitor
-    *     shares a symbol with the applied merge, so again
-    *     ≤ cStop < c(r_j);
+    *     of x·(lr) was an occurrence of x·l). The progenitor shares a
+    *     symbol with the applied merge, so it is NOT another accepted
+    *     pair (disjointness) — UNLESS it is the applied pair ITSELF,
+    *     which requires l == r (the progenitor (r, y) of (l·r, y)
+    *     equals (l, r) only when r == l and y == r): on "ccc"×12 +
+    *     "bd"×10, merging (c,c) creates (cc,c)=12 which outranks an
+    *     already-accepted (b,d)=10 — a REAL divergence the r13 rule
+    *     missed (found by a 10⁶-corpus brute-force replica). Hence
+    *     self-merges hard-stop the batch: a self-merge is accepted
+    *     only as the head and applied ALONE (batch of 1 ≡ the
+    *     sequential argmax). For non-self merges the progenitor is a
+    *     non-accepted sharing pair, so ≤ cStop < c(r_j);
+    *   - a new pair's count ADDS to a pre-existing pair's only if the
+    *     produced string l·r already exists as a symbol. That cannot
+    *     happen: two occurrences of the same character string whose
+    *     final symbols tile it exactly evolve IDENTICALLY under the
+    *     globally-ordered merge sequence (induction over rounds: a
+    *     symbol that ever crosses the string's edge keeps its outside
+    *     characters forever, so exact-tiling sites never cross-merge,
+    *     and non-crossing sites hold identical partitions at every
+    *     round — replace matches align to whole symbols and never
+    *     span the edge at such sites). So a symbol equal to l·r
+    *     existing elsewhere forces THIS site to carve l·r as one
+    *     symbol too — the pair (l, r) would have count 0. The
+    *     producedEver guard below enforces this invariant defensively
+    *     anyway (a driver-side HashSet; zero distributed cost);
     *   - pairs ranked above r_j are exactly r_1..r_{j-1}, already
     *     applied, whose own counts fall to zero (the replace is
     *     exhaustive per round).
     * Hence r_j is the strict argmax at step j — the same pair, same
     * order, as the sequential loop. The tie guard is what closes the
-    * only hole: without it a new pair could TIE an accepted count and
-    * win the lexicographic tie-break ((l·r) sorts before l's
-    * successor strings). Spec'd ≡ [[trainMerges]] on the corpus and
-    * on an adversarial tie fixture.
+    * remaining hole: without it a new pair could TIE an accepted count
+    * and win the lexicographic tie-break ((l·r) sorts before l's
+    * successor strings). Spec'd ≡ [[trainMerges]] on the corpus, on an
+    * adversarial tie fixture, and on the self-merge divergence fixture
+    * above.
     *
     * Worst case (every top pair shares a symbol — common for natural
     * text's vowel-heavy head) degrades to batch size 1 = the
@@ -217,6 +243,9 @@ object Bpe {
     anchor.count()
     var words = anchor
     val out = collection.mutable.ArrayBuffer[(String, String)]()
+    // every merge output so far — the producedEver invariant guard
+    // (see the proof above; provably never hit, enforced anyway)
+    val producedEver = collection.mutable.HashSet[String]()
     var sinceRepersist = 0
     try {
       while (out.length < rounds) {
@@ -236,9 +265,24 @@ object Bpe {
           val l = ranked(i).getAs[String]("l")
           val r = ranked(i).getAs[String]("r")
           val c = ranked(i).getAs[Long]("c")
-          if (accepted.isEmpty || (!used(l) && !used(r))) {
-            accepted += ((l, r, c)); used += l; used += r
-          } else stopCount = Some(c)
+          val s = l + r
+          // a self-merge can boost a pair it creates to its OWN count
+          // (progenitor = itself — the "ccc" case in the proof above);
+          // a pre-existing produced string would let a created pair ADD
+          // to unknown counts. Either hazard ends the batch: at the
+          // head the pair is applied ALONE (stopCount = own count ⇒
+          // the tie guard reduces kept to the head — batch of 1 is the
+          // sequential argmax); mid-batch it is deferred to the next
+          // round's head.
+          val hazard = l == r || producedEver(s)
+          if (accepted.isEmpty) {
+            accepted += ((l, r, c)); used += l; used += r; used += s
+            if (hazard) stopCount = Some(c)
+          } else if (used(l) || used(r) || used(s) || hazard) {
+            stopCount = Some(c)
+          } else {
+            accepted += ((l, r, c)); used += l; used += r; used += s
+          }
           i += 1
         }
         // budget stop (no conflict seen): the next ranked pair still
@@ -253,6 +297,7 @@ object Bpe {
         }
         kept.foreach { case (l, r, _) =>
           out += ((l, r))
+          producedEver += l + r
           words = words.withColumn("repr",
             replace(col("repr"), lit(Sep + l + Sep + r), lit(Sep + l + r)))
         }

@@ -182,6 +182,51 @@ class BpeSpec extends GraftSpecBase {
       Seq(("a", "b")))
   }
 
+  test("self-merge divergence fixture: a batch must not accept past a " +
+      "self-merge (its new pairs are bounded only by its OWN count)") {
+    initLog()
+    // "ccc"×12 + "bd"×10: merging (c,c) creates (cc,c)=12 which
+    // outranks (b,d)=10 — the r13 rule accepted (b,d) in the same
+    // batch and diverged from the sequential greedy (found by a
+    // brute-force replica over 10⁶ random corpora; the documented
+    // progenitor bound fails exactly when the progenitor IS the
+    // applied merge, i.e. l == r). The fixed rule applies (c,c) alone.
+    val fix = docsDf(Seq(
+      (1L, "src0", Seq.fill(12)("ccc").mkString(" ")),
+      (2L, "src0", Seq.fill(10)("bd").mkString(" "))))
+    val seqFix = Bpe.trainMerges(fix, rounds = 3)
+    assert(seqFix == Seq(("c", "c"), ("cc", "c"), ("b", "d")), seqFix)
+    for (b <- Seq(2, 3, 8))
+      assert(Bpe.trainMergesBatched(fix, rounds = 3, batch = b) == seqFix,
+        s"batch=$b")
+    // richer corpus from the same search (head self-merge + mid-batch
+    // competitors at several counts): full list equality at every size
+    val fix2 = docsDf(Seq(
+      (1L, "src0", Seq.fill(2)("abcc").mkString(" ")),
+      (2L, "src0", "aa"),
+      (3L, "src0", Seq.fill(12)("ccc").mkString(" ")),
+      (4L, "src0", Seq.fill(10)("bd").mkString(" ")),
+      (5L, "src0", Seq.fill(5)("aacb").mkString(" "))))
+    val seqFix2 = Bpe.trainMerges(fix2, rounds = 8)
+    for (b <- Seq(2, 3, 4, 16))
+      assert(Bpe.trainMergesBatched(fix2, rounds = 8, batch = b) == seqFix2,
+        s"batch=$b diverges: got " +
+          Bpe.trainMergesBatched(fix2, rounds = 8, batch = b))
+    // two-derivation attempt (the r13 ADVICE scenario): "abab" words
+    // drive (a,b) then (ab,ab) — the produced string "abab" can never
+    // ALSO exist via e.g. (aba,b) because exact-tiling sites of one
+    // character string evolve identically (see the Bpe scaladoc
+    // proof); the producedEver guard is defensive. Equality pins it.
+    val fix3 = docsDf(Seq(
+      (1L, "src0", Seq.fill(9)("abab").mkString(" ")),
+      (2L, "src0", Seq.fill(7)("aba").mkString(" ")),
+      (3L, "src0", Seq.fill(5)("bab").mkString(" "))))
+    val seqFix3 = Bpe.trainMerges(fix3, rounds = 4)
+    for (b <- Seq(2, 4, 8))
+      assert(Bpe.trainMergesBatched(fix3, rounds = 4, batch = b) == seqFix3,
+        s"batch=$b")
+  }
+
   test("whitespace-degenerate vocab: seq_pack on BPE counts returns " +
       "the whitespace packing bit-for-bit") {
     initLog()
