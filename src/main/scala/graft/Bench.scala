@@ -174,55 +174,199 @@ object Bench {
     ms
   }
 
+  /** Parallel arm of the calibration probe: every thread streams a
+    * private long array (memory-bandwidth-bound, unlike the
+    * register-only xorshift arm) and the WALL time of the slowest
+    * thread is the figure. Exists because the single-thread arm is
+    * blind to the contention that actually shifts a 32-thread suite:
+    * r13's final run read probe-quiet (393.6 vs 383.5 ms baseline)
+    * at loadavg 3.60 while the whole suite sat ~1.2× over its quiet
+    * mid-round run — a handful of background hogs on a 32-core box
+    * steals little CPU from one pinned thread but plenty of shared
+    * memory bandwidth/LLC from 32. Sized small (8 MiB × threads) so
+    * the probe is bandwidth-bound, not capacity-bound, and runs in
+    * ~0.5 s.
+    */
+  private[graft] val ProbeThreads = 32
+  private[graft] def calibrationProbeParMs(
+      threads: Int = ProbeThreads): Double = {
+    val words = (8 << 20) / 8 // 8 MiB of longs per thread
+    def pass(a: Array[Long], rounds: Int): Long = {
+      var s = 0L; var r = 0
+      while (r < rounds) {
+        var i = 0
+        while (i < a.length) { s += a(i); a(i) = s; i += 1 }
+        r += 1
+      }
+      s
+    }
+    // Thread start, JIT, and first-touch page zeroing sit OUTSIDE the
+    // timed windows (each thread warms its own array, then all release
+    // together off a barrier): with them inside, the figure spread
+    // 80-147 ms run to run — 1.8× of scheduling noise on ~100 ms of
+    // work, tripping the gate on nothing. The figure is the MIN of
+    // three barrier-aligned steady-state windows (64 passes × 8 MiB ×
+    // threads ≈ 16 GiB each at 32): sub-second spikes (one window) are
+    // filtered, while the sustained multi-minute contention that
+    // actually shifts a suite (the r12/r13 envelope) inflates all
+    // three. Measured single-window spread without the min was still
+    // 177-280 ms on this box's fluctuating background load.
+    val windows = 3
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val wallMs = new Array[Double](windows)
+    @volatile var t0 = 0L
+    val start = new java.util.concurrent.CyclicBarrier(threads,
+      () => t0 = System.nanoTime())
+    var w = 0
+    val finish = new java.util.concurrent.CyclicBarrier(threads, () => {
+      wallMs(w) = (System.nanoTime() - t0) / 1e6; w += 1
+    })
+    val ts = (1 to threads).map { i =>
+      val t = new Thread(() => {
+        val a = new Array[Long](words)
+        a(0) = i
+        sink.addAndGet(pass(a, 8)) // untimed: JIT + page touch
+        var k = 0
+        while (k < windows) {
+          start.await()
+          sink.addAndGet(pass(a, 64)) // timed steady-state window
+          finish.await()
+          k += 1
+        }
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    if (sink.get == 42L) System.err.println("[bench] par probe")
+    wallMs.min
+  }
+
   /** Quiet-host probe time on the reference box (measured r13:
     * 336-345 ms over 5 post-warm runs at loadavg ~1.9). Documentation
-    * and spec fixture ONLY — the live baseline is the ROLLING MINIMUM
-    * of probe times across runs ([[quietBaseline]], persisted as
-    * `probe_quiet_ms` in bench_full.json): an absolute constant would
-    * make any host ≥ 3× slower than the reference read permanently
-    * `noisy`, silencing the regression gate forever (found by
-    * review — the inverse of the r12 gap). 3× is the contention
-    * slack — CPU-steal that triples fixed single-threaded work will
-    * inflate suite lanes well past the 2× gate, so the gate must not
-    * fire.
+    * and spec fixture ONLY — the live baseline is the min over the
+    * HOST-KEYED, AGED probe history ([[quietBaseline]], persisted as
+    * `probe_hist`/`probe_par_hist` + `probe_host` in bench_full.json):
+    * an absolute constant would make any host ≥ 3× slower than the
+    * reference read permanently `noisy`, silencing the regression
+    * gate forever. 3× is the contention slack — CPU-steal that
+    * triples fixed single-threaded work will inflate suite lanes
+    * well past the 2× gate, so the gate must not fire.
     */
   private[graft] val QuietProbeMs = 340.0
 
-  /** Rolling-minimum quiet baseline: the lowest probe time this box
-    * has ever shown, including the current run. Contention only ever
-    * INFLATES the probe, so the historical min converges on the
+  /** Probe history window: the baseline is the min over the last
+    * this-many runs ON THIS HOST, so (a) a committed artifact
+    * traveling to a slower machine cannot poison it (host key —
+    * r13 ADVICE), and (b) a stale minimum from a faster PAST state
+    * of the same host ages out after K runs instead of marking the
+    * box permanently noisy (r13 VERDICT item 8).
+    */
+  private[graft] val ProbeHistLen = 8
+
+  /** Bump when either probe's WORK changes (loop counts, array
+    * sizes): history from a different probe version is meaningless
+    * as a baseline and is discarded on read (hit live: the 6-pass
+    * par probe's 33 ms baseline read the 64-pass probe as noisy).
+    */
+  private[graft] val ProbeVersion = 4
+
+  /** Append the current reading to the (already host-filtered) prev
+    * history, keeping the last [[ProbeHistLen]] entries. Garbage
+    * readings (≤ 0, corrupted artifact) are dropped.
+    */
+  private[graft] def probeWindow(cur: Double,
+      prevHist: Seq[Double]): Seq[Double] =
+    prevHist.filter(_ > 0).takeRight(ProbeHistLen - 1) :+ cur
+
+  /** Rolling-minimum quiet baseline over the aged window: contention
+    * only ever INFLATES a probe, so the windowed min converges on the
     * host's true quiet speed — no hardware constant needed. A first
     * run (no history) is its own baseline: never probe-noisy, and a
-    * contended first baseline self-corrects downward on the next
-    * quiet run.
+    * contended first baseline self-corrects downward on later quiet
+    * runs.
     */
-  private[graft] def quietBaseline(probeMs: Double,
-      prevQuietMs: Option[Double]): Double =
-    prevQuietMs.filter(p => p > 0).fold(probeMs)(p => math.min(p, probeMs))
+  private[graft] def quietBaseline(hist: Seq[Double]): Double =
+    if (hist.isEmpty) 0.0 else hist.min
+
+  /** Parallel-arm noisy threshold: run-to-run variance of the
+    * bandwidth probe on a quiet box is well under 10 %, so 1.4× the
+    * windowed min is real contention, and the bandwidth contention
+    * that shifts a 32-thread suite ≥ 1.3-1.5× (the r12/r13 envelope)
+    * inflates an all-cores bandwidth probe at least as much.
+    */
+  private[graft] val ParNoisyFactor = 1.4
 
   /** The host is too contended for round-over-round lane comparisons
-    * when EITHER signal fires: loadavg (cheap, catches sustained
-    * load) or the calibration probe (catches what loadavg lags).
+    * when ANY signal fires: loadavg (cheap, catches sustained load),
+    * the single-thread probe (CPU steal loadavg lags), or the
+    * parallel probe (memory-bandwidth contention both others miss).
+    * A zero quiet baseline (first run on a host) disables that arm.
     */
   private[graft] def noisyHost(loadavg: Double, probeMs: Double,
-      quietProbeMs: Double = QuietProbeMs): Boolean =
-    loadavg > 4.0 || probeMs > 3.0 * quietProbeMs
+      quietProbeMs: Double = QuietProbeMs,
+      probeParMs: Double = 0.0, quietParMs: Double = 0.0): Boolean =
+    loadavg > 4.0 ||
+      (quietProbeMs > 0 && probeMs > 3.0 * quietProbeMs) ||
+      (quietParMs > 0 && probeParMs > ParNoisyFactor * quietParMs)
 
-  /** Regression gate over the `prev` trend map: lanes ≥ 2× their
-    * previous time, evaluated ONLY when the host is quiet
-    * (contention inflates unevenly — a noisy run would flag half the
-    * suite) and only against a prev run at the SAME sf dir (scale
-    * runs share the cwd artifact; a 100× prev would flag everything).
-    * Failed lanes (-1) never enter either side.
+  /** Median of cur/prev over lanes present on both sides — the
+    * suite-wide shift estimate. Host contention moves the whole
+    * suite by a near-uniform factor (r12: 1.37-1.48×, r13: ~1.2×,
+    * both adjudicated by hand exactly this way); a real regression
+    * is idiosyncratic to its lane. Normalizing each lane's ratio by
+    * this median mechanizes that adjudication. Clamped at ≥ 1 so a
+    * FASTER suite (host got quieter) never inflates ratios into
+    * false flags, and defaulting to 1 under [[MinLanesForShift]]
+    * shared lanes (a dev-loop subset must not self-normalize its own
+    * regression away).
+    */
+  private[graft] val MinLanesForShift = 8
+  private[graft] def medianShift(prev: Map[String, Double],
+      cur: Seq[(String, Double)]): Double = {
+    val ratios = cur.collect {
+      case (n, t) if t >= 0 && prev.get(n).exists(_ > 0) => t / prev(n)
+    }.sorted
+    if (ratios.size < MinLanesForShift) 1.0
+    else {
+      val mid = ratios.size / 2
+      val m = if (ratios.size % 2 == 1) ratios(mid)
+        else (ratios(mid - 1) + ratios(mid)) / 2
+      math.max(1.0, m)
+    }
+  }
+
+  /** Absolute floor under the regression gate: a lane flags only if
+    * the (shift-normalized) time and its baseline are both ≥ 1 s, or
+    * the normalized delta is ≥ 1 s. r13 shipped text_chunk
+    * 0.12 s → 0.41 s as "regressed" — 0.29 s of scheduler jitter on
+    * a 32-core box; any sub-second lane can trip a pure 2× ratio on
+    * noise no probe can see.
+    */
+  private[graft] val RegressFloorSec = 1.0
+
+  /** Regression gate over the `prev` trend map: lanes whose
+    * suite-median-normalized time is ≥ 2× their previous time AND
+    * clears [[RegressFloorSec]], evaluated ONLY when the host is
+    * quiet (contention inflates unevenly — a noisy run would flag
+    * half the suite) and only against a prev run at the SAME sf dir
+    * (scale runs share the cwd artifact; a 100× prev would flag
+    * everything). Failed lanes (-1) never enter either side.
     */
   private[graft] def regressedLanes(prev: Map[String, Double],
       cur: Seq[(String, Double)], noisy: Boolean,
       sameSf: Boolean): Seq[String] =
     if (noisy || !sameSf) Seq.empty
-    else cur.collect {
-      case (name, t) if t >= 0 && prev.get(name).exists(p =>
-        p > 0 && t >= 2.0 * p) => name
-    }.sorted
+    else {
+      val shift = medianShift(prev, cur)
+      cur.collect {
+        case (name, t) if t >= 0 && prev.get(name).exists { p =>
+          val norm = t / shift
+          p > 0 && norm >= 2.0 * p &&
+            (math.min(p, norm) >= RegressFloorSec ||
+              norm - p >= RegressFloorSec)
+        } => name
+      }.sorted
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -234,8 +378,16 @@ object Bench {
     // (the growth law is pinned by contract; re-proving it was half
     // the r11 100× wall-clock). Opt-in here so the correctness path —
     // which compares against FULL-table oracles — never sees a capped
-    // lane (r12 ADVICE, medium).
+    // lane (r12 ADVICE, medium). Cleared in the finally below: in a
+    // shared (non-forked) JVM a later correctness run would inherit
+    // the process-global property and hash-mismatch the full-table
+    // oracles (r13 ADVICE).
     System.setProperty(graft.operators.Similarity.QuadraticCapProp, "true")
+    try mainTimed(sfDir, cpus)
+    finally System.clearProperty(graft.operators.Similarity.QuadraticCapProp)
+  }
+
+  private def mainTimed(sfDir: String, cpus: Int): Unit = {
     val spark = GraftSession.localFor(cpus, sfDir, "graft-bench")
     // ERROR, not WARN: the driver parses the LAST stdout line as JSON,
     // and benign per-task WARNs (e.g. WindowExec on the bins-bounded
@@ -264,9 +416,11 @@ object Bench {
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()
     SparkEntry.queries.get("q_filter_project")
       .foreach(fn => try run(fn(spark, sfDir)) catch { case _: Throwable => () })
-    // calibration probe AFTER the JVM warm, BEFORE the suite — the
-    // direct host-contention measurement the noisy gate uses
+    // calibration probes AFTER the JVM warm, BEFORE the suite — the
+    // direct host-contention measurements the noisy gate uses
+    // (single-thread CPU-steal arm + all-cores bandwidth arm)
     val probeMs = calibrationProbeMs()
+    val probeParMs = calibrationProbeParMs()
     // min of 2 runs per query: the shared host shows multi-second
     // scheduling noise; the minimum is the reproducible cost.
     // A failed query must NOT masquerade as a fast success: record it
@@ -321,7 +475,9 @@ object Bench {
     // artifact instead of two git revisions. Jackson is already on the
     // Spark classpath; any read/parse failure degrades to {} — the
     // trend field must never cost a run its result.
-    val (prevJson, prevMap, prevSf, prevQuiet) = try {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Throwable => "unknown" }
+    val (prevJson, prevMap, prevSf, prevHist, prevParHist) = try {
       val p = java.nio.file.Paths.get("bench_full.json")
       if (java.nio.file.Files.exists(p)) {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -332,38 +488,63 @@ object Bench {
           node.properties().asScala
             .map(e => e.getKey -> e.getValue.asDouble).toMap
         }.getOrElse(Map.empty[String, Double])
-        // older artifacts carry only probe_ms; either seeds the min
-        val pq = Option(root.get("probe_quiet_ms"))
-          .orElse(Option(root.get("probe_ms"))).map(_.asDouble)
+        // probe history is HOST-KEYED: a committed artifact travels
+        // across machines, and a baseline from a faster box would
+        // mark this one permanently noisy (r13 ADVICE). Artifacts
+        // predating probe_host carry no key — discarded (the window
+        // self-seeds in one run).
+        def hist(field: String): Seq[Double] =
+          if (!Option(root.get("probe_host")).map(_.asText).contains(host)
+              || !Option(root.get("probe_ver")).map(_.asInt)
+                .contains(ProbeVersion))
+            Seq.empty
+          else Option(root.get(field)).map { node =>
+            import scala.jdk.CollectionConverters._
+            node.elements().asScala.map(_.asDouble).toSeq
+          }.getOrElse(Seq.empty)
         (q.map(_.toString).getOrElse("{}"), m,
-          Option(root.get("sf")).map(_.asText).getOrElse(""), pq)
-      } else ("{}", Map.empty[String, Double], "", None)
+          Option(root.get("sf")).map(_.asText).getOrElse(""),
+          hist("probe_hist"), hist("probe_par_hist"))
+      } else ("{}", Map.empty[String, Double], "", Seq.empty[Double],
+        Seq.empty[Double])
     } catch {
-      case _: Throwable => ("{}", Map.empty[String, Double], "", None)
+      case _: Throwable =>
+        ("{}", Map.empty[String, Double], "", Seq.empty[Double],
+          Seq.empty[Double])
     }
-    // noisy-host gate (r9 item 8, hardened r13): loadavg at START
+    // noisy-host gate (r9 item 8, hardened r13/r14): loadavg at START
     // (once the suite runs, loadavg measures the bench's own local[N]
-    // threads) OR a slowed calibration probe vs this box's ROLLING-MIN
-    // quiet baseline — the probe is what catches the contention
-    // loadavg lagged in r12, the rolling min is what keeps a slower
-    // host from reading permanently noisy. probeMs is sampled BEFORE
+    // threads), a slowed single-thread probe vs this host's aged
+    // rolling-min baseline (CPU steal loadavg lags), or a slowed
+    // parallel probe (memory-bandwidth contention the single-thread
+    // arm read straight through in r13). Probes are sampled BEFORE
     // the suite for the same reason as loadavg.
-    val probeQuiet = quietBaseline(probeMs, prevQuiet)
-    val noisy = noisyHost(loadavg, probeMs, probeQuiet)
-    // regression gate (r11 VERDICT item 6): ≥2× lanes vs prev, quiet
-    // host + same sf only — one machine-readable field instead of an
-    // artifact diff
+    val probeHist = probeWindow(probeMs, prevHist)
+    val probeParHist = probeWindow(probeParMs, prevParHist)
+    val probeQuiet = quietBaseline(probeHist)
+    val probeParQuiet = quietBaseline(probeParHist)
+    val noisy = noisyHost(loadavg, probeMs, probeQuiet,
+      probeParMs, probeParQuiet)
+    // regression gate (r11 item 6, mechanized r14): suite-median-
+    // normalized ≥2× lanes above the absolute floor, quiet host +
+    // same sf only — one machine-readable field instead of an
+    // artifact diff. median_shift ships so a uniform host envelope
+    // is readable off the artifact without hand adjudication.
+    val shift = medianShift(prevMap, results)
     val regressed = regressedLanes(prevMap, results, noisy,
       sameSf = prevSf == sfDir)
     val regressedJson = regressed.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    def histJson(h: Seq[Double]): String =
+      h.map(fmt(_, 1)).mkString("[", ",", "]")
     def line(qs: String, extra: String = "") =
-      s"""{"metric":"total","value":${fmt(total, 4)},"total_nonquadratic":${fmt(totalNonQuadratic, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"regressed":$regressedJson,"stream_rows_per_sec":${fmt(streamRps, 0)},"stream_rows_per_sec_stateful":${fmt(streamRpsStateful, 0)},"loadavg":${fmt(loadavg, 2)},"probe_ms":${fmt(probeMs, 1)},"probe_quiet_ms":${fmt(probeQuiet, 1)},"noisy":$noisy,"full":"bench_full.json","sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"total_nonquadratic":${fmt(totalNonQuadratic, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"regressed":$regressedJson,"median_shift":${fmt(shift, 3)},"stream_rows_per_sec":${fmt(streamRps, 0)},"stream_rows_per_sec_stateful":${fmt(streamRpsStateful, 0)},"loadavg":${fmt(loadavg, 2)},"probe_ms":${fmt(probeMs, 1)},"probe_quiet_ms":${fmt(probeQuiet, 1)},"probe_par_ms":${fmt(probeParMs, 1)},"probe_par_quiet_ms":${fmt(probeParQuiet, 1)},"noisy":$noisy,"full":"bench_full.json","sf":"$sfDir"$extra}"""
     // Full map (4-decimal) to the file artifact; headline map
     // (3-decimal) to stdout, with a hard 1600-char guard: should
     // the headline set ever outgrow the tail budget, drop precision
     // rather than ship another unparseable round.
-    val fullLine = line(queriesJson(results, 4), s""","prev":$prevJson""")
+    val fullLine = line(queriesJson(results, 4),
+      s""","probe_host":"$host","probe_ver":$ProbeVersion,"probe_hist":${histJson(probeHist)},"probe_par_hist":${histJson(probeParHist)},"prev":$prevJson""")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

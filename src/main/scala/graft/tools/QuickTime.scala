@@ -14,8 +14,16 @@ object QuickTime {
       .getOrElse(Seq("q_filter_project"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // timing path: quadratic-contract lanes cap like Bench, so a
-    // QuickTime figure is comparable to the Bench lane at any scale
+    // QuickTime figure is comparable to the Bench lane at any scale.
+    // Cleared in the finally: a correctness run sharing a non-forked
+    // JVM must never inherit the cap (r13 ADVICE).
     System.setProperty(graft.operators.Similarity.QuadraticCapProp, "true")
+    try run(dir, n, names, cpus)
+    finally System.clearProperty(graft.operators.Similarity.QuadraticCapProp)
+  }
+
+  private def run(dir: String, n: Int, names: Seq[String],
+      cpus: Int): Unit = {
     val spark = graft.GraftSession.localFor(cpus, dir, "graft-quicktime")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()

@@ -5,16 +5,21 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Bench regression-gate unit specs (no Spark session needed). */
 class BenchSpec extends AnyFunSuite {
 
-  private val prev = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.5)
+  // a realistic suite: enough shared lanes that medianShift engages
+  // (MinLanesForShift), a mix of sub-second and multi-second lanes
+  private val prev = Map(
+    "a" -> 1.0, "b" -> 2.0, "c" -> 0.5, "d" -> 3.0, "e" -> 4.0,
+    "f" -> 1.5, "g" -> 2.5, "h" -> 0.8, "i" -> 6.0, "j" -> 0.12)
+  private def flat(scale: Double): Seq[(String, Double)] =
+    prev.toSeq.sortBy(_._1).map { case (k, v) => k -> v * scale }
 
-  test("regressedLanes flags >=2x lanes on a quiet same-sf run only") {
-    val cur = Seq("a" -> 2.5, "b" -> 2.1, "c" -> 0.99, "new" -> 9.0)
-    // a: 2.5x -> flagged; b: 1.05x fine; c: 1.98x fine; new: no prev
+  test("regressedLanes flags a genuine >=2x multi-second lane on a " +
+      "quiet same-sf run only") {
+    // one idiosyncratic 2.5x regression on a multi-second lane amid
+    // an otherwise-flat suite
+    val cur = flat(1.0).map { case ("d", _) => "d" -> 7.5; case kv => kv }
     assert(Bench.regressedLanes(prev, cur, noisy = false,
-      sameSf = true) == Seq("a"))
-    // exactly 2x counts as a regression (the gate is >= 2x)
-    assert(Bench.regressedLanes(prev, Seq("c" -> 1.0), noisy = false,
-      sameSf = true) == Seq("c"))
+      sameSf = true) == Seq("d"))
     // noisy host: contention inflates unevenly — never flag
     assert(Bench.regressedLanes(prev, cur, noisy = true,
       sameSf = true).isEmpty)
@@ -23,12 +28,55 @@ class BenchSpec extends AnyFunSuite {
       sameSf = false).isEmpty)
   }
 
+  test("absolute floor: a sub-second lane cannot flag on jitter while " +
+      "a genuine multi-second 2x regression still does (r13 item 1)") {
+    // r13's shipping artifact: text_chunk 0.12 s -> 0.41 s flagged by
+    // the bare 2x ratio — 0.29 s of scheduler jitter on a 32-core box
+    val jitter = flat(1.0).map { case ("j", _) => "j" -> 0.41; case kv => kv }
+    assert(Bench.regressedLanes(prev, jitter, noisy = false,
+      sameSf = true).isEmpty)
+    // a sub-second lane whose normalized DELTA clears the floor is a
+    // real regression (0.5 s -> 2.0 s = +1.5 s), not jitter
+    val real = flat(1.0).map { case ("c", _) => "c" -> 2.0; case kv => kv }
+    assert(Bench.regressedLanes(prev, real, noisy = false,
+      sameSf = true) == Seq("c"))
+    // multi-second 2x flags regardless
+    val big = flat(1.0).map { case ("i", _) => "i" -> 12.5; case kv => kv }
+    assert(Bench.regressedLanes(prev, big, noisy = false,
+      sameSf = true) == Seq("i"))
+  }
+
+  test("median-shift normalization: a uniform host envelope flags " +
+      "nothing; an idiosyncratic regression inside one still flags") {
+    // the r12/r13 failure mode: the whole suite shifts ~1.5x under
+    // background load with zero code changes — median-normalized
+    // ratios are all ~1x, nothing flags (previously 4 lanes did)
+    assert(math.abs(Bench.medianShift(prev, flat(1.5)) - 1.5) < 1e-9)
+    assert(Bench.regressedLanes(prev, flat(1.5), noisy = false,
+      sameSf = true).isEmpty)
+    // a real 3x regression on lane d amid the same 1.5x envelope:
+    // normalized ratio 3/1.5 = 2x with a multi-second delta -> flags
+    val cur = flat(1.5).map { case ("d", _) => "d" -> 9.0; case kv => kv }
+    assert(Bench.regressedLanes(prev, cur, noisy = false,
+      sameSf = true) == Seq("d"))
+    // a FASTER suite never inflates ratios into false flags: the
+    // shift clamps at 1, so a lane flat in absolute time stays green
+    assert(Bench.medianShift(prev, flat(0.5)) == 1.0)
+    val faster = flat(0.5).map { case ("e", _) => "e" -> 4.0; case kv => kv }
+    assert(Bench.regressedLanes(prev, faster, noisy = false,
+      sameSf = true).isEmpty)
+    // under MinLanesForShift shared lanes the shift is 1 — a dev-loop
+    // subset must not normalize its own regression away
+    assert(Bench.medianShift(Map("x" -> 1.0), Seq("x" -> 3.0)) == 1.0)
+  }
+
   test("regressedLanes ignores failed lanes on either side") {
     // current failure is reported via `failed`, not as a regression;
     // a previously-failed (-1) lane has no meaningful baseline
-    val p = Map("x" -> -1.0, "y" -> 1.0)
-    assert(Bench.regressedLanes(p, Seq("x" -> 5.0, "y" -> -1.0),
-      noisy = false, sameSf = true).isEmpty)
+    val p = prev ++ Map("x" -> -1.0, "y" -> 1.0)
+    val cur = flat(1.0) ++ Seq("x" -> 5.0, "y" -> -1.0)
+    assert(Bench.regressedLanes(p, cur, noisy = false,
+      sameSf = true).isEmpty)
   }
 
   test("slowed calibration probe forces noisy and suppresses the " +
@@ -41,7 +89,7 @@ class BenchSpec extends AnyFunSuite {
     // ...and loadavg still fires on its own
     assert(Bench.noisyHost(loadavg = 5.0, probeMs = Bench.QuietProbeMs))
     // noisy suppresses the regression gate end to end
-    val cur = Seq("a" -> 2.5)
+    val cur = flat(1.0).map { case ("d", _) => "d" -> 7.5; case kv => kv }
     val noisy = Bench.noisyHost(2.78, 4 * Bench.QuietProbeMs)
     assert(Bench.regressedLanes(prev, cur, noisy = noisy,
       sameSf = true).isEmpty)
@@ -51,20 +99,44 @@ class BenchSpec extends AnyFunSuite {
     assert(ms > 1.0 && ms < 60000.0, s"probe measured $ms ms")
   }
 
-  test("quiet baseline is the rolling min — a slower host is its own " +
-      "reference, never permanently noisy") {
-    // first run on any box: its own baseline — probe-arm can't fire
-    assert(Bench.quietBaseline(1100.0, None) == 1100.0)
-    assert(!Bench.noisyHost(1.0, 1100.0,
-      Bench.quietBaseline(1100.0, None)))
-    // history converges downward: min(prev, current)
-    assert(Bench.quietBaseline(1100.0, Some(950.0)) == 950.0)
-    assert(Bench.quietBaseline(900.0, Some(950.0)) == 900.0)
-    // with a real quiet history, a 3x-slowed probe flags
-    assert(Bench.noisyHost(1.0, 1100.0,
-      Bench.quietBaseline(1100.0, Some(340.0))))
-    // a garbage prev (<= 0, corrupted artifact) is ignored
-    assert(Bench.quietBaseline(400.0, Some(0.0)) == 400.0)
+  test("parallel probe arm: single-thread-quiet + loaded-parallel " +
+      "forces noisy (the r13 detector gap — bandwidth contention)") {
+    // r13's final run: single-thread probe 393.6 ms vs 383.5 baseline
+    // (quiet) at loadavg 3.60 while the 32-thread suite shifted ~1.2x.
+    // A parallel arm 1.4x over ITS baseline must flip noisy even when
+    // the single-thread arm and loadavg both read quiet.
+    assert(Bench.noisyHost(loadavg = 3.60, probeMs = 393.6,
+      quietProbeMs = 383.5, probeParMs = 900.0, quietParMs = 600.0))
+    assert(!Bench.noisyHost(loadavg = 3.60, probeMs = 393.6,
+      quietProbeMs = 383.5, probeParMs = 650.0, quietParMs = 600.0))
+    // first run on a host (no par history): the arm is disabled, the
+    // run is its own baseline — never permanently noisy
+    assert(!Bench.noisyHost(loadavg = 1.0, probeMs = 340.0,
+      quietProbeMs = 340.0, probeParMs = 5000.0, quietParMs = 0.0))
+    // smoke: the parallel probe runs and returns a plausible figure
+    val ms = Bench.calibrationProbeParMs(threads = 4)
+    assert(ms > 1.0 && ms < 120000.0, s"par probe measured $ms ms")
+  }
+
+  test("probe baseline is host-keyed and aged: a window min, not a " +
+      "forever min (r13 ADVICE + item 8)") {
+    // rolling window keeps the last ProbeHistLen readings: a stale
+    // fast minimum from >K runs ago decays out instead of marking a
+    // legitimately slower box permanently noisy
+    val fastPast = Seq(200.0) ++ Seq.fill(Bench.ProbeHistLen - 1)(400.0)
+    val aged = Bench.probeWindow(410.0, fastPast)
+    assert(aged.size == Bench.ProbeHistLen)
+    assert(!aged.contains(200.0), s"stale min survived: $aged")
+    assert(Bench.quietBaseline(aged) == 400.0)
+    // within the window the min still rules
+    val recent = Bench.probeWindow(500.0, Seq(340.0, 360.0))
+    assert(Bench.quietBaseline(recent) == 340.0)
+    // first run: its own baseline — probe arm can't fire
+    val first = Bench.probeWindow(1100.0, Seq.empty)
+    assert(Bench.quietBaseline(first) == 1100.0)
+    assert(!Bench.noisyHost(1.0, 1100.0, Bench.quietBaseline(first)))
+    // garbage prev readings (<= 0, corrupted artifact) are dropped
+    assert(Bench.probeWindow(400.0, Seq(-1.0, 0.0)) == Seq(400.0))
   }
 
   test("quadratic-contract set matches the capped lanes") {
