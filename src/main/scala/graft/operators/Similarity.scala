@@ -449,7 +449,7 @@ object Similarity {
   /** Sign-bit bucket for hash table `table` (coefficients seeded by
     * (table, plane, dim) — deterministic, no RNG state to ship).
     */
-  private[operators] def bucketCol(dims: Int, planes: Int, table: Int): org.apache.spark.sql.Column = {
+  private[graft] def bucketCol(dims: Int, planes: Int, table: Int): org.apache.spark.sql.Column = {
     // each plane projection = native dot(embedding, constant vector):
     // one tight codegen'd loop per plane instead of a dims-term scalar
     // expression tree (which falls out of codegen and runs interpreted)

@@ -136,14 +136,21 @@ class HnswSpec extends GraftSpecBase {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-hnsw-append").toString
     Hnsw.writeHnswIndex(e, tmp, dims0 = 16)
+    val qv = e.filter(col("vec_id") === 2L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    // probe BEFORE the append so the driver-side hot-region cache
+    // holds the pre-append graph — the post-append probe below then
+    // proves the append invalidated it (a stale cache would miss the
+    // appended twin entirely)
+    val pre = Hnsw.hnswIndexProbe(spark, tmp, qv, k = 3,
+      excludeId = Some(2L)).collect()
+    assert(pre.forall(_.getLong(0) < 1000L))
     // twins of vectors 0..4 at shifted ids — each must surface at
     // cos 1.0 for a probe with its original's embedding
     val twins = e.filter(col("vec_id") < 5)
       .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
     Hnsw.appendToHnswIndex(twins, tmp, dims0 = 16)
-    val qv = e.filter(col("vec_id") === 2L)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0)
     val got = Hnsw.hnswIndexProbe(spark, tmp, qv, k = 3,
       excludeId = Some(2L)).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
@@ -191,5 +198,107 @@ class HnswSpec extends GraftSpecBase {
     // cos 1.0 at the top when not excluded
     val self = Hnsw.hnswIndexProbe(spark, tmp, qv, k = 1).collect()
     assert(self.head.getLong(0) == 3L && self.head.getDouble(1) == 1.0)
+  }
+
+  test("driver-local probe is bit-identical to the distributed " +
+      "descent (same candidates, folds, rounding, tie order)") {
+    initLog()
+    val e = synth(200)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-hnsw-local").toString
+    Hnsw.writeHnswIndex(e, tmp, dims0 = 16)
+    for (qid <- Seq(1L, 7L, 42L)) {
+      val qv = e.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val loc = Hnsw.hnswIndexProbe(spark, tmp, qv, k = 5,
+        excludeId = Some(qid)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val dist = Hnsw.hnswIndexProbeDistributed(spark, tmp, qv, k = 5,
+        excludeId = Some(qid)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(loc == dist, s"qid=$qid\nlocal=$loc\ndist =$dist")
+    }
+    // no-exclude path: the self twin tops both
+    val qv = e.filter(col("vec_id") === 9L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val loc = Hnsw.hnswIndexProbe(spark, tmp, qv, k = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dist = Hnsw.hnswIndexProbeDistributed(spark, tmp, qv, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(loc == dist)
+    assert(loc.head._1 == 9L && loc.head._2 == 1.0)
+    // PAGING path: shrink the cache budget below the graph size so
+    // the probe pages per hop through the LRU (with eviction) instead
+    // of the complete-load fast path — results must stay identical
+    val before = Hnsw.ProbeCacheMaxEdges
+    try {
+      Hnsw.ProbeCacheMaxEdges = 100
+      Hnsw.invalidateProbeCache(tmp)
+      val paged = Hnsw.hnswIndexProbe(spark, tmp, qv, k = 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(paged == dist, s"paged=$paged\ndist =$dist")
+    } finally {
+      Hnsw.ProbeCacheMaxEdges = before
+      Hnsw.invalidateProbeCache(tmp)
+    }
+  }
+
+  test("append sizes planes from existing + delta: a 10x batch keeps " +
+      "the candidate join linear and appended twins stay findable") {
+    initLog()
+    // the derivation itself: a 10x delta raises the plane count above
+    // the r13 existing-only sizing
+    assert(Hnsw.appendPlanesFor(1000, 10000) == Hnsw.planesFor(11000))
+    assert(Hnsw.appendPlanesFor(1000, 10000) > Hnsw.planesFor(1001))
+    // candidate-join row count = sum over buckets of |b|^2 per table:
+    // at the delta-aware plane count it must be strictly below the
+    // existing-only sizing on the REAL union membership (40 existing,
+    // 400 appended — planesFor(441)=3 vs planesFor(41)=2)
+    val ex = synth(40)
+    val delta = synth(440).filter(col("vec_id") >= 40L)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val union = ex.unionByName(delta)
+    def candRows(planes: Int): Long =
+      union.select(posexplode(array((0 until Hnsw.Tables).map(t =>
+          Similarity.bucketCol(16, planes, t)): _*)))
+        .groupBy(col("pos"), col("col")).count()
+        .agg(sum(col("count") * col("count"))).head().getLong(0)
+    val withFix = candRows(Hnsw.appendPlanesFor(40, 400))
+    val without = candRows(Hnsw.planesFor(41))
+    assert(withFix < without,
+      s"delta-aware planes did not shrink the candidate join: " +
+        s"$withFix vs $without")
+    // end-to-end: the 10x append still lands findable and connected
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-hnsw-bigappend").toString
+    Hnsw.writeHnswIndex(ex, tmp, dims0 = 16)
+    Hnsw.appendToHnswIndex(delta, tmp, dims0 = 16)
+    val qv = delta.filter(col("vec_id") === 5100L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val got = Hnsw.hnswIndexProbe(spark, tmp, qv, k = 1).collect()
+    assert(got.head.getLong(0) == 5100L && got.head.getDouble(1) == 1.0,
+      got.toSeq)
+    // layer-0 connectivity over original ∪ the 10x append (both-ends
+    // anchored chain)
+    val adj = spark.read.parquet(s"$tmp/adj")
+      .filter(col("layer") === 0)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (adj.map(_._1) ++ adj.map(_._2)).toSet
+    assert(nodes.size == 440, s"layer 0 holds ${nodes.size} nodes")
+    val g = adj.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seen = collection.mutable.Set(nodes.min)
+    val queue = collection.mutable.Queue(nodes.min)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      g.getOrElse(u, Array.empty[Long]).foreach { v =>
+        if (!seen(v)) { seen += v; queue += v }
+      }
+    }
+    assert(seen.size == nodes.size,
+      s"${nodes.size - seen.size} nodes unreachable after 10x append")
   }
 }
