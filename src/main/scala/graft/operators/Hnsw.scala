@@ -99,6 +99,46 @@ object Hnsw {
       -log((pmod(xxhash64(id, lit(0x48435731L)), lit(65536L))
         .cast("double") + 0.5) / 65536.0) / math.log(M)).cast("int"))
 
+  /** The per-layer connectivity ring over a membership frame (layer,
+    * vec_id, …): members ordered by (xxhash64(id), id) are chained
+    * pairwise inside [[RingBuckets]] bounded windows, buckets chained
+    * by ONE collected endpoint table (≤ layers × 256 rows,
+    * driver-safe at any corpus size), both directions. Shared by
+    * [[buildGraph]] and [[compactHnswIndex]] — the one-component
+    * guarantee has a single definition.
+    */
+  private def ringEdges(mem: DataFrame): DataFrame = {
+    val spark = mem.sparkSession
+    import spark.implicits._
+    val keyed = mem.select(col("layer"), col("vec_id"),
+      pmod(xxhash64(col("vec_id"), lit(0x52494E47L)),
+        lit(RingBuckets.toLong)).as("__rb"),
+      xxhash64(col("vec_id")).as("__rh"))
+    val wRing = Window.partitionBy(col("layer"), col("__rb"))
+      .orderBy(col("__rh"), col("vec_id"))
+    val within = keyed
+      .withColumn("__nxt", lead(col("vec_id"), 1).over(wRing))
+      .filter(col("__nxt").isNotNull)
+      .select(col("layer"), col("vec_id").as("src"), col("__nxt").as("dst"))
+    val ends = keyed.groupBy(col("layer"), col("__rb"))
+      .agg(min_by(col("vec_id"), struct(col("__rh"), col("vec_id"))).as("f"),
+        max_by(col("vec_id"), struct(col("__rh"), col("vec_id"))).as("l"))
+      .orderBy(col("layer"), col("__rb")).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("f"), r.getAs[Long]("l")))
+    val cross = ends.groupBy(_._1).toSeq.flatMap { case (layer, bs) =>
+      bs.sliding(2).collect {
+        case Array((_, _, lastA), (_, firstB, _)) => (layer, lastA, firstB)
+      }
+    }
+    val crossDf =
+      if (cross.isEmpty)
+        spark.emptyDataset[(Int, Long, Long)].toDF("layer", "src", "dst")
+      else cross.toDF("layer", "src", "dst")
+    val ringDir = within.unionByName(crossDf)
+    ringDir.unionByName(ringDir.select(col("layer"),
+      col("dst").as("src"), col("src").as("dst")))
+  }
+
   /** Build the layered adjacency in one plan:
     * (layer, src, dst, cos, de) — ≤ 2M highest-cosine neighbors per
     * (layer, src) from LSH-bucket candidates ∪ the per-layer ring,
@@ -139,35 +179,7 @@ object Hnsw {
     val cand = left.join(right, Seq("layer", "tbl", "__bkt"))
       .filter(col("src") =!= col("dst"))
       .select(col("layer"), col("src"), col("se"), col("dst"), col("de"))
-    // per-layer ring: order inside (layer, ring-bucket) windows...
-    val keyed = mem.select(col("layer"), col("vec_id"), col("embedding"),
-      pmod(xxhash64(col("vec_id"), lit(0x52494E47L)),
-        lit(RingBuckets.toLong)).as("__rb"),
-      xxhash64(col("vec_id")).as("__rh"))
-    val wRing = Window.partitionBy(col("layer"), col("__rb"))
-      .orderBy(col("__rh"), col("vec_id"))
-    val within = keyed
-      .withColumn("__nxt", lead(col("vec_id"), 1).over(wRing))
-      .filter(col("__nxt").isNotNull)
-      .select(col("layer"), col("vec_id").as("src"), col("__nxt").as("dst"))
-    // ...plus ONE collected endpoint table chaining buckets per layer
-    val ends = keyed.groupBy(col("layer"), col("__rb"))
-      .agg(min_by(col("vec_id"), struct(col("__rh"), col("vec_id"))).as("f"),
-        max_by(col("vec_id"), struct(col("__rh"), col("vec_id"))).as("l"))
-      .orderBy(col("layer"), col("__rb")).collect()
-      .map(r => (r.getInt(0), r.getAs[Long]("f"), r.getAs[Long]("l")))
-    val cross = ends.groupBy(_._1).toSeq.flatMap { case (layer, bs) =>
-      bs.sliding(2).collect {
-        case Array((_, _, lastA), (_, firstB, _)) => (layer, lastA, firstB)
-      }
-    }
-    val crossDf =
-      if (cross.isEmpty)
-        spark.emptyDataset[(Int, Long, Long)].toDF("layer", "src", "dst")
-      else cross.toDF("layer", "src", "dst")
-    val ringDir = within.unionByName(crossDf)
-    val ring = ringDir.unionByName(ringDir.select(col("layer"),
-      col("dst").as("src"), col("src").as("dst")))
+    val ring = ringEdges(mem)
     // ring edges join embeddings back once (ring row count is ~2 ×
     // layer memberships — bounded); LSH candidates already carry them
     val ringE = ring
@@ -658,6 +670,77 @@ object Hnsw {
       .sortBy { case (id, c) => (-c, id) }
       .take(k)
     top.toDF("neighbor_id", "cos_sim")
+  }
+
+  /** Re-tighten a persisted index after appends — the maintenance op
+    * the append path's documented drift points at. Appends grow
+    * existing nodes' out-degree without bound (one reverse edge per
+    * adopted new neighbor per batch) and fragment the adjacency into
+    * one file set per append; compaction, in one pass over the index
+    * (NO LSH re-bucketing — cheaper than a rebuild by the whole
+    * candidate-generation stage):
+    *   1. re-caps out-degree to 2M per (layer, src) by cosine over
+    *      every edge the graph currently holds;
+    *   2. lays a FRESH uniform ring over the full nodes catalog
+    *      (cap-exempt, both directions) — the append-era anchored
+    *      chains are superseded and the one-component guarantee is
+    *      restored BY CONSTRUCTION no matter what the cap cut;
+    *   3. rewrites adjacency and nodes one src-sorted file per layer
+    *      (merging append fragments) and recomputes the meta entry
+    *      point from the full membership (an appended node can now
+    *      out-level the original entry).
+    * Neighbor QUALITY beyond the edges the graph already knows is not
+    * improved — missing old↔new cross-links need [[writeHnswIndex]]'s
+    * full rebuild; recall floors post-compact are spec'd at the
+    * fresh-build bar.
+    */
+  def compactHnswIndex(spark: SparkSession, path: String): Unit = {
+    invalidateProbeCache(path)
+    val adjPath = s"$path/adj"
+    val nodesPath = s"$path/nodes"
+    val adj = spark.read.parquet(adjPath)
+    val nodes = spark.read.parquet(nodesPath)
+      .select(col("layer"), col("vec_id"), col("embedding"))
+    val wTop = Window.partitionBy(col("layer"), col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val capped = adj
+      .groupBy(col("layer"), col("src"), col("dst"))
+      .agg(max(col("cos")).as("cos"), first(col("de")).as("de"))
+      .withColumn("__r", row_number().over(wTop))
+      .filter(col("__r") <= 2 * M).drop("__r")
+    val ringE = ringEdges(nodes)
+      .join(nodes.select(col("layer"), col("vec_id").as("src"),
+        col("embedding").as("se")), Seq("layer", "src"))
+      .join(nodes.select(col("layer"), col("vec_id").as("dst"),
+        col("embedding").as("de")), Seq("layer", "dst"))
+      .withColumn("cos", round(Vectors.cosine(col("se"), col("de")), 6))
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("de"))
+    capped.unionByName(ringE)
+      .groupBy(col("layer"), col("src"), col("dst"))
+      .agg(max(col("cos")).as("cos"), first(col("de")).as("de"))
+      .repartition(col("layer"))
+      .sortWithinPartitions(col("layer"), col("src"))
+      .write.mode("overwrite").partitionBy("layer")
+      .parquet(s"${adjPath}__compact")
+    nodes.repartition(col("layer"))
+      .sortWithinPartitions(col("layer"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("layer")
+      .parquet(s"${nodesPath}__compact")
+    // entry point from the full membership — bounded (1-row) collect
+    val entryRow = nodes
+      .groupBy(col("vec_id"))
+      .agg(max(col("layer")).as("__lvl"), first(col("embedding")).as("emb"))
+      .orderBy(col("__lvl").desc, xxhash64(col("vec_id")).desc,
+        col("vec_id").desc)
+      .limit(1)
+      .select(col("vec_id").as("entry"),
+        col("emb").cast("array<double>").as("entry_emb"),
+        lit(M).as("m"), lit(MaxLayer).as("max_layer"))
+    entryRow.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/meta__compact")
+    IndexIo.swapInto(spark, s"${adjPath}__compact", adjPath)
+    IndexIo.swapInto(spark, s"${nodesPath}__compact", nodesPath)
+    IndexIo.swapInto(spark, s"$path/meta__compact", s"$path/meta")
   }
 
   /** The distributed twin of [[hnswIndexProbe]] — the same descent

@@ -1094,6 +1094,43 @@ object Similarity {
       .write.mode("append").partitionBy("list").parquet(s"$path/corpus")
   }
 
+  /** Re-train a persisted IVF index from its CURRENT corpus and
+    * re-bucket — the maintenance op [[appendToIvfIndex]]'s contract
+    * defers to ("centroids drift as the corpus grows; re-train on a
+    * rebuild cadence"), previously prose, now an operator. Lloyd
+    * re-runs over everything the index now holds (original ∪ every
+    * appended batch), each vector re-assigns to its new nearest list,
+    * and the corpus rewrites one file per list (also merging
+    * append-fragmented files). nlist defaults to the existing
+    * centroid count; pass `nlist0` to re-size as the corpus grows.
+    * Output lands in side directories and swaps in ([[IndexIo]]) —
+    * the new corpus is computed FROM the live one, so an in-place
+    * overwrite would delete what the plan reads. Spec'd: post-retrain
+    * probes find appended twins exactly, and drifted-distribution
+    * recall is at-least-as-good as pre-retrain.
+    */
+  def retrainIvfIndex(spark: SparkSession, path: String,
+      nlist0: Int = -1, iters: Int = 3): Unit = {
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val nlist =
+      if (nlist0 > 0) nlist0 else readCentroids(spark, path).length
+    val cents = ivfTrain(corpus.select(col("vec_id"), col("embedding")),
+      nlist, iters)
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids__retrain")
+    val cArr = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val corpusSchema = corpus.schema
+    assignToNearest(corpus.drop("list"), cArr)
+      .select(corpusSchema.map(f => col(f.name).cast(f.dataType)): _*)
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(s"$path/corpus__retrain")
+    IndexIo.swapInto(spark, s"$path/corpus__retrain", s"$path/corpus")
+    IndexIo.swapInto(spark, s"$path/centroids__retrain",
+      s"$path/centroids")
+  }
+
   /** Assign each vector to its nearest centroid from a persisted
     * [[writeIvfIndex]] index — the bounded centroid table collapses
     * into ONE native argmin expression, so the result is a pure
