@@ -139,6 +139,36 @@ object SparkEntry {
         Hnsw.searchLane(s, d, nQueries = 10, k = 10),
         Similarity.annBruteForce(e, nQueries = 10, k = 10), k = 10)
     }),
+    // FILTERED retrieval (r13 stretch item 9): a 50 %-selectivity
+    // predicate applied DURING search — IVF pushes it into the
+    // list scan before top-k; HNSW navigates unfiltered with the
+    // beam widened by 1/selectivity and filters the final beam.
+    // rows-only like the other sketch lanes; the recall rows against
+    // the FILTERED brute force are the hard per-round signals
+    "ann_ivf_filtered" -> ((s, d) =>
+      Similarity.annIvfSearchFiltered(graft.sources.Tables.embeddings(s, d),
+        pmod(xxhash64(col("vec_id")), lit(2L)) === 0, dims0 = 64)),
+    "ann_ivf_filtered_recall" -> ((s, d) => {
+      val e = graft.sources.Tables.embeddings(s, d)
+      val pred = pmod(xxhash64(col("vec_id")), lit(2L)) === 0
+      Similarity.annRecallSummary(
+        Similarity.annIvfSearchFiltered(e, pred, nQueries = 10, k = 10,
+          dims0 = 64),
+        Similarity.annBruteForceFiltered(e, pred, nQueries = 10, k = 10),
+        k = 10)
+    }),
+    "ann_hnsw_filtered" -> ((s, d) =>
+      Hnsw.searchLaneFiltered(s, d,
+        pmod(xxhash64(col("vec_id")), lit(2L)) === 0)),
+    "ann_hnsw_filtered_recall" -> ((s, d) => {
+      val e = graft.sources.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val pred = pmod(xxhash64(col("vec_id")), lit(2L)) === 0
+      Similarity.annRecallSummary(
+        Hnsw.searchLaneFiltered(s, d, pred, nQueries = 10, k = 10),
+        Similarity.annBruteForceFiltered(e, pred, nQueries = 10, k = 10),
+        k = 10)
+    }),
     "text_tokencount" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),

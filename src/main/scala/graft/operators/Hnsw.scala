@@ -249,11 +249,11 @@ object Hnsw {
     * beam) make the checkpoint cheap at any corpus size.
     */
   private def descend(adj: DataFrame, queries: DataFrame,
-      frontier0: DataFrame): DataFrame = {
+      frontier0: DataFrame, efBase: Int = EfBase): DataFrame = {
     var frontier = frontier0.localCheckpoint(eager = true)
     for (layer <- MaxLayer to 0 by -1) {
       val (ef, hops) =
-        if (layer == 0) (EfBase, HopsBase) else (EfUpper, HopsUpper)
+        if (layer == 0) (efBase, HopsBase) else (EfUpper, HopsUpper)
       val layerAdj = adj.filter(col("layer") === layer)
         .select(col("src").as("node"), col("dst"), col("de"))
       for (_ <- 1 to hops) {
@@ -293,6 +293,12 @@ object Hnsw {
 
   private def searchAdj(e: DataFrame, adj: DataFrame, entry: Long,
       nQueries: Int, k: Int): DataFrame = {
+    val frontier = descendFrom(e, adj, entry, nQueries, EfBase)
+    topKOf(frontier, k)
+  }
+
+  private def descendFrom(e: DataFrame, adj: DataFrame, entry: Long,
+      nQueries: Int, efBase: Int): DataFrame = {
     val queries = broadcast(e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
     val entryRow = broadcast(e.filter(col("vec_id") === entry)
@@ -300,7 +306,10 @@ object Hnsw {
     val frontier0 = queries.crossJoin(entryRow)
       .select(col("query_id"), col("node"),
         round(Vectors.cosine(col("qe"), col("ne")), 6).as("cos"))
-    val frontier = descend(adj, queries, frontier0)
+    descend(adj, queries, frontier0, efBase)
+  }
+
+  private def topKOf(frontier: DataFrame, k: Int): DataFrame = {
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("node"))
     frontier.filter(col("node") =!= col("query_id"))
@@ -308,6 +317,46 @@ object Hnsw {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("node").as("neighbor_id"),
         col("rank"), col("cos").as("cos_sim"))
+  }
+
+  /** FILTERED graph search (r13 stretch): top-k among corpus vectors
+    * satisfying `pred`. Navigation must stay UNFILTERED — pruning the
+    * frontier itself can strand the beam in a pred-failing region
+    * with no outgoing pred-passing path (the standard filtered-HNSW
+    * failure) — so the descent runs over the full graph with the base
+    * beam widened by the predicate's selectivity (ef/selectivity: a
+    * 50 % filter doubles the beam), and the predicate lands once on
+    * the FINAL beam before top-k (a beam-sized semi-join against the
+    * pred-passing ids). Recall floor under a 50 % predicate is spec'd
+    * at the unfiltered bar.
+    */
+  def annHnswSearchFiltered(e: DataFrame, pred: Column,
+      nQueries: Int = 10, k: Int = 5, dims0: Int = -1,
+      selectivity: Double = 0.5): DataFrame = {
+    val adj = buildGraph(e, dims0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      searchAdjFiltered(e, adj, entryPoint(e), nQueries, k, pred,
+          selectivity)
+        .localCheckpoint(eager = true)
+    } finally adj.unpersist(blocking = false)
+  }
+
+  private def searchAdjFiltered(e: DataFrame, adj: DataFrame,
+      entry: Long, nQueries: Int, k: Int, pred: Column,
+      selectivity: Double): DataFrame = {
+    val efBase = math.min(256,
+      math.ceil(EfBase / math.max(0.01, selectivity)).toInt)
+    val frontier = descendFrom(e, adj, entry, nQueries, efBase)
+    // pred-passing subset OF THE BEAM: the corpus-sized pred side is
+    // scanned once and never shuffled (the beam side broadcasts in
+    // both joins; frontier is an eager localCheckpoint, so the double
+    // reference re-reads blocks, not lineage)
+    val beamNodes = broadcast(frontier.select(col("node")).distinct())
+    val passingBeam = broadcast(
+      e.where(pred).select(col("vec_id").as("node"))
+        .join(beamNodes, Seq("node"), "left_semi"))
+    topKOf(frontier.join(passingBeam, Seq("node"), "left_semi"), k)
   }
 
   /** Driver-lane entry: build once per (session, dir) and memoize the
@@ -321,8 +370,8 @@ object Hnsw {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (DataFrame, Long)]()
 
-  def searchLane(spark: SparkSession, dir: String,
-      nQueries: Int = 10, k: Int = 5): DataFrame = {
+  private def cachedGraphFor(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, Long) = {
     // evict entries owned by STOPPED sessions: unlike Bpe's
     // string-tuple memo, these hold block-manager-backed frames —
     // without eviction a long-lived JVM cycling sessions (test
@@ -335,7 +384,23 @@ object Hnsw {
     val (adj, entry) = graphCache.computeIfAbsent((spark, dir), _ =>
       (buildGraph(e, dims0 = 64).localCheckpoint(eager = true),
         entryPoint(e)))
+    (e, adj, entry)
+  }
+
+  def searchLane(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val (e, adj, entry) = cachedGraphFor(spark, dir)
     searchAdj(e, adj, entry, nQueries, k)
+  }
+
+  /** Driver-lane entry for the FILTERED search — shares the memoized
+    * build with `ann_hnsw`/`ann_hnsw_recall`.
+    */
+  def searchLaneFiltered(spark: SparkSession, dir: String, pred: Column,
+      nQueries: Int = 10, k: Int = 5,
+      selectivity: Double = 0.5): DataFrame = {
+    val (e, adj, entry) = cachedGraphFor(spark, dir)
+    searchAdjFiltered(e, adj, entry, nQueries, k, pred, selectivity)
   }
 
   /** Persist the index: adjacency PARTITIONED BY layer (a probe

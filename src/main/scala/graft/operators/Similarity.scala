@@ -45,6 +45,25 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
   }
 
+  /** Brute-force twin for FILTERED search: exact top-k among corpus
+    * vectors satisfying `pred`, queries drawn from the FULL corpus —
+    * the recall oracle for [[annIvfSearchFiltered]] and
+    * [[graft.operators.Hnsw.annHnswSearchFiltered]].
+    */
+  def annBruteForceFiltered(e: DataFrame, pred: Column,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val q = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val scored = e.where(pred).join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Vectors.cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos >= tau, id_a < id_b).
     *
     * EXACT, via a blocked all-pairs EQUI-join (triangle block-pair
@@ -1647,10 +1666,33 @@ object Similarity {
     * near-random vectors in 16 cells, not of the operator shape.
     */
   def annIvfSearch(e: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 10, dims0: Int = -1): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 10, dims0: Int = -1): DataFrame =
+    annIvfSearchImpl(e, lit(true), nQueries, k, nlist, nprobe, dims0)
+
+  /** FILTERED IVF search (the retrieval-pipeline shape: language = X,
+    * quality ≥ τ DURING search, not as a post-filter that starves
+    * top-k): exact top-k among corpus vectors satisfying `pred`,
+    * probing the same nprobe lists. The predicate lands on the
+    * corpus-scan side of the plan, so Catalyst pushes it below the
+    * assignment projection into the scan — candidates that fail it
+    * are never scored (and on the persisted-index path never read:
+    * parquet predicate pushdown). Queries come from the FULL corpus;
+    * centroids train on the full corpus (the index is shared across
+    * predicates). Recall floor under a 50 %-selectivity predicate is
+    * spec'd at the unfiltered bar.
+    */
+  def annIvfSearchFiltered(e: DataFrame, pred: Column,
+      nQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 10,
+      dims0: Int = -1): DataFrame =
+    annIvfSearchImpl(e, pred, nQueries, k, nlist, nprobe, dims0)
+
+  private def annIvfSearchImpl(e: DataFrame, pred: Column,
+      nQueries: Int, k: Int, nlist: Int, nprobe: Int,
+      dims0: Int): DataFrame = {
     val centroids = ivfTrain(e, nlist, dims0 = dims0).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     val corpus = assignToNearest(e, centroids)
+      .where(pred)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("list"))
     // query probes: top-nprobe lists by centroid similarity. Sorting
