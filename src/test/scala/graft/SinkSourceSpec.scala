@@ -246,19 +246,41 @@ class SinkSourceSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
-  test("mongo adapter: compiles jar-less, preflights, maps uri/db/collection") {
+  test("mongo adapter: the FULL reflective call chain against the " +
+      "fake driver — a renamed class/method/field fails here, not in " +
+      "a production submit (golden call sequence)") {
     initLog()
+    import com.mongodb.client.FakeMongoRegistry
     val store = MongoDocStore("mongodb://host:27017", "wiki", "edits")
     // connection mapping is plain data — the one-line swap target
     assert(store.uri == "mongodb://host:27017")
     assert(store.database == "wiki" && store.collection == "edits")
-    // the driver jar is absent in this sandbox: preflight says so and
-    // insertMany fails fast with the actionable message, not a CNFE
-    assert(!MongoDocStore.isAvailable)
-    val e = intercept[IllegalArgumentException] {
-      store.insertMany("e0-p0-c0", Seq("{}"))
-    }
-    assert(e.getMessage.contains("mongodb-driver-sync"))
+    // the TEST classpath carries a fake driver at the real driver's
+    // exact class/method coordinates (src/test/java/com/mongodb/...)
+    // so the reflection that production defers to the cluster jar
+    // executes — and is golden-pinned — offline
+    assert(MongoDocStore.isAvailable)
+    FakeMongoRegistry.clear()
+    store.insertMany("e0-p0-c0", Seq("{\"a\":1}", "{\"b\":2}"))
+    import scala.jdk.CollectionConverters._
+    assert(FakeMongoRegistry.CALLS.asScala.toList == List(
+      "create(mongodb://host:27017)",
+      "getDatabase(wiki)",
+      "getCollection(edits)",
+      "Filters.eq(_id=e0-p0-c0)",
+      "ReplaceOptions.upsert(true)",
+      "replaceOne(eq(_id, e0-p0-c0) | " +
+        "Document{_id=e0-p0-c0, docs=[{\"a\":1}, {\"b\":2}]} | " +
+        "ReplaceOptions{upsert=true})"),
+      FakeMongoRegistry.CALLS.asScala.mkString("\n"))
+    // replay idempotence shape: the SAME key re-upserts the same _id
+    // (replaceOne again), and the lazily-created client is REUSED on
+    // the same executor — no second create/getDatabase/getCollection
+    FakeMongoRegistry.clear()
+    store.insertMany("e0-p0-c0", Seq("{\"a\":1}", "{\"b\":2}"))
+    val replay = FakeMongoRegistry.CALLS.asScala.toList
+    assert(!replay.exists(_.startsWith("create(")), replay.mkString("\n"))
+    assert(replay.count(_.startsWith("replaceOne(")) == 1)
     // one instance ships to every executor — must survive JVM serialization
     val bos = new java.io.ByteArrayOutputStream()
     new java.io.ObjectOutputStream(bos).writeObject(store)
