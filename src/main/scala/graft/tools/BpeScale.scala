@@ -71,19 +71,22 @@ object BpeScale {
     // the synthetic corpora have small vocabularies that can fully
     // merge before deep R (sf0.1 exhausts at 88) — auto-cap at the
     // exhaustion point the trainer reports rather than failing the
-    // measurement
-    // cap discovery is a separate untimed pass so the measured runs
-    // below are clean single trainings
-    val r2 =
-      try { Bpe.trainMergesBatched(docs, rounds = r, batch = 64); r }
-      catch {
+    // measurement. The first timed attempt doubles as discovery: only
+    // an exhausted run re-times at the capped R (deep-R trainings run
+    // tens of minutes; an unconditional untimed discovery pass would
+    // double that).
+    def timedBatched(rr: Int): (Int, Double, Seq[(String, String)]) =
+      try {
+        val t0 = System.nanoTime()
+        val m = Bpe.trainMergesBatched(docs, rounds = rr, batch = 64)
+        (rr, (System.nanoTime() - t0) / 1e9, m)
+      } catch {
         case e: IllegalArgumentException if e.getMessage.contains("exhausted") =>
-          "after (\\d+) merges".r.findFirstMatchIn(e.getMessage)
-            .map(_.group(1).toInt).getOrElse(throw e)
+          timedBatched("after (\\d+) merges".r
+            .findFirstMatchIn(e.getMessage)
+            .map(_.group(1).toInt).getOrElse(throw e))
       }
-    val t0 = System.nanoTime()
-    val batched = Bpe.trainMergesBatched(docs, rounds = r2, batch = 64)
-    val tBatched = (System.nanoTime() - t0) / 1e9
+    val (r2, tBatched, batched) = timedBatched(r)
     if (batchedOnly) {
       println(f"""{"r_requested":$r,"r_effective":$r2,"sf":"$dir",""" +
         f""""batched_sec":$tBatched%.2f}""")
