@@ -123,6 +123,13 @@ object Bpe {
     * codegen-friendly at large R without paying a materialization
     * job per round (which DOMINATED the lane at bench SFs — 3 jobs
     * per round × 16 rounds × tiny tables is pure scheduling overhead).
+    * The re-anchor is a localCheckpoint, NOT persist: persist caches
+    * DATA but the logical plan keeps the whole accumulated replace
+    * chain, and plan stringification on the ~1000-deep expression
+    * OOMed the driver at R = 1000 on the Heap's-law corpus (the
+    * pagerank/HNSW truncate-the-growing-lineage lesson, third
+    * sighting). The checkpoint truncates plan and lineage to a
+    * LogicalRDD; the driver lanes (R = 16 < cadence) never hit it.
     */
   private val RepersistEvery = 64
 
@@ -151,8 +158,7 @@ object Bpe {
         words = words.withColumn("repr",
           replace(col("repr"), lit(Sep + l + Sep + r), lit(Sep + l + r)))
         if (k % RepersistEvery == 0 && k < rounds) {
-          val next = words.persist()
-          next.count()
+          val next = words.localCheckpoint(true) // truncate plan+lineage
           anchor.unpersist()
           anchor = next
           words = next
@@ -303,8 +309,7 @@ object Bpe {
         }
         sinceRepersist += kept.length
         if (sinceRepersist >= RepersistEvery && out.length < rounds) {
-          val next = words.persist()
-          next.count()
+          val next = words.localCheckpoint(true) // truncate plan+lineage
           anchor.unpersist()
           anchor = next
           words = next
