@@ -352,6 +352,17 @@ object Bench {
     * (scale runs share the cwd artifact; a 100× prev would flag
     * everything). Failed lanes (-1) never enter either side.
     */
+  /** The gate predicate shared by the in-suite pass and the
+    * post-suite confirmation pass: shift-normalized ≥ 2× over prev,
+    * above [[RegressFloorSec]].
+    */
+  private def clearsGate(p: Double, t: Double, shift: Double): Boolean = {
+    val norm = t / shift
+    p > 0 && norm >= 2.0 * p &&
+      (math.min(p, norm) >= RegressFloorSec ||
+        norm - p >= RegressFloorSec)
+  }
+
   private[graft] def regressedLanes(prev: Map[String, Double],
       cur: Seq[(String, Double)], noisy: Boolean,
       sameSf: Boolean): Seq[String] =
@@ -359,14 +370,37 @@ object Bench {
     else {
       val shift = medianShift(prev, cur)
       cur.collect {
-        case (name, t) if t >= 0 && prev.get(name).exists { p =>
-          val norm = t / shift
-          p > 0 && norm >= 2.0 * p &&
-            (math.min(p, norm) >= RegressFloorSec ||
-              norm - p >= RegressFloorSec)
-        } => name
+        case (name, t) if t >= 0 &&
+          prev.get(name).exists(clearsGate(_, t, shift)) => name
       }.sorted
     }
+
+  /** Post-suite CONFIRMATION of gate candidates (r14): the probes
+    * and the median shift catch contention that is either present at
+    * suite start or uniform across it, but a 10-20 s host stall in
+    * the MIDDLE of a quiet run inflates a few consecutive
+    * alphabetical lanes and nothing else — min-of-2 can't filter a
+    * stall longer than the lane (both in-suite runs sit inside it),
+    * and the suite median never moves (measured twice on one quiet
+    * r14 day: curate_dsir+curate_dsir_hashed 2.4× in one run,
+    * text_search_bm25..text_top_ngrams ~2× in the next, every lane
+    * re-timing clean in isolation). A transient stall has passed by
+    * suite end; a genuine code regression reproduces whenever the
+    * lane runs. So each candidate re-times once post-suite and the
+    * flag ships only if the re-time still clears the same normalized
+    * threshold; cleared lanes ship as "transient" so the stall is
+    * still visible in the artifact, and a FAILED re-time keeps the
+    * flag (no evidence, no acquittal).
+    */
+  private[graft] def confirmRegressions(candidates: Seq[String],
+      prev: Map[String, Double], shift: Double,
+      reTime: String => Double): (Seq[String], Seq[String]) = {
+    val (confirmed, transient) = candidates.partition { name =>
+      val t = reTime(name)
+      t < 0 || prev.get(name).exists(clearsGate(_, t, shift))
+    }
+    (confirmed.sorted, transient.sorted)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -531,14 +565,26 @@ object Bench {
     // artifact diff. median_shift ships so a uniform host envelope
     // is readable off the artifact without hand adjudication.
     val shift = medianShift(prevMap, results)
-    val regressed = regressedLanes(prevMap, results, noisy,
+    val candidates = regressedLanes(prevMap, results, noisy,
       sameSf = prevSf == sfDir)
+    // confirmation pass: candidates re-time once, AFTER the suite and
+    // the two streaming lanes — far from whatever mid-suite stall
+    // flagged them (see confirmRegressions). Real regressions survive.
+    val (regressed, transientLanes) =
+      confirmRegressions(candidates, prevMap, shift, name =>
+        selected.get(name).map { fn =>
+          val t0 = System.nanoTime()
+          try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        }.getOrElse(-1.0))
     val regressedJson = regressed.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val transientJson = transientLanes.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     def histJson(h: Seq[Double]): String =
       h.map(fmt(_, 1)).mkString("[", ",", "]")
     def line(qs: String, extra: String = "") =
-      s"""{"metric":"total","value":${fmt(total, 4)},"total_nonquadratic":${fmt(totalNonQuadratic, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"regressed":$regressedJson,"median_shift":${fmt(shift, 3)},"stream_rows_per_sec":${fmt(streamRps, 0)},"stream_rows_per_sec_stateful":${fmt(streamRpsStateful, 0)},"loadavg":${fmt(loadavg, 2)},"probe_ms":${fmt(probeMs, 1)},"probe_quiet_ms":${fmt(probeQuiet, 1)},"probe_par_ms":${fmt(probeParMs, 1)},"probe_par_quiet_ms":${fmt(probeParQuiet, 1)},"noisy":$noisy,"full":"bench_full.json","sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"total_nonquadratic":${fmt(totalNonQuadratic, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"regressed":$regressedJson,"transient":$transientJson,"median_shift":${fmt(shift, 3)},"stream_rows_per_sec":${fmt(streamRps, 0)},"stream_rows_per_sec_stateful":${fmt(streamRpsStateful, 0)},"loadavg":${fmt(loadavg, 2)},"probe_ms":${fmt(probeMs, 1)},"probe_quiet_ms":${fmt(probeQuiet, 1)},"probe_par_ms":${fmt(probeParMs, 1)},"probe_par_quiet_ms":${fmt(probeParQuiet, 1)},"noisy":$noisy,"full":"bench_full.json","sf":"$sfDir"$extra}"""
     // Full map (4-decimal) to the file artifact; headline map
     // (3-decimal) to stdout, with a hard 1600-char guard: should
     // the headline set ever outgrow the tail budget, drop precision

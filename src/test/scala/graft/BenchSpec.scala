@@ -139,6 +139,39 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.probeWindow(400.0, Seq(-1.0, 0.0)) == Seq(400.0))
   }
 
+  test("confirmation pass: a mid-suite transient stall clears on the " +
+      "post-suite re-time; a real regression survives it (r14)") {
+    // the r14 phenomenon: two quiet back-to-back runs each flagged a
+    // DIFFERENT contiguous alphabetical window (curate_dsir pair 2.4x,
+    // then text_search_bm25..text_top_ngrams ~2x) — a 10-20 s host
+    // stall inside an otherwise-quiet suite, with every lane re-timing
+    // clean in isolation. The confirmation re-time mechanizes that
+    // adjudication.
+    val candidates = Seq("d", "i")
+    // both re-time at their previous cost -> both transient, none ship
+    val (conf0, trans0) = Bench.confirmRegressions(candidates, prev,
+      shift = 1.0, reTime = prev(_))
+    assert(conf0.isEmpty && trans0 == Seq("d", "i"))
+    // lane d re-times still 2.5x -> confirmed; i clears -> transient
+    val (conf1, trans1) = Bench.confirmRegressions(candidates, prev,
+      shift = 1.0, reTime = { case "d" => 7.5; case n => prev(n) })
+    assert(conf1 == Seq("d") && trans1 == Seq("i"))
+    // the re-time honors the same median normalization: 3x raw under a
+    // 1.5x envelope is a normalized 2x -> still confirmed
+    val (conf2, _) = Bench.confirmRegressions(Seq("d"), prev,
+      shift = 1.5, reTime = _ => 9.0)
+    assert(conf2 == Seq("d"))
+    // ...and the same absolute floor: a sub-second lane re-timing at
+    // jitter scale cannot confirm
+    val (conf3, trans3) = Bench.confirmRegressions(Seq("j"), prev,
+      shift = 1.0, reTime = _ => 0.41)
+    assert(conf3.isEmpty && trans3 == Seq("j"))
+    // a FAILED re-time keeps the flag: no evidence, no acquittal
+    val (conf4, _) = Bench.confirmRegressions(Seq("d"), prev,
+      shift = 1.0, reTime = _ => -1.0)
+    assert(conf4 == Seq("d"))
+  }
+
   test("quadratic-contract set matches the capped lanes") {
     assert(Bench.quadraticContract ==
       Set("dedup_embedding", "dedup_embedding_exact_hi"))
