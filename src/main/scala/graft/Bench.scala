@@ -466,6 +466,14 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // the ann_hnsw* lanes share one memoized graph build; the lanes
+      // are alphabetically consecutive, so the first non-family lane
+      // marks the family done — release the memo's block storage
+      // before running it (GB-scale at 100×: leaving it pinned for the
+      // ~170 later lanes OOMed two r14 scale runs at a MOVING lane).
+      // No-op when the memo is empty.
+      if (!name.startsWith("ann_hnsw"))
+        graft.operators.Hnsw.releaseGraphCache(spark)
       var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -577,6 +585,8 @@ object Bench {
           try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 }
         }.getOrElse(-1.0))
+    // a flagged ann_hnsw* re-time above rebuilds the lane memo; drop it
+    graft.operators.Hnsw.releaseGraphCache(spark)
     val regressedJson = regressed.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val transientJson = transientLanes.map("\"" + _ + "\"")

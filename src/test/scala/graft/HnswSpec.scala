@@ -129,6 +129,26 @@ class HnswSpec extends GraftSpecBase {
     }
   }
 
+  test("lane memo: shared across calls, releasable, and a post-release " +
+      "call rebuilds to the identical result (the 100x OOM fix)") {
+    initLog()
+    Hnsw.releaseGraphCache(spark) // clean slate from earlier suites
+    val r1 = Hnsw.searchLane(spark, sf, nQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(Hnsw.graphCacheSize >= 1, "searchLane did not populate the memo")
+    // release frees the memo entry (and its block storage) for the
+    // session — the bench drops it the moment the lane family is done
+    Hnsw.releaseGraphCache(spark)
+    assert(Hnsw.graphCacheSize == 0, "release left memo entries behind")
+    // a later call rebuilds and returns the identical deterministic
+    // result; the memo repopulates
+    val r2 = Hnsw.searchLane(spark, sf, nQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r1 == r2, "post-release rebuild diverged from the memoized run")
+    assert(Hnsw.graphCacheSize >= 1)
+    Hnsw.releaseGraphCache(spark)
+  }
+
   test("append: new vectors become findable without a rebuild, and " +
       "appended-layer connectivity holds (anchored ring)") {
     initLog()
