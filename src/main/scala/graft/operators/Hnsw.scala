@@ -266,16 +266,34 @@ object Hnsw {
             round(Vectors.cosine(col("qe"), col("de")), 6).as("cos"))
         val wBeam = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("node"))
-        frontier = frontier.unionByName(nbrs)
+        val next = frontier.unionByName(nbrs)
           .groupBy(col("query_id"), col("node"))
           .agg(max(col("cos")).as("cos"))
           .withColumn("__r", row_number().over(wBeam))
           .filter(col("__r") <= ef).drop("__r")
           .localCheckpoint(eager = true)
+        // the superseded frontier's blocks are fully consumed into
+        // `next` (eager) — free them now instead of waiting for a
+        // driver GC + ContextCleaner round (tiny per hop, but a
+        // 174-lane suite runs many descents per process)
+        unpersistCheckpointed(frontier)
+        frontier = next
       }
     }
     frontier
   }
+
+  /** Unpersist the checkpointed RDD under a localCheckpointed frame
+    * (its analyzed plan is a LogicalRDD over the persisted RDD). Only
+    * call once the frame's blocks have been fully consumed by an
+    * EAGER successor — a localCheckpoint cannot recompute.
+    */
+  private def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Batch ANN search over the layered graph. Returns the
     * annBruteForce shape: (query_id, neighbor_id, rank, cos_sim),
@@ -360,20 +378,22 @@ object Hnsw {
   }
 
   /** Driver-lane entry: build once per (session, dir) and memoize the
-    * persisted adjacency + entry point — `ann_hnsw`, `ann_hnsw_recall`
+    * checkpointed adjacency + entry point — `ann_hnsw`, `ann_hnsw_recall`
     * and the filtered pair (and the bench's min-of-2 runs) share one
     * deterministic build, the [[Bpe.cachedMerges]] precedent. The
-    * memo holds a PERSISTED frame (MEMORY_AND_DISK block storage —
-    * buildGraph's plan is bounded-depth, so persist's
-    * recompute-on-block-loss semantics beat localCheckpoint's
-    * fail-on-loss here, and `unpersist` gives the memo an explicit
-    * release) keyed by the owning session, so a restarted session
-    * rebuilds. At the 100× corpus the adjacency (dst embeddings ride
-    * the edges) is GB-scale: r14's scale run OOMed twice at a MOVING
-    * lane because the then-localCheckpointed memo stayed pinned for
-    * the 170 suite lanes AFTER the ann block — a lane-scoped cache
-    * must be releasable, and [[releaseGraphCache]] is how the bench
-    * drops it the moment the lane family is done.
+    * memo holds a localCheckpointed frame (ROW-format block storage,
+    * no lineage — materialization streams each task's partition
+    * straight to storage; a `persist(MEMORY_AND_DISK)` + count was
+    * tried here and OOMed the 100× BUILD inside the columnar
+    * InMemoryRelation batch builder where the checkpoint path had
+    * succeeded twice) keyed by the owning session, so a restarted
+    * session rebuilds. At the 100× corpus the adjacency (dst
+    * embeddings ride the edges) is GB-scale: r14's scale runs OOMed
+    * at a MOVING lane because the memo stayed pinned for the ~170
+    * suite lanes AFTER the ann block — a lane-scoped cache must be
+    * releasable, so [[releaseGraphCache]] unpersists the checkpointed
+    * RDD under the frame's LogicalRDD and the bench drops the memo
+    * the moment the lane family is done.
     */
   private val graphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
@@ -385,22 +405,30 @@ object Hnsw {
     // string-tuple memo, these hold block-manager-backed frames —
     // without eviction a long-lived JVM cycling sessions (test
     // suites, repeated tool runs) pins dead sessions and their
-    // cached adjacency blocks forever (found by review)
+    // checkpointed adjacency blocks forever (found by review)
     graphCache.entrySet().removeIf(ent =>
       ent.getKey._1.sparkContext.isStopped)
     val e = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val (adj, entry) = graphCache.computeIfAbsent((spark, dir), _ => {
-      val a = buildGraph(e, dims0 = 64)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      a.count() // materialize once, eagerly (the memo's whole point)
-      (a, entryPoint(e))
+      val ck = buildGraph(e, dims0 = 64).localCheckpoint(eager = true)
+      // name the checkpointed RDD so block ownership is readable in
+      // the UI/getPersistentRDDs and spec-assertable after release
+      ck.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.setName(s"$LaneMemoRddName:$dir")
+        case _ => ()
+      }
+      (ck, entryPoint(e))
     })
     (e, adj, entry)
   }
 
+  private[graft] val LaneMemoRddName = "hnsw-lane-memo"
+
   /** Drop every memoized lane graph this session holds and free its
-    * block storage. The memo exists to share one build across the
+    * block storage (the checkpointed RDD under the frame's
+    * LogicalRDD). The memo exists to share one build across the
     * consecutive `ann_hnsw*` lanes; after them it is dead weight —
     * GB-scale at a 100× corpus — pinned against every later lane's
     * execution memory. The bench calls this as soon as the lane
@@ -411,7 +439,7 @@ object Hnsw {
     while (it.hasNext) {
       val ent = it.next()
       if (ent.getKey._1 eq spark) {
-        ent.getValue._1.unpersist(blocking = false)
+        unpersistCheckpointed(ent.getValue._1)
         it.remove()
       }
     }

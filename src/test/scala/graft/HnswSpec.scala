@@ -132,14 +132,22 @@ class HnswSpec extends GraftSpecBase {
   test("lane memo: shared across calls, releasable, and a post-release " +
       "call rebuilds to the identical result (the 100x OOM fix)") {
     initLog()
+    def memoRdds() = spark.sparkContext.getPersistentRDDs.values
+      .filter(r => Option(r.name).exists(_.startsWith(Hnsw.LaneMemoRddName)))
     Hnsw.releaseGraphCache(spark) // clean slate from earlier suites
     val r1 = Hnsw.searchLane(spark, sf, nQueries = 5, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(Hnsw.graphCacheSize >= 1, "searchLane did not populate the memo")
-    // release frees the memo entry (and its block storage) for the
-    // session — the bench drops it the moment the lane family is done
+    assert(memoRdds().nonEmpty, "memoized graph RDD not pinned/named")
+    // release frees the memo entry AND its block storage for the
+    // session — the bench drops it the moment the lane family is done.
+    // (Superseded per-hop frontiers are freed inside descend; only the
+    // FINAL frontier — a 1-partition beam — may outlive a lane until
+    // driver GC, which is why the assertion targets the named memo.)
     Hnsw.releaseGraphCache(spark)
     assert(Hnsw.graphCacheSize == 0, "release left memo entries behind")
+    assert(memoRdds().isEmpty,
+      "release left the memoized graph's blocks pinned")
     // a later call rebuilds and returns the identical deterministic
     // result; the memo repopulates
     val r2 = Hnsw.searchLane(spark, sf, nQueries = 5, k = 5).collect()
