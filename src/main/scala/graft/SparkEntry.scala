@@ -169,6 +169,37 @@ object SparkEntry {
         Similarity.annBruteForceFiltered(e, pred, nQueries = 10, k = 10),
         k = 10)
     }),
+    // filtered retrieval, remaining two families (r14): LSH pushes
+    // the predicate into the corpus side of the bucket join and
+    // widens probes to Hamming ≤ 2 (multi-probe; radius 1 measured
+    // 0.56/0.69 vs 0.95/0.96 at radius 2 under the 50 % predicate);
+    // PQ's ADC is exhaustive over the passing set so no widening is
+    // needed (measured 0.99/1.00). Same rows-only + recall-signal
+    // convention as the IVF/HNSW pair.
+    "ann_lsh_filtered" -> ((s, d) =>
+      Similarity.annLshSearchFiltered(graft.sources.Tables.embeddings(s, d),
+        pmod(xxhash64(col("vec_id")), lit(2L)) === 0, dims0 = 64)),
+    "ann_lsh_filtered_recall" -> ((s, d) => {
+      val e = graft.sources.Tables.embeddings(s, d)
+      val pred = pmod(xxhash64(col("vec_id")), lit(2L)) === 0
+      Similarity.annRecallSummary(
+        Similarity.annLshSearchFiltered(e, pred, nQueries = 10, k = 10,
+          dims0 = 64),
+        Similarity.annBruteForceFiltered(e, pred, nQueries = 10, k = 10),
+        k = 10)
+    }),
+    "ann_pq_filtered" -> ((s, d) =>
+      Similarity.annPqSearchFiltered(graft.sources.Tables.embeddings(s, d),
+        pmod(xxhash64(col("vec_id")), lit(2L)) === 0, dims0 = 64)),
+    "ann_pq_filtered_recall" -> ((s, d) => {
+      val e = graft.sources.Tables.embeddings(s, d)
+      val pred = pmod(xxhash64(col("vec_id")), lit(2L)) === 0
+      Similarity.annRecallSummary(
+        Similarity.annPqSearchFiltered(e, pred, nQueries = 10, k = 10,
+          dims0 = 64),
+        Similarity.annBruteForceFiltered(e, pred, nQueries = 10, k = 10),
+        k = 10)
+    }),
     "text_tokencount" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),

@@ -795,14 +795,36 @@ object Similarity {
     */
   def annPqSearch(e: DataFrame, nQueries: Int = 10, k: Int = 5,
       m: Int = 16, ksub: Int = 64, rerank: Int = 50,
-      dims0: Int = -1): DataFrame = {
+      dims0: Int = -1): DataFrame =
+    annPqSearchImpl(e, lit(true), nQueries, k, m, ksub, rerank, dims0)
+
+  /** FILTERED PQ search (the retrieval-pipeline shape, PQ flavor):
+    * exact top-k among pred-passing vectors, ADC-scored then
+    * exact-refined. The predicate lands on the corpus side BEFORE the
+    * encode projection, so Catalyst pushes it into the scan (on a
+    * persisted code table, into parquet) — failing vectors are never
+    * encoded or scored. ADC remains EXHAUSTIVE over the passing set
+    * (PQ has no candidate-pruning stage to starve), so filtered
+    * recall is governed by the same codebook-resolution + rerank
+    * budget as the unfiltered lane — the floor holds with no
+    * widening knob. Codebooks train on the FULL corpus (one index
+    * serves every predicate); queries come from the full corpus.
+    */
+  def annPqSearchFiltered(e: DataFrame, pred: Column,
+      nQueries: Int = 10, k: Int = 5, m: Int = 16, ksub: Int = 64,
+      rerank: Int = 50, dims0: Int = -1): DataFrame =
+    annPqSearchImpl(e, pred, nQueries, k, m, ksub, rerank, dims0)
+
+  private def annPqSearchImpl(e: DataFrame, pred: Column,
+      nQueries: Int, k: Int, m: Int, ksub: Int, rerank: Int,
+      dims0: Int): DataFrame = {
     val dims = dimsOf(e, dims0)
     val books = pqTrain(e, m, ksub, dims0 = dims)
     val dsub = dims / m
     // ensure at the corpus-scale call site: the broadcast ADC
     // scoring join INHERITS the codes frame's partitioning, so a
     // starved scan would serialize the whole search lane
-    val codes = pqEncode(Par.ensure(e), books, dims0 = dims)
+    val codes = pqEncode(Par.ensure(e.where(pred)), books, dims0 = dims)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     // code-norm table cn[s][i] = ||c_{s,i}||² — query-independent
     val cn = bookTable(books, m, ksub)((_, c) => c.map(x => x * x).sum)
@@ -1818,19 +1840,55 @@ object Similarity {
     * corpus partitioning key, so each probe touches a bounded slice.
     */
   def annLshSearch(e: DataFrame, nQueries: Int = 10, k: Int = 5,
-      planes: Int = 6, tables: Int = 4, dims0: Int = -1): DataFrame = {
+      planes: Int = 6, tables: Int = 4, dims0: Int = -1): DataFrame =
+    annLshSearchImpl(e, lit(true), nQueries, k, planes, tables, dims0,
+      probeRadius = 1)
+
+  /** FILTERED LSH search (the retrieval-pipeline shape, LSH flavor):
+    * exact top-k among bucket candidates satisfying `pred`. The
+    * predicate lands on the corpus side of the bucket equi-join, so
+    * Catalyst pushes it below the bucket projection into the scan —
+    * failing vectors are never hashed into candidate rows, and on a
+    * persisted index the (tbl, bucket) partition pruning composes
+    * with the parquet predicate pushdown. Queries come from the FULL
+    * corpus and the plane tables are predicate-independent (one index
+    * serves every predicate). A selective predicate thins every
+    * bucket, so the probe neighborhood WIDENS to Hamming ≤ 2 (the
+    * multi-probe LSH move, Lv et al. 2007): candidate volume per
+    * table goes from (planes+1)/2^planes to
+    * (1+planes+C(planes,2))/2^planes of the passing corpus — at the
+    * default 6 planes that is 22/64 of HALF the corpus, i.e. the same
+    * order as the unfiltered lane's scan, for a measured recall at
+    * the unfiltered floor instead of a collapsed one.
+    */
+  def annLshSearchFiltered(e: DataFrame, pred: Column,
+      nQueries: Int = 10, k: Int = 5, planes: Int = 6, tables: Int = 4,
+      dims0: Int = -1, probeRadius: Int = 2): DataFrame =
+    annLshSearchImpl(e, pred, nQueries, k, planes, tables, dims0,
+      probeRadius)
+
+  private def annLshSearchImpl(e: DataFrame, pred: Column,
+      nQueries: Int, k: Int, planes: Int, tables: Int, dims0: Int,
+      probeRadius: Int): DataFrame = {
     val dims = dimsOf(e, dims0)
     val buckets = (0 until tables).map(t => bucketCol(dims, planes, t))
     val all = e.select(col("vec_id"), col("embedding"),
       posexplode(array(buckets: _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    val corpus = all.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce"), col("tbl"), col("bucket").as("cb"))
+    val corpus = all.where(pred)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("tbl"), col("bucket").as("cb"))
+    // XOR masks for every bucket within Hamming distance probeRadius
+    // (mask 0 = the bucket itself) — bounded by Σ C(planes, r), a
+    // plan-size constant, never data-dependent
+    val masks = (0 to probeRadius).flatMap(r =>
+      (0 until planes).combinations(r)
+        .map(_.foldLeft(0L)((a, p) => a | (1L << p))))
     val probes = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("tbl").as("qtbl"),
-        explode(array((col("bucket") +: (0 until planes).map(p =>
-          col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("pb"))
+        explode(array(masks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
     val scored = broadcast(probes).join(corpus,
         col("qtbl") === col("tbl") && col("pb") === col("cb") &&
           col("neighbor_id") =!= col("query_id"))

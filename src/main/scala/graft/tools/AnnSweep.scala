@@ -32,6 +32,32 @@ object AnnSweep {
         times.map(t => f"$t%.3f").mkString(" ") + f"  min=${times.min}%.3f")
       spark.stop(); return
     }
+    // filtered mode: recall of the filtered LSH/PQ lanes (r14) vs the
+    // filtered brute force under the 50 %-selectivity hash predicate,
+    // at probe radius 1 vs 2 for LSH — how the shipped radius and the
+    // spec floors were picked
+    if (args.lift(1).contains("filtered")) {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pred = pmod(xxhash64(col("vec_id")), lit(2L)) === 0
+      val exactF = Similarity.annBruteForceFiltered(e, pred,
+          nQueries = 10, k = 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exactF.count()
+      def recallF(df: org.apache.spark.sql.DataFrame): Double =
+        Similarity.annRecallSummary(df, exactF, k = 10)
+          .collect()(0).getAs[Double]("recall")
+      for (radius <- Seq(1, 2)) {
+        val r = recallF(Similarity.annLshSearchFiltered(e, pred,
+          nQueries = 10, k = 10, dims0 = 64, probeRadius = radius))
+        println(f"LSHf radius=$radius  recall@10=$r%.3f")
+      }
+      val rPq = recallF(Similarity.annPqSearchFiltered(e, pred,
+        nQueries = 10, k = 10, dims0 = 64))
+      println(f"PQf  m=16 ksub=64 rerank=50  recall@10=$rPq%.3f")
+      spark.stop(); return
+    }
     val e = Tables.embeddings(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = Similarity.annBruteForce(e, nQueries = 10, k = 10)

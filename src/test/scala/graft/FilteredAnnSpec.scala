@@ -88,4 +88,54 @@ class FilteredAnnSpec extends GraftSpecBase {
       nQueries = 5, k = 5, dims0 = 64).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("filtered LSH: only pred-passing neighbors, recall floor >= " +
+      "0.8 at Hamming-2 probes on the embeddings table") {
+    initLog()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val got = Similarity.annLshSearchFiltered(e, pred,
+      nQueries = 10, k = 10, dims0 = 64)
+    val passing = e.where(pred).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val rows = got.collect()
+    assert(rows.nonEmpty && rows.forall(r => passing(r.getLong(1))))
+    val recall = Similarity.annRecallSummary(got,
+      Similarity.annBruteForceFiltered(e, pred, nQueries = 10, k = 10),
+      k = 10).head().getDouble(3)
+    assert(recall >= 0.8, s"filtered LSH recall=$recall")
+  }
+
+  test("filtered PQ: only pred-passing neighbors, recall floor >= " +
+      "0.8 (exhaustive ADC + refine, no widening) on the embeddings " +
+      "table") {
+    initLog()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val got = Similarity.annPqSearchFiltered(e, pred,
+      nQueries = 10, k = 10, dims0 = 64)
+    val passing = e.where(pred).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val rows = got.collect()
+    assert(rows.nonEmpty && rows.forall(r => passing(r.getLong(1))))
+    val recall = Similarity.annRecallSummary(got,
+      Similarity.annBruteForceFiltered(e, pred, nQueries = 10, k = 10),
+      k = 10).head().getDouble(3)
+    assert(recall >= 0.8, s"filtered PQ recall=$recall")
+  }
+
+  test("unfiltered LSH/PQ lanes untouched by the refactor: vacuous " +
+      "predicate at the unfiltered probe radius is bit-equal") {
+    initLog()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val lshA = Similarity.annLshSearch(e, nQueries = 5, k = 5, dims0 = 64)
+      .collect().map(_.toSeq).toSeq
+    val lshB = Similarity.annLshSearchFiltered(e, lit(true),
+        nQueries = 5, k = 5, dims0 = 64, probeRadius = 1)
+      .collect().map(_.toSeq).toSeq
+    assert(lshA == lshB)
+    val pqA = Similarity.annPqSearch(e, nQueries = 5, k = 5, dims0 = 64)
+      .collect().map(_.toSeq).toSeq
+    val pqB = Similarity.annPqSearchFiltered(e, lit(true),
+        nQueries = 5, k = 5, dims0 = 64).collect().map(_.toSeq).toSeq
+    assert(pqA == pqB)
+  }
 }
