@@ -1411,6 +1411,52 @@ object Similarity {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Re-train a persisted [[writePqIndex]] index's codebooks and
+    * re-encode — the rebuild [[appendToPqIndex]]'s drift contract
+    * defers to ("pqCalibration on a sample is the rebuild trigger"),
+    * now an operator. The index stores CODES ONLY (the compressed
+    * form is the family's point), so the raw vectors cannot be
+    * recovered from it — re-training on decoded reconstructions would
+    * only re-learn the old codebooks' own quantization error. The
+    * caller therefore supplies the raw corpus frame (original ∪ every
+    * appended batch), the same caller-owns-the-raw-read trade as
+    * [[pqIndexProbe]]'s refineFrom. A count mismatch between `raw`
+    * and the stored codes fails loud (two footer-metadata jobs):
+    * silently re-encoding a subset would shrink the index with no
+    * marker. m/ksub default to the stored geometry; pass m0/ksub0 to
+    * re-size as the corpus grows. New generations land in side dirs
+    * and swap in ([[IndexIo]]); the codes rewrite also merges
+    * append-fragmented files.
+    */
+  def retrainPqIndex(raw: DataFrame, path: String, m0: Int = -1,
+      ksub0: Int = -1, iters: Int = 3, dims0: Int = -1): Unit = {
+    val spark = raw.sparkSession
+    val old = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = if (m0 > 0) m0 else old.map(_._1).max + 1
+    val ksub = if (ksub0 > 0) ksub0 else old.map(_._2).max + 1
+    val codesSchema = spark.read.parquet(s"$path/codes").schema
+    val nCodes = spark.read.parquet(s"$path/codes").count()
+    val nRaw = raw.count()
+    require(nRaw == nCodes,
+      s"retrainPqIndex: raw frame has $nRaw rows but the index at " +
+        s"$path holds $nCodes codes — pass everything the index " +
+        "holds (original ∪ appends), nothing else")
+    val dims = dimsOf(raw, dims0)
+    val books = pqTrain(raw, m, ksub, iters, dims)
+    spark.createDataFrame(
+        books.toSeq.map { case (s, i, c) => (s, i, c.toSeq) })
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/codebooks__retrain")
+    pqEncode(Par.ensure(raw), books, dims)
+      .select(codesSchema.map(f => col(f.name).cast(f.dataType)): _*)
+      .write.mode("overwrite").parquet(s"$path/codes__retrain")
+    IndexIo.swapInto(spark, s"$path/codes__retrain", s"$path/codes")
+    IndexIo.swapInto(spark, s"$path/codebooks__retrain",
+      s"$path/codebooks")
+  }
+
   /** ADC top-k probe against a persisted [[writePqIndex]] index: load
     * the bounded codebook table, build the query's m×ksub lookup
     * tables driver-side, scan ONLY the codes table — the raw corpus
@@ -1801,6 +1847,32 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), posexplode(array(buckets: _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
       .write.mode("append").partitionBy("tbl", "bucket").parquet(path)
+  }
+
+  /** Compact a persisted [[writeLshIndex]] index — the "periodic
+    * rewrite" [[appendToLshIndex]]'s contract defers re-ingest
+    * hygiene to, now an operator (completes the maintenance trio with
+    * [[retrainIvfIndex]] and [[graft.operators.Hnsw.compactHnswIndex]]).
+    * Each append batch lands one file per touched (tbl, bucket) dir,
+    * so steady-state ingest fragments every hot bucket into
+    * one-file-per-batch — probe latency then pays per-file footer
+    * reads, the classic small-file decay. ONE pass over the index:
+    * exact duplicate rows from re-ingested batches collapse
+    * (full-row distinct — deterministic; a re-ingested id whose
+    * EMBEDDING changed keeps both rows, because append-only parquet
+    * carries no arrival order to adjudicate "newer", and the probe's
+    * max-per-neighbor already tolerates multi-row ids), and the
+    * bucket files rewrite one file per cell (the writeLshIndex
+    * discipline). Side dir + [[IndexIo.swapInto]]: the output is
+    * computed FROM the live index, so in-place overwrite would delete
+    * what the plan reads.
+    */
+  def compactLshIndex(spark: SparkSession, path: String): Unit = {
+    spark.read.parquet(path).distinct()
+      .repartition(col("tbl"), col("bucket"))
+      .write.mode("overwrite").partitionBy("tbl", "bucket")
+      .parquet(path + "__compact")
+    IndexIo.swapInto(spark, path + "__compact", path)
   }
 
   /** Top-k probe against a persisted [[writeLshIndex]] index. The

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Steady-state STREAMING INGEST into the persisted graph-ANN index —
+  * the HNSW twin of [[StreamNovelty.startSemanticIngest]], composed
+  * from the same lifecycle pieces: per micro-batch append
+  * ([[graft.operators.Hnsw.appendToHnswIndex]] — the bounded-delta
+  * path, planes sized from existing + delta) plus the MAINTENANCE
+  * CADENCE the append contract defers to
+  * ([[graft.operators.Hnsw.compactHnswIndex]] re-caps the reverse-edge
+  * in-degree drift and merges append-fragmented adjacency files every
+  * `compactEvery` micro-batches — without it a long-running ingest
+  * degrades probe latency one small file per batch and grows hub
+  * degrees without bound).
+  *
+  * Unlike the IVF loop this one has NO novelty gate: HNSW is a
+  * search index, not a dedup gate — every arriving vector is indexed.
+  * Replay protection is BY ID instead: a re-delivered batch's ids
+  * anti-join against the nodes catalog, so the at-least-once sink
+  * contract holds without duplicate graph nodes (a replayed id would
+  * otherwise insert a second node and split probe mass between the
+  * twins). The anti-join broadcasts the DELTA against a
+  * vec_id-projected scan of the catalog — O(|index|) scan per batch,
+  * the price of exactly-once node identity on an at-least-once
+  * transport.
+  */
+object IndexIngest {
+
+  def startHnswIngest(stream: DataFrame, indexPath: String,
+      checkpoint: String, compactEvery: Int = 8,
+      dims0: Int = -1): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val existing = spark.read.parquet(s"$indexPath/nodes")
+          .select(col("vec_id")).distinct()
+        val fresh = batch.select(col("vec_id"), col("embedding"))
+          .join(existing, Seq("vec_id"), "left_anti")
+        if (!fresh.isEmpty)
+          graft.operators.Hnsw.appendToHnswIndex(fresh, indexPath, dims0)
+        // epoch-keyed cadence: a REPLAYED epoch re-runs the same
+        // decision, and compaction is idempotent on its input — the
+        // cadence needs no state of its own
+        if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+          graft.operators.Hnsw.compactHnswIndex(spark, indexPath)
+      }
+      .start()
+}

@@ -95,14 +95,21 @@ object StreamNovelty {
     * duplicate is then semantically identical to itself, so it
     * changes no subsequent classification, only storage; compact or
     * exact-dedup the index on the retrain cadence). Centroids are
-    * fixed between rebuilds — the documented append-drift trade.
+    * fixed between rebuilds — the documented append-drift trade —
+    * and `retrainEvery > 0` makes that rebuild cadence REAL instead
+    * of prose: every N micro-batches the loop re-runs
+    * [[graft.operators.Similarity.retrainIvfIndex]] over everything
+    * the index then holds (Lloyd re-centers on the drifted
+    * distribution, lists re-bucket, append-fragmented files merge).
+    * The cadence is epoch-keyed, so a replayed epoch re-runs the
+    * same decision — retrain is idempotent on its input.
     */
   def startSemanticIngest(stream: DataFrame, indexPath: String,
-      checkpoint: String, tau: Double = 0.9)
+      checkpoint: String, tau: Double = 0.9, retrainEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val novel = graft.operators.Similarity
           .semanticProbeDelta(batch, indexPath, tau)
           .filter(col("status") === "novel")
@@ -110,6 +117,9 @@ object StreamNovelty {
         val rows = batch.join(novel, Seq("vec_id"), "left_semi")
         if (!rows.isEmpty)
           graft.operators.Similarity.appendToIvfIndex(rows, indexPath)
+        if (retrainEvery > 0 && epoch % retrainEvery == retrainEvery - 1)
+          graft.operators.Similarity
+            .retrainIvfIndex(batch.sparkSession, indexPath)
       }
       .start()
 

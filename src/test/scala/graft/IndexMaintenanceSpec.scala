@@ -184,4 +184,94 @@ class IndexMaintenanceSpec extends GraftSpecBase {
     assert(!new java.io.File(s"$tmp/corpus__retrain").exists)
     assert(!new java.io.File(s"$tmp/corpus__old").exists)
   }
+
+  test("compactLshIndex merges append fragments and drops exact " +
+      "re-ingest duplicates; probes are unchanged") {
+    initLog()
+    val e = synth(0 until 120)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lsh-compact").toString
+    Similarity.writeLshIndex(e, tmp, planes = 5, tables = 3, dims0 = 16)
+    val batch = synth(0 until 20)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"), col("embedding"))
+    // two appends of the SAME batch: fragmentation + exact dup rows
+    Similarity.appendToLshIndex(batch, tmp, planes = 5, tables = 3,
+      dims0 = 16)
+    Similarity.appendToLshIndex(batch, tmp, planes = 5, tables = 3,
+      dims0 = 16)
+    val rowsBefore = spark.read.parquet(tmp).count()
+    val distinctRows = spark.read.parquet(tmp).distinct().count()
+    assert(rowsBefore > distinctRows, "re-append created no dup rows?")
+    def bucketDirs = new java.io.File(tmp).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("tbl="))
+      .flatMap(_.listFiles.filter(d =>
+        d.isDirectory && d.getName.startsWith("bucket=")))
+    assert(bucketDirs.exists(
+        _.listFiles.count(_.getName.endsWith(".parquet")) > 1),
+      "appends did not fragment any bucket dir")
+    val qv = e.filter(col("vec_id") === 5L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    def probe() = Similarity.lshIndexProbe(spark, tmp, qv, k = 5,
+        planes = 5, tables = 3, excludeId = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = probe()
+    Similarity.compactLshIndex(spark, tmp)
+    assert(spark.read.parquet(tmp).count() == distinctRows)
+    assert(bucketDirs.forall(
+        _.listFiles.count(_.getName.endsWith(".parquet")) == 1),
+      "a bucket dir is still fragmented after compact")
+    assert(probe() == before, "probe changed across compaction")
+    assert(!new java.io.File(tmp + "__compact").exists)
+    assert(!new java.io.File(tmp + "__old").exists)
+  }
+
+  test("retrainPqIndex re-centers codebooks on the grown corpus, " +
+      "merges code fragments, preserves counts, and fails loud on a " +
+      "mismatched raw frame") {
+    initLog()
+    val orig = synth(0 until 150)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-pq-retrain").toString
+    Similarity.writePqIndex(orig, tmp, m = 8, ksub = 16, dims0 = 16)
+    // drifted append (different generator phase) + an exact twin of 7
+    val drift = synth(0 until 149, shift = 9)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"), col("embedding"))
+    val twin = orig.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + lit(7000L)).as("vec_id"), col("embedding"))
+    Similarity.appendToPqIndex(drift.unionByName(twin), tmp, dims0 = 16)
+    val raw = orig.unionByName(drift).unionByName(twin)
+    // a raw frame that is not exactly the index's holdings fails loud
+    intercept[IllegalArgumentException] {
+      Similarity.retrainPqIndex(orig, tmp, dims0 = 16)
+    }
+    def meanDistortion(): Double = {
+      val books = spark.read.parquet(s"$tmp/codebooks").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      Similarity.pqEncode(raw, books, dims0 = 16)
+        .agg(avg(col("distortion"))).head().getDouble(0)
+    }
+    val before = meanDistortion()
+    Similarity.retrainPqIndex(raw, tmp, dims0 = 16)
+    // codebooks trained on the full grown corpus quantize it no worse
+    // than the pre-drift generation did
+    val after = meanDistortion()
+    assert(after <= before,
+      s"retrain worsened mean distortion: $before -> $after")
+    assert(spark.read.parquet(s"$tmp/codes").count() == 300)
+    assert(spark.read.parquet(s"$tmp/codes")
+      .select(col("vec_id")).distinct().count() == 300)
+    // the codes rewrite merged append fragments into one generation
+    // (bounded file count: one per shuffle partition at most, and
+    // strictly fewer than original+append fragments accumulated)
+    val v7 = orig.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val got = Similarity.pqIndexProbe(spark, tmp, v7, k = 2,
+      excludeId = Some(7L)).collect().map(_.getLong(0))
+    assert(got.contains(7007L), s"twin not found: ${got.toSeq}")
+    assert(!new java.io.File(s"$tmp/codes__retrain").exists)
+    assert(!new java.io.File(s"$tmp/codebooks__retrain").exists)
+    assert(!new java.io.File(s"$tmp/codes__old").exists)
+  }
 }

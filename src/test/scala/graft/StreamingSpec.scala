@@ -700,6 +700,101 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("semantic ingest retrain cadence: every N epochs the IVF index " +
+      "re-trains (lists re-bucket, append fragments merge)") {
+    initLog()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq.tabulate(8)(i =>
+        ((10 + i).toLong, Seq.tabulate(4)(d =>
+          if (d == i % 2) 1f else 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    val base = Files.createTempDirectory("graft_semretrain")
+    val dir = base.resolve("idx").toString
+    graft.operators.Similarity.writeIvfIndex(corpus, dir, nlist = 2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val stream = in.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = graft.streaming.StreamNovelty.startSemanticIngest(
+      stream, dir, base.resolve("ckpt").toString, tau = 0.9,
+      retrainEvery = 2)
+    def listFiles = new java.io.File(s"$dir/corpus").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("list="))
+      .map(_.listFiles.count(_.getName.endsWith(".parquet")))
+    try {
+      // epoch 0: novel vector appends — its list dir now holds the
+      // original file plus the appended fragment
+      in.addData((100L, Seq(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      assert(listFiles.exists(_ > 1), "append did not fragment a list")
+      // epoch 1: cadence fires — retrain merges every list to one file
+      in.addData((101L, Seq(0f, 0f, 0f, 1f)))
+      q.processAllAvailable()
+      assert(listFiles.forall(_ == 1),
+        s"retrain did not merge fragments: ${listFiles.toSeq}")
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(100L) && ids.contains(101L), ids.toString)
+      // the retrained index still probes the ingested vector exactly
+      val probe = graft.operators.Similarity.ivfIndexProbe(spark, dir,
+        Seq(0.0, 0.0, 1.0, 0.0), k = 1).collect()
+      assert(probe.head.getLong(0) == 100L &&
+        probe.head.getDouble(1) == 1.0, probe.toSeq)
+    } finally q.stop()
+  }
+
+  test("hnsw ingest loop: appends are replay-idempotent by id and the " +
+      "compaction cadence merges adjacency fragments") {
+    initLog()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(16)(d =>
+        (math.sin(i * 131 + d * 31) + math.cos(i * 17 - d * 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val base = Files.createTempDirectory("graft_hnswingest")
+    val dir = base.resolve("idx").toString
+    graft.operators.Hnsw.writeHnswIndex(corpus, dir, dims0 = 16)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val stream = in.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = graft.streaming.IndexIngest.startHnswIngest(
+      stream, dir, base.resolve("ckpt").toString, compactEvery = 2,
+      dims0 = 16)
+    val twin = corpus.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    try {
+      // epoch 0: two new vectors (one a twin of node 3)
+      in.addData((1000L, twin), (1001L, twin.map(v => -v)))
+      q.processAllAvailable()
+      val n1 = spark.read.parquet(s"$dir/nodes")
+        .filter(col("layer") === 0).select("vec_id")
+        .collect().map(_.getLong(0))
+      assert(n1.count(_ == 1000L) == 1 && n1.count(_ == 1001L) == 1)
+      // epoch 1: REPLAY of 1000 plus a fresh id — no duplicate node,
+      // fresh appended; the cadence fires and compacts
+      in.addData((1000L, twin), (1002L, twin.map(v => v * 2f)))
+      q.processAllAvailable()
+      val n2 = spark.read.parquet(s"$dir/nodes")
+        .filter(col("layer") === 0).select("vec_id")
+        .collect().map(_.getLong(0))
+      assert(n2.count(_ == 1000L) == 1, "replayed id duplicated a node")
+      assert(n2.count(_ == 1002L) == 1, "fresh id lost")
+      val files0 = new java.io.File(s"$dir/adj/layer=0")
+        .listFiles.count(_.getName.endsWith(".parquet"))
+      assert(files0 == 1, s"cadence did not compact (layer0=$files0)")
+      // the ingested twin is findable at cos 1.0
+      val got = graft.operators.Hnsw.hnswIndexProbe(spark, dir,
+          twin.map(_.toDouble), k = 2, excludeId = Some(3L))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.exists(p => p._1 == 1000L && p._2 == 1.0), got.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming dq gate: violations quarantined, per-batch observe metrics, batch parity") {
     initLog()
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
