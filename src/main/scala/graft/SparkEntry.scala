@@ -251,6 +251,10 @@ object SparkEntry {
     // round 7b: retrieval/relevance family + outlier detection
     "text_tfidf" -> ((s, d) => Relevance.tfidfKeywords(s, d)),
     "text_search_bm25" -> ((s, d) => Relevance.bm25Search(s, d)),
+    // hybrid retrieval: BM25 top-20 + cosine top-20 fused by
+    // reciprocal-rank fusion (rank-only, so the arms' incomparable
+    // score scales never meet) — full oracle
+    "search_hybrid_rrf" -> ((s, d) => Relevance.hybridSearchRrf(s, d)),
     "idx_postings" -> ((s, d) => Relevance.postings(s, d)),
     "q_outlier" -> ((s, d) => BatchQueries.valueOutliers(s, d)),
     // round 7c: governance + affinity family
@@ -292,6 +296,10 @@ object SparkEntry {
     "text_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     "mix_token_budget" -> ((s, d) => Mixture.tokenBudgetMixture(s, d)),
     "sample_temperature" -> ((s, d) => Mixture.temperatureSample(s, d)),
+    // DoReMi-style multiplicative-weights domain reweight (linearized
+    // MW form -- exp is transcendental, the T=2 sqrt precedent);
+    // loss proxied by token count, full oracle
+    "mix_doremi" -> ((s, d) => Mixture.doremiMixture(s, d)),
     "graph_lpa" -> ((s, d) => Graph.supplierCommunities(s, d)),
     "curate_dsir_hashed" -> ((s, d) => Importance.dsirSelectHashed(s, d)),
     "dedup_substring_scrub" -> ((s, d) => Dedup.substringScrubbed(s, d)),
@@ -327,7 +335,10 @@ object SparkEntry {
     "tok_count_bpe" -> ((s, d) => Bpe.countLane(s, d)),
     "mix_token_budget_bpe" -> ((s, d) => Bpe.budgetLane(s, d)),
     "seq_pack_bpe" -> ((s, d) => Packing.packDocsBpe(s, d)),
-    "text_chunk_bpe" -> ((s, d) => Bpe.chunkDocsBpe(s, d)))
+    "text_chunk_bpe" -> ((s, d) => Bpe.chunkDocsBpe(s, d)),
+    // per-doc token-ID SEQUENCES (not just counts) — what a training
+    // pipeline writes to disk; full oracle via the same unrolled CTEs
+    "tok_encode_bpe" -> ((s, d) => Bpe.encodeLane(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -2652,9 +2663,72 @@ object SparkEntry {
                b.embedding::DOUBLE[]), 6) AS cos_sim
            FROM u a JOIN u b ON a.vec_id < b.vec_id) p
          WHERE cos_sim >= 0.85""",
+    "search_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         tok AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         st AS (SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+         df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         q AS (SELECT unnest(['spark', 'window']) AS tok),
+         per AS (SELECT tf.doc_id,
+             ((CAST(st.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+              (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.5)
+               / (CAST(tf.tf AS DOUBLE) +
+                  1.5 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+               AS contrib
+           FROM tf JOIN q USING (tok) JOIN dl USING (doc_id)
+             JOIN df USING (tok) CROSS JOIN st),
+         sc AS (SELECT doc_id, SUM(contrib) AS score FROM per GROUP BY 1),
+         lexr AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+           FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+         sem0 AS (SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+               qv.embedding::DOUBLE[]), 6) AS cos
+           FROM embeddings e, (SELECT embedding FROM embeddings
+                               WHERE vec_id = 0) qv),
+         semr AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+           FROM sem0 ORDER BY cos DESC, doc_id LIMIT 20),
+         f AS (SELECT doc_id,
+             COALESCE(1.0::DOUBLE / CAST(60 + l.lex_rank AS DOUBLE), 0)
+               + COALESCE(1.0::DOUBLE / CAST(60 + s.sem_rank AS DOUBLE), 0)
+               AS rrf0,
+             l.lex_rank, s.sem_rank
+           FROM lexr l FULL OUTER JOIN semr s USING (doc_id))
+         SELECT doc_id, ROUND(rrf0, 6) AS rrf, lex_rank, sem_rank
+         FROM f ORDER BY rrf0 DESC, doc_id LIMIT 10""",
+    "mix_doremi" ->
+      """WITH d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(ROUND(CAST(100 AS DOUBLE)
+                 * CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT) AS mean_loss_c
+           FROM documents GROUP BY source),
+         t AS (SELECT CAST(ROUND(CAST(100 AS DOUBLE)
+                 * CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)
+             AS corpus_mean_c
+           FROM documents),
+         f AS (SELECT source, n_obs, mean_loss_c,
+             mean_loss_c - corpus_mean_c AS excess_c,
+             GREATEST(100, 10000 + 2 * (mean_loss_c - corpus_mean_c))
+               AS factor_bp
+           FROM d CROSS JOIN t),
+         z AS (SELECT SUM(factor_bp) AS zz FROM f)
+         SELECT source, n_obs, mean_loss_c, excess_c,
+           CAST(factor_bp AS BIGINT) AS factor_bp,
+           CAST(FLOOR(CAST(65536 AS DOUBLE) * CAST(factor_bp AS DOUBLE)
+             / CAST(zz AS DOUBLE)) AS BIGINT) AS weight_u16
+         FROM f CROSS JOIN z""",
     "tok_bpe_train" -> Bpe.trainOracleSql(),
     "tok_count_bpe" -> Bpe.countOracleSql(),
     "mix_token_budget_bpe" -> Bpe.budgetOracleSql(),
     "seq_pack_bpe" -> Bpe.packOracleSql(),
-    "text_chunk_bpe" -> Bpe.chunkOracleSql())
+    "text_chunk_bpe" -> Bpe.chunkOracleSql(),
+    "tok_encode_bpe" -> Bpe.encodeOracleSql())
 }

@@ -495,6 +495,85 @@ object Bpe {
     * BPE counts equal whitespace counts, so this function must return
     * the whitespace lane's rows bit-for-bit).
     */
+  /** (symbol, token_id) vocabulary table under an ordered merge list
+    * — the deterministic id scheme real tokenizers ship: base symbols
+    * (every distinct corpus character, sorted ascending) take ids
+    * 0..B−1, merge outputs take B+rank−1 in rank order (the GPT-2
+    * byte-then-merge id layout re-expressed at char granularity).
+    * The alphabet comes from the SAME SEP-prefixed repr charset as
+    * training (one charset across every formulation — the r12
+    * lesson), collected: bounded driver state, the centroid-table
+    * class (a corpus alphabet, not a corpus). Merged strings are
+    * length ≥ 2 so they cannot collide with single-char ids, and two
+    * merges cannot produce the same string (the exact-tiling proof at
+    * [[trainMergesBatched]]) — ids are unique by construction.
+    * Sort order note: driver-side String sorting is UTF-16 code-unit
+    * order vs the oracle's UTF-8 byte order — identical on BMP text
+    * (the corpus class); a supplementary-plane alphabet would need a
+    * codepoint collation pin.
+    */
+  def symbolIds(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val alphabet = wordCounts(docs, textCol)
+      .select(explode(split(col("repr"), Sep)).as("sym"))
+      .filter(length(col("sym")) > 0)
+      .distinct().collect().map(_.getString(0)).sorted
+    val rows = alphabet.zipWithIndex.toSeq
+      .map { case (s, i) => (s, i.toLong) } ++
+      merges.zipWithIndex.map { case ((l, r), i) =>
+        (l + r, alphabet.length + i.toLong) }
+    rows.toDF("sym", "token_id")
+  }
+
+  /** Per-doc BPE ENCODE: the token-ID SEQUENCE (not just the count) —
+    * what a training pipeline actually writes to disk. Ids under
+    * [[symbolIds]]; sequence order is (word position, symbol
+    * position). Ships as a comma-joined string (`ids_csv`) so the
+    * oracle compare is engine-neutral, plus `n_tokens` (≡ the
+    * [[vocabTokenCounts]] count — spec'd).
+    *
+    * Scale shape: the merge chain runs once per DISTINCT word (vocab
+    * side); the corpus word stream joins it WITH position (pre-
+    * aggregation not applicable — order must survive, the chunk-lane
+    * precedent); the symbol→id table broadcasts (alphabet + R rows);
+    * one aggregation per doc re-assembles the sequence. The per-doc
+    * sort/transform HOFs run on doc-length-bounded arrays POST-
+    * aggregation — the text itself already sits in one row, same
+    * boundedness class.
+    */
+  def encodeDocs(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = wordCounts(docs, textCol)
+      .select(col("word"),
+        split(applyMerges(col("repr"), merges), Sep).as("arr"))
+      // split of the SEP-prefixed repr yields a leading empty element
+      .select(col("word"),
+        slice(col("arr"), lit(2), size(col("arr")) - 1).as("syms"))
+    val words = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .withColumnRenamed("pos", "wpos").withColumnRenamed("col", "word")
+      .filter(length(col("word")) > 0)
+    val syms = words.join(vocab, Seq("word"))
+      .select(col(idCol), col("wpos"), posexplode(col("syms")))
+      .withColumnRenamed("pos", "spos").withColumnRenamed("col", "sym")
+    syms.join(broadcast(symbolIds(docs, merges, textCol)), Seq("sym"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(struct(
+            col("wpos"), col("spos"), col("token_id")))),
+          x => x.getField("token_id").cast("string")), ",").as("ids_csv"))
+  }
+
+  /** Driver query `tok_encode_bpe`: per-doc token-id sequences under
+    * the corpus-trained merges (shared [[cachedMerges]] memo).
+    */
+  def encodeLane(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    encodeDocs(docs, cachedMerges(spark, dir))
+  }
+
   def budgetFromCounts(docs: DataFrame, toks: DataFrame): DataFrame = {
     val weights = Map("src0" -> 0.5, "src1" -> 0.25,
       "src2" -> 0.125, "src3" -> 0.125)
@@ -631,6 +710,43 @@ object Bpe {
        |  CAST(SUM(n_syms) AS BIGINT) AS n_tokens_bpe,
        |  md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
        |FROM o GROUP BY doc_id, off // $budget""".stripMargin
+
+  /** Oracle for `tok_encode_bpe`: the same vocab CTEs, the alphabet
+    * from w0's repr (SEP-split — no engine-specific char splitting),
+    * ids via row_number over the sorted alphabet then B+rank−1 per
+    * merge round's b_k row, sequences re-assembled by ordered
+    * string_agg over side-by-side-unnest positions.
+    */
+  def encodeOracleSql(rounds: Int = TrainRounds): String = {
+    val mids = (1 to rounds).map(k =>
+      s"SELECT l||r AS sym, CAST((SELECT nb FROM bcnt) + $k - 1 " +
+        s"AS BIGINT) AS token_id FROM b$k").mkString("\n  UNION ALL ")
+    s"""WITH ${unrolledCtes(rounds)},
+       |v AS (SELECT word, string_split(repr, chr(1))[2:] AS syms
+       |      FROM w$rounds),
+       |alpha AS (SELECT DISTINCT sym FROM (
+       |  SELECT unnest(string_split(repr, chr(1))) AS sym FROM w0)
+       |  WHERE sym <> ''),
+       |bcnt AS (SELECT COUNT(*) AS nb FROM alpha),
+       |aid AS (SELECT sym,
+       |  CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT)
+       |    AS token_id FROM alpha),
+       |sid AS (SELECT * FROM aid
+       |  UNION ALL $mids),
+       |wds AS (SELECT doc_id, unnest(t) AS word,
+       |        unnest(range(1, len(t) + 1)) AS pos
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |              FROM documents)),
+       |js AS (SELECT w.doc_id, w.pos, unnest(v.syms) AS sym,
+       |       unnest(range(1, len(v.syms) + 1)) AS spos
+       |       FROM wds w JOIN v USING (word) WHERE len(w.word) > 0),
+       |tok AS (SELECT j.doc_id, j.pos, j.spos, s.token_id
+       |        FROM js j JOIN sid s USING (sym))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY pos, spos)
+       |    AS ids_csv
+       |FROM tok GROUP BY doc_id""".stripMargin
+  }
 
   /** Oracle for `mix_token_budget_bpe`: the mix_token_budget oracle
     * with the whitespace `n_toks` CTE swapped for the BPE count.

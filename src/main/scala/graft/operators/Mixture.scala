@@ -449,6 +449,71 @@ object Mixture {
     * involves exact integer products and one correctly-rounded
     * division. rate_d = min(1, that/n_d) at u16 granularity.
     */
+  /** DoReMi-style domain REWEIGHT step (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * one multiplicative-weights update of the per-domain mixture from
+    * a per-doc loss signal — domains with above-corpus-average excess
+    * loss UPWEIGHT (they are under-learned), below-average ones
+    * downweight. The paper's exponentiated-gradient
+    * α ∝ α·exp(η·excess) is applied in its LINEARIZED
+    * multiplicative-weights form α ∝ α·(1 + η·excess) (the
+    * Arora–Hazan–Kale MW update, first-order equal for small
+    * η·excess): `exp` is a transcendental whose last ulp differs
+    * between libm and java.lang.Math, and graft trades the exact
+    * exponential for bit-reproducible weights — the sample_temperature
+    * T=2 precedent.
+    *
+    * FP "cents" doctrine: per-domain and corpus mean losses quantize
+    * to integer hundredths (ONE correctly-rounded division each);
+    * excess, the η product, and the basis-point factor are then exact
+    * integer arithmetic; the final normalization is one
+    * correctly-rounded division per domain at u16 granularity.
+    * `floorBp` keeps every domain alive (DoReMi's uniform-mixing
+    * term, as a hard floor).
+    *
+    * `lossC` is the CALLER's per-doc loss column — a real deployment
+    * feeds the proxy model's per-doc log-loss; the driver lane
+    * instantiates a deterministic stand-in (token count), which
+    * exercises identical update mechanics. One aggregation shuffle at
+    * domain cardinality; everything downstream is broadcast.
+    */
+  def doremiReweight(docs: DataFrame, domainCol: String, lossC: Column,
+      etaBpPerCent: Long = 2L, floorBp: Long = 100L): DataFrame = {
+    val dom = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_obs"), sum(lossC).as("loss_sum"))
+      .select(col(domainCol), col("n_obs"),
+        round(lit(100.0) * col("loss_sum").cast("double") /
+          col("n_obs").cast("double"), 0).cast("long").as("mean_loss_c"))
+    val tot = docs.agg(
+      round(lit(100.0) * sum(lossC).cast("double") /
+        count(lit(1)).cast("double"), 0).cast("long")
+        .as("corpus_mean_c"))
+    val fac = dom.crossJoin(broadcast(tot))
+      .select(col(domainCol), col("n_obs"), col("mean_loss_c"),
+        (col("mean_loss_c") - col("corpus_mean_c")).as("excess_c"))
+      .withColumn("factor_bp",
+        greatest(lit(floorBp),
+          lit(10000L) + lit(etaBpPerCent) * col("excess_c")))
+    val z = fac.agg(sum(col("factor_bp")).as("__z"))
+    fac.crossJoin(broadcast(z))
+      .select(col(domainCol), col("n_obs"), col("mean_loss_c"),
+        col("excess_c"), col("factor_bp"),
+        floor(lit(65536.0) * col("factor_bp").cast("double") /
+          col("__z").cast("double")).cast("long").as("weight_u16"))
+  }
+
+  /** Driver query `mix_doremi`: one reweight step over the four
+    * sources from uniform, loss proxied by whitespace token count —
+    * longer-doc (higher-mass) sources read as higher-loss and
+    * upweight, the mechanics a real per-doc log-loss column would
+    * drive identically.
+    */
+  def doremiMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    doremiReweight(docs, "source",
+      size(split(col("text"), " ")).cast("long"))
+  }
+
   def temperatureRates(docs: DataFrame, domainCol: String,
       docBudget: Long): DataFrame = {
     val counts = docs.groupBy(col(domainCol))

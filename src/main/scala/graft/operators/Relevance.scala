@@ -161,6 +161,69 @@ object Relevance {
   }
 
   // ---------------------------------------------------------------
+  // Hybrid (lexical + semantic) search
+  // ---------------------------------------------------------------
+
+  def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridSearchRrf(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir), Seq("spark", "window"))
+
+  /** HYBRID retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher, SIGIR 2009 — the fusion every RAG/retrieval stack
+    * ships): fuse the BM25 lexical top-`kEach` with the
+    * embedding-cosine semantic top-`kEach` as
+    * Σ 1/(c + rank), missing side contributing 0, final top-`k` by
+    * (rrf desc, doc_id). RRF needs only RANKS, never comparable
+    * scores — which is the point: BM25 mass and cosine mass are not
+    * on a common scale.
+    *
+    * The two arms are the existing exact lanes ([[bm25Search]];
+    * brute-force cosine against the query vector — the documents and
+    * embeddings tables share the id space). FP: ranks are exact
+    * integers, each reciprocal is one correctly-rounded double
+    * divide and the fusion is ONE IEEE add of a fixed two-term
+    * expression tree — bit-identical cross-engine, full oracle.
+    *
+    * Scale shape: each arm ends in TakeOrdered at kEach rows; the
+    * rank windows and the fusion join run on those kEach-row frames
+    * (bounded by construction — the single-partition window is on a
+    * ≤ kEach-row frame, never the corpus), so the corpus cost is
+    * exactly the two arms' documented linear shapes. At 100 TB the
+    * semantic arm swaps to an index probe (IVF/HNSW) — the fusion is
+    * rank-only and does not change.
+    */
+  def hybridSearchRrf(docs: DataFrame, emb: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long = 0L, kEach: Int = 20,
+      k: Int = 10, c: Int = 60): DataFrame = {
+    import graft.functions.Vectors
+    val lex = bm25Search(docs, queryTerms, kEach)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val qe = broadcast(emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe")))
+    val sem = emb.crossJoin(qe)
+      .select(col("vec_id").as("doc_id"),
+        round(Vectors.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(kEach)
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(c).cast("double") + col("lex_rank")),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c).cast("double") + col("sem_rank")),
+            lit(0.0))).as("rrf0"),
+        col("lex_rank"), col("sem_rank"))
+      .orderBy(col("rrf0").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), round(col("rrf0"), 6).as("rrf"),
+        col("lex_rank"), col("sem_rank"))
+  }
+
+  // ---------------------------------------------------------------
   // Inverted index (postings) build
   // ---------------------------------------------------------------
 

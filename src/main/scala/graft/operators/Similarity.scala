@@ -1467,9 +1467,15 @@ object Similarity {
     * raw-vector frame (the refine raw read is the CALLER's trade —
     * an index probe alone stays all-compressed).
     */
+  /** `pred` (default vacuous): the filtered surface over the CODES
+    * table (id-level predicates — the raw embedding is not stored);
+    * ADC stays exhaustive over the passing codes, the
+    * [[annPqSearchFiltered]] semantics on the persisted path.
+    */
   def pqIndexProbe(spark: SparkSession, path: String, query: Seq[Double],
       k: Int = 5, rerank: Int = 0, refineFrom: Option[DataFrame] = None,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      pred: Column = lit(true)): DataFrame = {
     val books = spark.read.parquet(s"$path/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = books.map(_._1).max + 1
@@ -1487,7 +1493,7 @@ object Similarity {
       c.map(x => x * x).sum))
     val qn = math.sqrt(query.map(x => x * x).sum)
     val (num, den) = adcSums(dt, cn, m)
-    val base = spark.read.parquet(s"$path/codes")
+    val base = spark.read.parquet(s"$path/codes").where(pred)
     val scored = excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
       .select(col("vec_id").as("neighbor_id"),
         round(num / (lit(qn) * sqrt(den)), 6).as("adc_cos"))
@@ -1674,9 +1680,16 @@ object Similarity {
     * top-`nprobe` list partitions (literal `isin` filter → static
     * pruning; plan-spec asserted), exact cosine top-k within.
     */
+  /** `pred` (default vacuous) is the FILTERED-retrieval surface on
+    * the persisted path: it lands on the pruned corpus scan, so
+    * Catalyst pushes it into parquet (PushedFilters) below the
+    * scoring projection — failing vectors are never read into the
+    * top-k, matching [[annIvfSearchFiltered]]'s in-memory semantics.
+    */
   def ivfIndexProbe(spark: SparkSession, path: String, query: Seq[Double],
       k: Int = 5, nprobe: Int = 4,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      pred: Column = lit(true)): DataFrame = {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val cents = readCentroids(spark, path)
     val exact = cents
@@ -1709,6 +1722,7 @@ object Similarity {
     val q = typedLit(query)
     val base = spark.read.parquet(s"$path/corpus")
       .filter(col("list").isin(lists.toIndexedSeq: _*))
+      .where(pred)
     excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
       .select(col("vec_id").as("neighbor_id"),
         round(Vectors.cosine(col("embedding"), q), 6).as("cos_sim"))
@@ -1883,9 +1897,16 @@ object Similarity {
     * max over the (bounded) candidate set. PlanShapeSpec asserts the
     * pruned file count.
     */
+  /** `pred` (default vacuous): the filtered surface — composes with
+    * the (tbl, bucket) partition pruning; failing candidates are
+    * never scored (the [[annLshSearchFiltered]] semantics on the
+    * persisted path; widen probing upstream if the predicate is
+    * very selective).
+    */
   def lshIndexProbe(spark: SparkSession, path: String, query: Seq[Double],
       k: Int = 5, planes: Int = 6, tables: Int = 4,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      pred: Column = lit(true)): DataFrame = {
     val probed: Seq[(Int, Long)] = (0 until tables).flatMap { t =>
       val b = bucketOf(query, planes, t)
       (b +: (0 until planes).map(p => b ^ (1L << p))).map(t -> _)
@@ -1894,7 +1915,7 @@ object Similarity {
       col("tbl") === t && col("bucket") === b
     }.reduce(_ || _)
     val q = typedLit(query)
-    val base = spark.read.parquet(path).filter(cond)
+    val base = spark.read.parquet(path).filter(cond).where(pred)
     excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
       .select(col("vec_id").as("neighbor_id"),
         round(Vectors.cosine(col("embedding"), q), 6).as("cos_sim"))

@@ -291,4 +291,37 @@ class BpeSpec extends GraftSpecBase {
     assert(e.getMessage.contains("exhausted"), e.getMessage)
     assert(Bpe.trainMerges(docs, rounds = 1) == Seq(("a", "b")))
   }
+
+  test("tok_encode_bpe: ids decode back to the exact text, ids are " +
+      "unique per symbol, and n_tokens equals the count lane") {
+    initLog()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 60)
+    val merges = Bpe.trainMergesBatched(docs, rounds = 8)
+    val ids = Bpe.symbolIds(docs, merges).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // unique in both directions; merges sit above the alphabet block
+    assert(ids.map(_._1).distinct.length == ids.length)
+    assert(ids.map(_._2).distinct.length == ids.length)
+    val alphaSize = ids.length - merges.length
+    assert(ids.filter(_._1.length > 1).map(_._2).forall(_ >= alphaSize))
+    val id2sym = ids.map(_.swap).toMap
+    val enc = Bpe.encodeDocs(docs, merges)
+    // decode round-trip: concatenating the id sequence's symbols
+    // reproduces the document text minus the (consumed) spaces
+    val rows = enc.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("ids_csv"), col("n_tokens"), col("text"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val decoded = r.getString(1).split(",")
+        .map(t => id2sym(t.toLong)).mkString
+      assert(decoded == r.getString(3).replace(" ", ""),
+        s"doc ${r.getLong(0)} decode mismatch")
+    }
+    // token-count parity with the vocab-join count lane
+    val cnt = Bpe.vocabTokenCounts(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => cnt(r.getLong(0)) == r.getLong(2)))
+  }
 }

@@ -122,6 +122,58 @@ class FilteredAnnSpec extends GraftSpecBase {
     assert(recall >= 0.8, s"filtered PQ recall=$recall")
   }
 
+  test("persisted probes take the predicate: only passing neighbors " +
+      "come back, the vacuous predicate is bit-equal, and the IVF " +
+      "probe at nprobe=nlist matches the exact filtered top-k") {
+    initLog()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val p2 = pmod(col("vec_id"), lit(2L)) === 0
+    val qv = e.filter(col("vec_id") === 1L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-probe-filter").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+
+    Similarity.writeIvfIndex(e, s"$base/ivf", nlist = 8)
+    val ivf = Similarity.ivfIndexProbe(spark, s"$base/ivf", qv, k = 5,
+      nprobe = 8, pred = p2)
+    assert(rows(ivf).forall(r => r.head.asInstanceOf[Long] % 2 == 0))
+    // nprobe = nlist scans every list ⟹ exact top-k among passing
+    val expected = spark.read.parquet(s"$base/ivf/corpus").where(p2)
+      .select(col("vec_id").as("neighbor_id"),
+        round(graft.functions.Vectors.cosine(col("embedding"),
+          typedLit(qv)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id")).limit(5)
+    assert(rows(ivf) == rows(expected))
+    assert(rows(Similarity.ivfIndexProbe(spark, s"$base/ivf", qv,
+        k = 5, nprobe = 4)) ==
+      rows(Similarity.ivfIndexProbe(spark, s"$base/ivf", qv, k = 5,
+        nprobe = 4, pred = lit(true))))
+
+    Similarity.writeLshIndex(e, s"$base/lsh", planes = 5, tables = 3,
+      dims0 = 64)
+    val lsh = Similarity.lshIndexProbe(spark, s"$base/lsh", qv, k = 5,
+      planes = 5, tables = 3, pred = p2)
+    assert(rows(lsh).nonEmpty &&
+      rows(lsh).forall(r => r.head.asInstanceOf[Long] % 2 == 0))
+    assert(rows(Similarity.lshIndexProbe(spark, s"$base/lsh", qv,
+        k = 5, planes = 5, tables = 3)) ==
+      rows(Similarity.lshIndexProbe(spark, s"$base/lsh", qv, k = 5,
+        planes = 5, tables = 3, pred = lit(true))))
+
+    Similarity.writePqIndex(e, s"$base/pq", m = 16, ksub = 32)
+    val pq = Similarity.pqIndexProbe(spark, s"$base/pq", qv, k = 5,
+      pred = p2)
+    assert(rows(pq).nonEmpty &&
+      rows(pq).forall(r => r.head.asInstanceOf[Long] % 2 == 0))
+    assert(rows(Similarity.pqIndexProbe(spark, s"$base/pq", qv, k = 5)) ==
+      rows(Similarity.pqIndexProbe(spark, s"$base/pq", qv, k = 5,
+        pred = lit(true))))
+  }
+
   test("unfiltered LSH/PQ lanes untouched by the refactor: vacuous " +
       "predicate at the unfiltered probe radius is bit-equal") {
     initLog()

@@ -335,4 +335,34 @@ class MixtureSpec extends GraftSpecBase {
       rm(new java.io.File(dir))
     }
   }
+
+  test("doremiReweight: hand-computed MW step — high-loss domain " +
+      "upweights, low-loss downweights, the floor keeps a collapsing " +
+      "domain alive, weights are exact integers") {
+    initLog()
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 20L),   // mean 15.00 → 1500c
+      (3L, "b", 30L), (4L, "b", 40L))   // mean 35.00 → 3500c
+      .toDF("doc_id", "source", "loss")
+    // corpus mean 25.00 → 2500c; excess a = −1000, b = +1000
+    // factors: a 10000−2000 = 8000, b 12000; Z = 20000
+    // weights: floor(65536·8000/20000)=26214, floor(65536·12000/20000)=39321
+    val got = graft.operators.Mixture
+      .doremiReweight(docs, "source", col("loss"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("a") == ((2L, 1500L, -1000L, 8000L, 26214L)), got("a"))
+    assert(got("b") == ((2L, 3500L, 1000L, 12000L, 39321L)), got("b"))
+    // floor: a domain 90+ cents below the corpus mean would go
+    // non-positive — the uniform-mixing floor pins it at floorBp
+    val skew = Seq((1L, "tiny", 1L), (2L, "huge", 200L),
+      (3L, "huge", 200L), (4L, "huge", 200L))
+      .toDF("doc_id", "source", "loss")
+    val f = graft.operators.Mixture
+      .doremiReweight(skew, "source", col("loss"))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(f("tiny") == 100L, f.toString)   // clamped, not negative
+    assert(f("huge") > 10000L)
+  }
 }
