@@ -2684,9 +2684,11 @@ object SparkEntry {
            FROM tf JOIN q USING (tok) JOIN dl USING (doc_id)
              JOIN df USING (tok) CROSS JOIN st),
          sc AS (SELECT doc_id, SUM(contrib) AS score FROM per GROUP BY 1),
+         lex20 AS (SELECT doc_id, ROUND(score, 6) AS bm25 FROM sc
+           ORDER BY score DESC, doc_id LIMIT 20),
          lexr AS (SELECT doc_id,
-             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
-           FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+           FROM lex20),
          sem0 AS (SELECT e.vec_id AS doc_id,
              ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
                qv.embedding::DOUBLE[]), 6) AS cos
