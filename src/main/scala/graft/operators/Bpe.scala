@@ -534,14 +534,18 @@ object Bpe {
     * oracle compare is engine-neutral, plus `n_tokens` (≡ the
     * [[vocabTokenCounts]] count — spec'd).
     *
-    * Scale shape: the merge chain runs once per DISTINCT word (vocab
-    * side); the corpus word stream joins it WITH position (pre-
-    * aggregation not applicable — order must survive, the chunk-lane
-    * precedent); the symbol→id table broadcasts (alphabet + R rows);
-    * one aggregation per doc re-assembles the sequence. The per-doc
-    * sort/transform HOFs run on doc-length-bounded arrays POST-
-    * aggregation — the text itself already sits in one row, same
-    * boundedness class.
+    * Scale shape: EVERYTHING per-token happens at VOCAB scale — the
+    * merge chain, the symbol→id join, and the within-word id ordering
+    * all run once per DISTINCT word, producing a per-word csv
+    * fragment + symbol count (Heap's-law bounded). The corpus word
+    * stream joins those fragments WITH position (pre-aggregation not
+    * applicable — order must survive, the chunk-lane precedent) and
+    * one aggregation per doc splices fragments in word order: the
+    * corpus-scale shuffle carries one small-string row per word
+    * OCCURRENCE, never one row per token (the first cut did, and paid
+    * ~5× the shuffle volume at 10×). The per-doc sort/transform HOFs
+    * run on doc-length-bounded arrays POST-aggregation — the text
+    * itself already sits in one row, same boundedness class.
     */
   def encodeDocs(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -551,19 +555,26 @@ object Bpe {
       // split of the SEP-prefixed repr yields a leading empty element
       .select(col("word"),
         slice(col("arr"), lit(2), size(col("arr")) - 1).as("syms"))
+    val vocabIds = vocab
+      .select(col("word"), posexplode(col("syms")))
+      .withColumnRenamed("pos", "spos").withColumnRenamed("col", "sym")
+      .join(broadcast(symbolIds(docs, merges, textCol)), Seq("sym"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_syms"),
+        array_join(transform(array_sort(collect_list(struct(
+            col("spos"), col("token_id")))),
+          x => x.getField("token_id").cast("string")), ",")
+          .as("word_csv"))
     val words = docs
       .select(col(idCol), posexplode(split(col(textCol), " ")))
       .withColumnRenamed("pos", "wpos").withColumnRenamed("col", "word")
       .filter(length(col("word")) > 0)
-    val syms = words.join(vocab, Seq("word"))
-      .select(col(idCol), col("wpos"), posexplode(col("syms")))
-      .withColumnRenamed("pos", "spos").withColumnRenamed("col", "sym")
-    syms.join(broadcast(symbolIds(docs, merges, textCol)), Seq("sym"))
+    words.join(vocabIds, Seq("word"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
+      .agg(sum(col("n_syms")).as("n_tokens"),
         array_join(transform(array_sort(collect_list(struct(
-            col("wpos"), col("spos"), col("token_id")))),
-          x => x.getField("token_id").cast("string")), ",").as("ids_csv"))
+            col("wpos"), col("word_csv")))),
+          x => x.getField("word_csv")), ",").as("ids_csv"))
   }
 
   /** Driver query `tok_encode_bpe`: per-doc token-id sequences under
