@@ -200,6 +200,32 @@ object SparkEntry {
         Similarity.annBruteForceFiltered(e, pred, nQueries = 10, k = 10),
         k = 10)
     }),
+    // IVF-PQ composite (5th index entry — the two parents composed,
+    // the FAISS IndexIVFPQ workhorse): nprobe pruning AND residual-
+    // code compression in one layout. rows-only like the other
+    // sketch families; the recall rows are the hard per-round signals
+    "ann_ivfpq" -> ((s, d) =>
+      Similarity.annIvfPqSearch(graft.sources.Tables.embeddings(s, d),
+        dims0 = 64)),
+    "ann_ivfpq_recall" -> ((s, d) => {
+      val e = graft.sources.Tables.embeddings(s, d)
+      Similarity.annRecallSummary(
+        Similarity.annIvfPqSearch(e, nQueries = 10, k = 10, dims0 = 64),
+        Similarity.annBruteForce(e, nQueries = 10, k = 10), k = 10)
+    }),
+    "ann_ivfpq_filtered" -> ((s, d) =>
+      Similarity.annIvfPqSearchFiltered(
+        graft.sources.Tables.embeddings(s, d),
+        pmod(xxhash64(col("vec_id")), lit(2L)) === 0, dims0 = 64)),
+    "ann_ivfpq_filtered_recall" -> ((s, d) => {
+      val e = graft.sources.Tables.embeddings(s, d)
+      val pred = pmod(xxhash64(col("vec_id")), lit(2L)) === 0
+      Similarity.annRecallSummary(
+        Similarity.annIvfPqSearchFiltered(e, pred, nQueries = 10,
+          k = 10, dims0 = 64),
+        Similarity.annBruteForceFiltered(e, pred, nQueries = 10, k = 10),
+        k = 10)
+    }),
     "text_tokencount" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),

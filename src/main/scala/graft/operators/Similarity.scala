@@ -853,28 +853,33 @@ object Similarity {
       // adcTopN is already cut at max(k, rerank) = k here
       adcTopN.select(col("query_id"), col("neighbor_id"), col("rank"),
         col("adc_cos"))
-    else {
-      // exact refine: nQueries×rerank shortlist rows join back to the
-      // corpus (broadcast — driver-bounded by construction) and the
-      // query vectors; final rank on true cosine, id tie-break
-      val qv = broadcast(e.sparkSession.createDataFrame(
-          qs.toSeq.map { case (qid, q) => (qid, q.toSeq) })
-        .toDF("query_id", "qe"))
-      val short = broadcast(adcTopN.select(col("query_id"),
-        col("neighbor_id")))
-      val exact = e.select(col("vec_id").as("neighbor_id"),
-          col("embedding").cast("array<double>").as("ce"))
-        .join(short, Seq("neighbor_id"))
-        .join(qv, Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(Vectors.cosine(col("ce"), col("qe")), 6).as("cos_sim"))
-      val w2 = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      exact.withColumn("rank", row_number().over(w2).cast("long"))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          col("cos_sim"))
-    }
+    else refineShortlist(e, adcTopN, qs, k)
+  }
+
+  /** Exact-refine tail shared by the PQ and IVF-PQ searches (FAISS's
+    * IndexRefine shape): the nQueries×rerank ADC shortlist joins back
+    * to the corpus (broadcast — driver-bounded by construction) and
+    * the query vectors; final rank on true cosine, id tie-break.
+    */
+  private def refineShortlist(e: DataFrame, adcTopN: DataFrame,
+      qs: Array[(Long, Array[Double])], k: Int): DataFrame = {
+    val qv = broadcast(e.sparkSession.createDataFrame(
+        qs.toSeq.map { case (qid, q) => (qid, q.toSeq) })
+      .toDF("query_id", "qe"))
+    val short = broadcast(adcTopN.select(col("query_id"),
+      col("neighbor_id")))
+    val exact = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("ce"))
+      .join(short, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Vectors.cosine(col("ce"), col("qe")), 6).as("cos_sim"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos_sim"))
   }
 
   /** Deterministic random orthonormal rotation of the embedding
@@ -1821,6 +1826,363 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
+  // ---------------------------------------------------------------
+  // IVF-PQ composite index (the FAISS IndexIVFPQ layout)
+  // ---------------------------------------------------------------
+
+  /** The bounded (list, centroid) lookup frame a residual computation
+    * broadcasts — nlist rows, the same driver-state class as the
+    * centroid collects everywhere else in the family.
+    */
+  private def centLookupFrame(spark: SparkSession,
+      centroids: Array[(Int, Array[Double])]): DataFrame =
+    broadcast(spark.createDataFrame(
+        centroids.map { case (i, c) => (i, c.toSeq) }.toSeq)
+      .toDF("list", "centroid"))
+
+  /** (vec_id, embedding = x − c_list) over an assigned frame: the
+    * residual projection both IVF-PQ training and encoding consume.
+    * Residuals concentrate around the origin with far less spread
+    * than raw vectors — the reason the composite index beats flat PQ
+    * at the same code budget (Jégou et al., TPAMI 2011 §IV.A).
+    * Per-dim column algebra against the broadcast centroid row — no
+    * higher-order-function lambdas (interpreted, the minhash lesson);
+    * the whole projection stays in codegen.
+    */
+  private def residualFrame(assigned: DataFrame, centLookup: DataFrame,
+      dims: Int): DataFrame = {
+    val ed = col("embedding").cast("array<double>")
+    assigned.join(centLookup, Seq("list"))
+      .select(col("vec_id"), array((0 until dims).map(d =>
+        element_at(ed, d + 1) - element_at(col("centroid"), d + 1)): _*)
+        .as("embedding"))
+  }
+
+  /** Per-list centroid frame enriched for residual ENCODING: each
+    * list's centroid plus the two reconstruction-norm ingredients —
+    * ‖c‖² and the cross table ct[s][i] = c_sub(s) · c_{s,i} against
+    * the residual codebooks. Rides a BROADCAST JOIN (nlist × m × ksub
+    * doubles total), not a codegen literal: generated bytecode stays
+    * constant in nlist, the same scaling posture as
+    * [[assignToNearestHier]] — a 100 TB index wants nlist in the
+    * thousands, where an inlined cube would blow janino's limits.
+    */
+  private def ivfPqCentFrame(spark: SparkSession,
+      centroids: Array[(Int, Array[Double])],
+      books: Array[(Int, Int, Array[Double])], m: Int, ksub: Int,
+      dsub: Int): DataFrame = {
+    val cube = centsCube(books, m)
+    val rows = centroids.map { case (i, c) =>
+      val cnorm2 = c.map(x => x * x).sum
+      val ct = (0 until m).map { s =>
+        val csub = c.slice(s * dsub, (s + 1) * dsub)
+        (0 until ksub).map { code =>
+          val cc = cube(s)(code)
+          if (cc == null) 0.0
+          else csub.indices.map(d => csub(d) * cc(d)).sum
+        }
+      }
+      (i, c.toSeq, cnorm2, ct)
+    }
+    broadcast(spark.createDataFrame(rows.toSeq)
+      .toDF("list", "centroid", "cnorm2", "ct"))
+  }
+
+  /** Encode an assigned corpus against residual codebooks: per vector
+    * its list, the m residual codes, and the exact reconstruction norm
+    * ‖c_list + r̂‖ — stored ONCE at encode time so probe-side cosine
+    * needs no per-list cross tables (num/den split: the numerator's
+    * q-dependent parts are lookups, the denominator rides the row).
+    * ‖c + r̂‖² = ‖c‖² + 2·Σ_s ct[list][s][code_s] + Σ_s ‖c_{s,code_s}‖²
+    * — all element_at lookups over the broadcast-joined cent frame and
+    * the small global code-norm literal; the corpus never shuffles.
+    */
+  private def ivfPqEncode(assigned: DataFrame, centFrame: DataFrame,
+      books: Array[(Int, Int, Array[Double])], dims: Int): DataFrame = {
+    val m = books.map(_._1).max + 1
+    val ksub = books.map(_._2).max + 1
+    val dsub = dims / m
+    val cube = centsCube(books, m)
+    val cn = bookTable(books, m, ksub)((_, c) => c.map(x => x * x).sum)
+    val ed = col("embedding").cast("array<double>")
+    val codeCols = (0 until m).map { sub =>
+      val res = array((sub * dsub until (sub + 1) * dsub).map(d =>
+        element_at(ed, d + 1) - element_at(col("centroid"), d + 1)): _*)
+      pqArgminCol(lit(sub), res, cube).getField("code")
+    }
+    // two projections so the codes array is computed ONCE and the
+    // norm terms look it up (the per-sub argmin is the expensive part)
+    val withCodes = assigned.join(centFrame, Seq("list"))
+      .select(col("vec_id"), col("list"),
+        array(codeCols: _*).as("codes"), col("cnorm2"), col("ct"))
+    val terms = (0 until m).map { s =>
+      val cIdx = element_at(col("codes"), s + 1) + 1
+      (element_at(element_at(col("ct"), s + 1), cIdx),
+        element_at(element_at(typedLit(cn), s + 1), cIdx))
+    }
+    val cross = terms.map(_._1).reduce(_ + _)
+    val rn2 = terms.map(_._2).reduce(_ + _)
+    withCodes.select(col("vec_id"), col("list"), col("codes"),
+      sqrt(col("cnorm2") + lit(2.0) * cross + rn2).as("rnorm"))
+  }
+
+  /** Σ_s dt[s][code_s] over a `codes` column — the query-residual ADC
+    * numerator term, m element_at lookups.
+    */
+  private def dtSumCol(dt: Column, m: Int): Column =
+    (0 until m).map(s => element_at(element_at(dt, s + 1),
+      element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+
+  /** IVF-PQ composite search — the FAISS IndexIVFPQ layout (Jégou et
+    * al., TPAMI 2011 §IV), the workhorse big-corpus index: the coarse
+    * quantizer prunes (only `nprobe` of `nlist` cells are scanned, the
+    * IVF trade) AND every scanned vector is m small codes (the PQ
+    * trade) — neither parent family offers both. Codes quantize the
+    * RESIDUAL x − c_list, which concentrates around the origin, so the
+    * same m×ksub budget buys a finer quantization than flat PQ.
+    *
+    * Scoring: cos ≈ (q·c_list + Σ_s dt[s][code_s]) / (‖q‖·‖c_list+r̂‖).
+    * The numerator splits into a per-(query, probed-list) scalar
+    * (driver-computed, rides the probe row) plus m lookups into the
+    * query's residual dot table (codebooks are GLOBAL across lists, so
+    * dt is per-query, not per-(query,list) — the standard shared-
+    * codebook simplification); the denominator's reconstruction norm
+    * was computed exactly at encode time and rides the code row.
+    * Exact refine of the bounded shortlist as in [[annPqSearch]].
+    * Approximate on BOTH axes (unprobed cells + quantization);
+    * `ann_ivfpq_recall` vs brute force is the hard per-round signal.
+    *
+    * Scale shape: train (sampled Lloyd + one assignment pass) is the
+    * IVF family's documented cost; encode is one corpus-linear
+    * codegen'd map; search scans nprobe/nlist of the CODES (each
+    * ksub-ways smaller than raw), shuffles only the nQueries×rerank
+    * shortlist. At 100 TB the codes table partitioned by list is the
+    * persisted form ([[writeIvfPqIndex]]) and probes prune to their
+    * lists' partitions.
+    */
+  def annIvfPqSearch(e: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 10, m: Int = 16, ksub: Int = 64,
+      rerank: Int = 50, dims0: Int = -1): DataFrame =
+    annIvfPqSearchImpl(e, lit(true), nQueries, k, nlist, nprobe, m,
+      ksub, rerank, dims0)
+
+  /** FILTERED composite search: the predicate lands on the assigned
+    * corpus BEFORE the encode projection (pushed below it into the
+    * scan — failing vectors are never encoded or ADC-scored), the
+    * [[annPqSearchFiltered]] placement composed with IVF's nprobe
+    * pruning. Coarse quantizer and codebooks train on the FULL corpus
+    * (one index serves every predicate); queries come from the full
+    * corpus. ADC is exhaustive within the probed passing set, so
+    * filtered recall is governed by the same nprobe + rerank budget
+    * as the unfiltered lane.
+    */
+  def annIvfPqSearchFiltered(e: DataFrame, pred: Column,
+      nQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 10,
+      m: Int = 16, ksub: Int = 64, rerank: Int = 50,
+      dims0: Int = -1): DataFrame =
+    annIvfPqSearchImpl(e, pred, nQueries, k, nlist, nprobe, m, ksub,
+      rerank, dims0)
+
+  private def annIvfPqSearchImpl(e: DataFrame, pred: Column,
+      nQueries: Int, k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int,
+      rerank: Int, dims0: Int): DataFrame = {
+    val spark = e.sparkSession
+    val dims = dimsOf(e, dims0)
+    val dsub = dims / m
+    val centroids = ivfTrain(e, nlist, dims0 = dims).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // assign ONCE over the full corpus; the predicate applies after
+    // the assignment projection (it commutes — Catalyst pushes it
+    // below into the scan), so the filtered path trains on full-corpus
+    // residuals and encodes only the passing rows
+    val assigned = assignToNearest(Par.ensure(e), centroids)
+    val centLookup = centLookupFrame(spark, centroids)
+    val books = pqTrain(residualFrame(assigned, centLookup, dims),
+      m, ksub, dims0 = dims)
+    val centFrame = ivfPqCentFrame(spark, centroids, books, m, ksub, dsub)
+    val codes = ivfPqEncode(assigned.where(pred), centFrame, books, dims)
+      .select(col("vec_id").as("neighbor_id"), col("list"),
+        col("codes"), col("rnorm"))
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    // two-level storage assignment can differ from the exact ranking
+    // (the [[annIvfSearchImpl]] own-list guard, same reasoning)
+    val own: Map[Long, Int] =
+      if (centroids.length < HierAssignThreshold) Map.empty
+      else assignToNearest(e.filter(col("vec_id") < nQueries), centroids)
+        .select(col("vec_id"), col("list")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // per-(query, probed list) rows: the m×ksub residual dot table
+    // rides each row (nQueries×nprobe×m×ksub doubles — bounded),
+    // q·c_list is a driver-computed scalar. Probe ranking sorts
+    // (−cos, list) so ties break LOW, the assignment's side.
+    val probeRows = qs.toSeq.flatMap { case (qid, q) =>
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val dt = dotTable(books, m, ksub, dsub, q.toIndexedSeq)
+      val qDotC = centroids.map { case (i, c) =>
+        i -> c.indices.map(d => c(d) * q(d)).sum
+      }.toMap
+      val ranked = centroids.map { case (i, c) =>
+        val cNorm = math.sqrt(c.map(x => x * x).sum)
+        (i, qDotC(i) / (cNorm * qn))
+      }.sortBy { case (i, cos) => (-cos, i) }.take(nprobe).map(_._1)
+      (ranked ++ own.get(qid)).distinct
+        .map(l => (qid, l, dt, qn, qDotC(l)))
+    }
+    val queries = broadcast(spark.createDataFrame(probeRows)
+      .toDF("query_id", "list", "dt", "qn", "qcl"))
+    val scored = codes.join(queries, Seq("list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round((col("qcl") + dtSumCol(col("dt"), m)) /
+          (col("qn") * col("rnorm")), 6).as("adc_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    val adcTopN = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= math.max(k, rerank))
+    if (rerank <= 0)
+      adcTopN.select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc_cos"))
+    else refineShortlist(e, adcTopN, qs, k)
+  }
+
+  /** Persist an IVF-PQ index: residual codes + reconstruction norms
+    * PARTITIONED BY list (probes prune to their nprobe partitions AND
+    * scan only codes — both parents' layouts composed), centroid and
+    * codebook tables alongside (same file layouts as [[writeIvfIndex]]
+    * / [[writePqIndex]], so [[readCentroids]] and the codebook readers
+    * are shared). Raw embeddings are NOT stored — the compressed form
+    * is the family's point; exact refine is the caller's raw-read
+    * trade, as in [[pqIndexProbe]].
+    */
+  def writeIvfPqIndex(e: DataFrame, path: String, nlist: Int = 16,
+      m: Int = 16, ksub: Int = 64, iters: Int = 3,
+      dims0: Int = -1): Unit = {
+    val spark = e.sparkSession
+    val dims = dimsOf(e, dims0)
+    val cents = ivfTrain(e, nlist, iters, dims0 = dims)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cArr = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val assigned = assignToNearest(Par.ensure(e), cArr)
+    val centLookup = centLookupFrame(spark, cArr)
+    val books = pqTrain(residualFrame(assigned, centLookup, dims),
+      m, ksub, iters, dims)
+    spark.createDataFrame(
+        books.toSeq.map { case (s, i, c) => (s, i, c.toSeq) })
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // one file per list (the writeIvfIndex small-files discipline)
+    ivfPqEncode(assigned, ivfPqCentFrame(spark, cArr, books, m, ksub,
+        dims / m), books, dims)
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$path/codes")
+  }
+
+  /** ADC top-k probe against a persisted [[writeIvfPqIndex]] index:
+    * rank the bounded centroid table driver-side, scan ONLY the
+    * top-`nprobe` list partitions of the CODES table (literal `isin` →
+    * static pruning — and every scanned byte is codes, not raw
+    * vectors), score from lookups + the stored reconstruction norm.
+    * `refineFrom`/`pred`/`excludeId` follow [[pqIndexProbe]]'s
+    * contracts (the refine raw read is the caller's trade; `pred` is
+    * the filtered surface over the codes table's columns).
+    */
+  def ivfPqIndexProbe(spark: SparkSession, path: String,
+      query: Seq[Double], k: Int = 5, nprobe: Int = 4, rerank: Int = 0,
+      refineFrom: Option[DataFrame] = None,
+      excludeId: Option[Long] = None,
+      pred: Column = lit(true)): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val books = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = books.map(_._1).max + 1
+    val ksub = books.map(_._2).max + 1
+    val dsub = books.head._3.length
+    require(query.length == m * dsub,
+      s"ivfPqIndexProbe: query has ${query.length} dims but the index " +
+        s"at $path was trained on ${m * dsub} (m=$m × dsub=$dsub)")
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qDotC = cents.map { case (i, c) =>
+      i -> c.indices.map(d => c(d) * query(d)).sum
+    }.toMap
+    val exact = cents.map { case (i, c) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      (i, qDotC(i) / (cNorm * qn))
+    }.sortBy { case (i, cos) => (-cos, i) }.take(nprobe).map(_._1)
+    // two-level-written indexes: also probe the query's own stored
+    // list (the ivfIndexProbe guard, same construction)
+    val own: Seq[Int] =
+      if (cents.length < HierAssignThreshold) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))))
+        val one = spark.createDataFrame(
+          Seq(org.apache.spark.sql.Row(query)).asJava, schema)
+        Seq(assignToNearest(one, cents).select(col("list"))
+          .head().getInt(0))
+      }
+    val lists = (exact ++ own).distinct
+    val dt = typedLit(dotTable(books, m, ksub, dsub, query.toIndexedSeq))
+    val qcl = element_at(
+      typedLit(lists.map(l => l -> qDotC(l)).toMap), col("list"))
+    val base = spark.read.parquet(s"$path/codes")
+      .filter(col("list").isin(lists.toIndexedSeq: _*))
+      .where(pred)
+    val scored = excludeId.fold(base)(id =>
+        base.filter(col("vec_id") =!= id))
+      .select(col("vec_id").as("neighbor_id"),
+        round((qcl + dtSumCol(dt, m)) / (lit(qn) * col("rnorm")), 6)
+          .as("adc_cos"))
+    val short = scored
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+      .limit(math.max(k, rerank))
+    refineFrom match {
+      case None => short.limit(k)
+      case Some(raw) =>
+        val q = typedLit(query)
+        raw.select(col("vec_id").as("neighbor_id"), col("embedding"))
+          .join(broadcast(short.select(col("neighbor_id"))),
+            Seq("neighbor_id"))
+          .select(col("neighbor_id"),
+            round(Vectors.cosine(col("embedding"), q), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id")).limit(k)
+    }
+  }
+
+  /** Append new vectors to a persisted [[writeIvfPqIndex]] index
+    * WITHOUT retraining: assign against the stored centroids, encode
+    * residuals against the stored codebooks — pure map-side, the
+    * steady-state ingest path of both parents composed. Same
+    * name-AND-type schema alignment as [[appendToIvfIndex]]; both
+    * drift contracts apply (centroids AND codebooks age —
+    * [[retrainIvfIndex]]/[[retrainPqIndex]] are the cadence ops; a
+    * composite retrain is a rebuild via [[writeIvfPqIndex]]).
+    */
+  def appendToIvfPqIndex(newVectors: DataFrame, path: String,
+      dims0: Int = -1): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = readCentroids(spark, path)
+    val books = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = books.map(_._1).max + 1
+    val ksub = books.map(_._2).max + 1
+    val dims = dimsOf(newVectors, dims0)
+    val codesSchema = spark.read.parquet(s"$path/codes").schema
+    ivfPqEncode(assignToNearest(newVectors, cents),
+        ivfPqCentFrame(spark, cents, books, m, ksub, dims / m),
+        books, dims)
+      .select(codesSchema.map(f => col(f.name).cast(f.dataType)): _*)
+      .write.mode("append").partitionBy("list").parquet(s"$path/codes")
   }
 
   /** Persist the multi-table LSH index PARTITIONED BY (tbl, bucket) —

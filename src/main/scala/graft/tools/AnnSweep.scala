@@ -58,6 +58,34 @@ object AnnSweep {
       println(f"PQf  m=16 ksub=64 rerank=50  recall@10=$rPq%.3f")
       spark.stop(); return
     }
+    // ivfpq mode: recall of the composite lane (r14) across
+    // nprobe × rerank, unfiltered and under the 50 % hash predicate —
+    // how the shipped composite operating point was picked
+    if (args.lift(1).contains("ivfpq")) {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pred = pmod(xxhash64(col("vec_id")), lit(2L)) === 0
+      val exact = Similarity.annBruteForce(e, nQueries = 10, k = 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exactF = Similarity.annBruteForceFiltered(e, pred,
+          nQueries = 10, k = 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exact.count(); exactF.count()
+      def recall(df: org.apache.spark.sql.DataFrame,
+          ex: org.apache.spark.sql.DataFrame): Double =
+        Similarity.annRecallSummary(df, ex, k = 10)
+          .collect()(0).getAs[Double]("recall")
+      for (nprobe <- Seq(4, 8, 10); rr <- Seq(0, 50)) {
+        val r = recall(Similarity.annIvfPqSearch(e, nQueries = 10,
+          k = 10, nprobe = nprobe, rerank = rr, dims0 = 64), exact)
+        println(f"IVFPQ nprobe=$nprobe%2d rerank=$rr%3d  recall@10=$r%.3f")
+      }
+      val rf = recall(Similarity.annIvfPqSearchFiltered(e, pred,
+        nQueries = 10, k = 10, dims0 = 64), exactF)
+      println(f"IVFPQf nprobe=10 rerank=50  recall@10=$rf%.3f")
+      spark.stop(); return
+    }
     val e = Tables.embeddings(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = Similarity.annBruteForce(e, nQueries = 10, k = 10)
