@@ -249,6 +249,7 @@ object SparkEntry {
     "embed_pq" -> ((s, d) => Similarity.pqCalibration(s, d)),
     "embed_quantize" -> ((s, d) => Similarity.quantizationError(s, d)),
     "embed_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "embed_mrl" -> ((s, d) => Similarity.mrlRecall(s, d)),
     "curate_corpus" -> ((s, d) => Curation.curateCorpus(s, d)),
     "curate_corpus_v2" -> ((s, d) => Curation.curateCorpusV2(s, d)),
     "sample_hash" -> ((s, d) => Sampling.sampleDocuments(s, d)),
@@ -281,6 +282,7 @@ object SparkEntry {
     // reciprocal-rank fusion (rank-only, so the arms' incomparable
     // score scales never meet) — full oracle
     "search_hybrid_rrf" -> ((s, d) => Relevance.hybridSearchRrf(s, d)),
+    "search_mmr" -> ((s, d) => Relevance.mmrDiversify(s, d)),
     "idx_postings" -> ((s, d) => Relevance.postings(s, d)),
     "q_outlier" -> ((s, d) => BatchQueries.valueOutliers(s, d)),
     // round 7c: governance + affinity family
@@ -2753,6 +2755,8 @@ object SparkEntry {
            CAST(FLOOR(CAST(65536 AS DOUBLE) * CAST(factor_bp AS DOUBLE)
              / CAST(zz AS DOUBLE)) AS BIGINT) AS weight_u16
          FROM f CROSS JOIN z""",
+    "search_mmr" -> Relevance.mmrOracleSql(),
+    "embed_mrl" -> Similarity.mrlOracleSql(),
     "tok_bpe_train" -> Bpe.trainOracleSql(),
     "tok_count_bpe" -> Bpe.countOracleSql(),
     "mix_token_budget_bpe" -> Bpe.budgetOracleSql(),

@@ -224,6 +224,139 @@ object Relevance {
   }
 
   // ---------------------------------------------------------------
+  // MMR diversification
+  // ---------------------------------------------------------------
+
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame =
+    mmrDiversify(Tables.embeddings(spark, dir))
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998 — the diversity-aware top-k every retrieval/RAG stack
+    * wants once near-duplicate chunks start crowding the context):
+    * from the exact cosine top-`candK` candidate pool, greedily pick k
+    * results maximizing λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s) —
+    * relevance traded against redundancy with what is already picked.
+    *
+    * EXACT INTEGER arithmetic end-to-end (the cents doctrine at micro
+    * precision): rel_c and sim_c are cosines scaled to integer
+    * MICRO-units — ROUND(cos·10⁶, 0), one IEEE multiply + one
+    * HALF_UP rounding, both correctly rounded and engine-identical —
+    * and the MMR objective is λbp·rel_c − (10000−λbp)·sim_c in pure
+    * int64. The greedy argmax (score desc, doc_id asc) is therefore
+    * fully deterministic and FULL-oracle comparable; the oracle
+    * unrolls the k selection rounds as CTEs ([[mmrOracleSql]], the
+    * kcore/BPE generated-oracle convention).
+    *
+    * Scale shape: the corpus-scale work is the candidate arm — ONE
+    * exact top-candK scan (TakeOrdered; at 100 TB swap in an index
+    * probe, as with [[hybridSearchRrf]]'s arms). Everything after is
+    * bounded by construction: the candK-row pool and its candK²
+    * pairwise sims are computed by Spark expressions on collected-
+    * then-parallelized 20-row frames (so ALL floating point stays in
+    * the same engine expressions the oracle mirrors), and the k-round
+    * greedy loop runs on the driver over pure integers — the
+    * bounded-driver-state class of the PQ query tables, k·candK longs.
+    */
+  def mmrDiversify(emb: DataFrame, queryVecId: Long = 0L,
+      candK: Int = 20, k: Int = 10, lambdaBp: Long = 7000L): DataFrame = {
+    val spark = emb.sparkSession
+    import graft.functions.Vectors
+    def microCos(a: Column, b: Column): Column =
+      round(Vectors.cosine(a, b) * lit(1e6), 0).cast("long")
+    val qe = broadcast(emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").cast("array<double>").as("qe")))
+    val cand = emb.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(qe)
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("ce"),
+        microCos(col("embedding").cast("array<double>"), col("qe"))
+          .as("rel_c"))
+      .orderBy(col("rel_c").desc, col("doc_id")).limit(candK)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq,
+        r.getLong(2)))
+    // pairwise sims of the POOL via the same Spark expression the
+    // candidate arm used — a candK-row local frame self-joined, no
+    // driver-side float math to drift from the oracle
+    val pool = spark.createDataFrame(
+        cand.toSeq.map { case (id, ce, _) => (id, ce) })
+      .toDF("doc_id", "ce")
+    val sims = pool.as("a").join(pool.as("b"),
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        microCos(col("a.ce"), col("b.ce")).as("sim_c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // greedy integer selection: argmax (λ·rel − (1−λ)·maxSim), ties
+    // to the lower doc_id; first pick has an empty picked set → 0
+    val rel = cand.map { case (id, _, rc) => id -> rc }.toMap
+    val ids = cand.map(_._1)
+    var picked = Vector.empty[(Long, Long, Long, Long, Long)]
+    var chosen = Set.empty[Long]
+    var order = 1L
+    while (order <= k && chosen.size < ids.length) {
+      val best = ids.filterNot(chosen)
+        .map { id =>
+          val maxSim =
+            if (chosen.isEmpty) 0L
+            else chosen.map(s => sims((id, s))).max
+          val score = lambdaBp * rel(id) - (10000L - lambdaBp) * maxSim
+          (id, rel(id), maxSim, score)
+        }
+        .minBy { case (id, _, _, score) => (-score, id) }
+      picked :+= ((order, best._1, best._2, best._3, best._4))
+      chosen += best._1
+      order += 1
+    }
+    spark.createDataFrame(picked)
+      .toDF("pick_order", "doc_id", "rel_c", "max_sim_c", "score_c")
+  }
+
+  /** Generated unrolled-CTE oracle for [[mmrDiversify]]: one (p_i,
+    * s_i) CTE pair per selection round — p_i re-ranks the not-yet-
+    * picked pool by the integer MMR objective against s_{i−1}'s
+    * max-sim table and takes one row; s_i accumulates the picks.
+    */
+  def mmrOracleSql(queryVecId: Long = 0L, candK: Int = 20, k: Int = 10,
+      lambdaBp: Long = 7000L): String = {
+    val anti = 10000L - lambdaBp
+    val rounds = (2 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS pick_order, c.doc_id,
+            c.rel_c, m.max_sim_c,
+            $lambdaBp * c.rel_c - $anti * m.max_sim_c AS score_c
+          FROM cand c JOIN (SELECT da AS doc_id, MAX(sim_c) AS max_sim_c
+              FROM sims WHERE db IN (SELECT doc_id FROM s${i - 1})
+              GROUP BY da) m USING (doc_id)
+          WHERE c.doc_id NOT IN (SELECT doc_id FROM s${i - 1})
+          ORDER BY score_c DESC, doc_id LIMIT 1),
+         s$i AS MATERIALIZED (SELECT doc_id FROM s${i - 1}
+                 UNION ALL SELECT doc_id FROM p$i)"""
+    }.mkString(",\n         ")
+    val unionAll = (1 to k).map(i => s"SELECT * FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""WITH qv AS (SELECT embedding AS qe FROM embeddings
+                    WHERE vec_id = $queryVecId),
+         cand AS MATERIALIZED (SELECT e.vec_id AS doc_id, e.embedding AS ce,
+             CAST(ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+               qv.qe::DOUBLE[]) * 1000000, 0) AS BIGINT) AS rel_c
+           FROM embeddings e, qv WHERE e.vec_id <> $queryVecId
+           ORDER BY rel_c DESC, doc_id LIMIT $candK),
+         sims AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(ROUND(list_cosine_similarity(a.ce::DOUBLE[],
+               b.ce::DOUBLE[]) * 1000000, 0) AS BIGINT) AS sim_c
+           FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+         p1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS pick_order, doc_id, rel_c,
+             CAST(0 AS BIGINT) AS max_sim_c,
+             $lambdaBp * rel_c AS score_c
+           FROM cand ORDER BY score_c DESC, doc_id LIMIT 1),
+         s1 AS MATERIALIZED (SELECT doc_id FROM p1),
+         $rounds
+         SELECT pick_order, doc_id, rel_c, max_sim_c,
+           CAST(score_c AS BIGINT) AS score_c
+         FROM ($unionAll) u"""
+  }
+
+  // ---------------------------------------------------------------
   // Inverted index (postings) build
   // ---------------------------------------------------------------
 

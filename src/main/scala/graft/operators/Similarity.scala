@@ -2390,6 +2390,78 @@ object Similarity {
     * builtin codegen'd array ops, NOT interpreted HOF lambdas. Pure
     * map, zero shuffle.
     */
+  def mrlRecall(spark: SparkSession, dir: String): DataFrame =
+    mrlRecall(Tables.embeddings(spark, dir))
+
+  /** Matryoshka truncation quality (Kusupati et al., NeurIPS 2022 —
+    * MRL-style embeddings serve retrieval from a PREFIX of the dims):
+    * for each truncation length d, recall@k of exact cosine search
+    * over the first d dims against the full-dim exact top-k — the
+    * curve that tells a serving stack how many dims its first-pass
+    * scan can drop. Both sides of each truncated search use the SAME
+    * prefix (query and corpus truncate together, the MRL deployment
+    * shape). Exact arithmetic throughout (slice + the same rounded
+    * cosine as [[annBruteForce]]; hits are integer counts, recall one
+    * correctly-rounded divide) — FULL oracle.
+    *
+    * Scale shape: one brute-force scan per truncation (the exact-
+    * baseline cost, ×|dimsList|); at 100 TB each arm swaps to an
+    * index probe over prefix-dim vectors and the recall join is
+    * unchanged (nQueries×k rows). On isotropic synthetic embeddings
+    * prefix energy is uniform, so driver-scale recall at d=8 of 64
+    * is LOW by construction (~0.1-0.2) — the lane measures the curve,
+    * it does not assert a floor; real MRL-trained embeddings
+    * front-load energy and lift the short-prefix end.
+    */
+  def mrlRecall(emb: DataFrame, dimsList: Seq[Int] = Seq(8, 16, 32, 64),
+      nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val denom = (nQueries * k).toDouble
+    val full = annBruteForce(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    dimsList.map { d =>
+      val truncated = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      annBruteForce(truncated, nQueries, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(full, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d).cast("long").as("trunc_dims"), col("hits"),
+          round(col("hits") / lit(denom), 4).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Generated oracle for [[mrlRecall]]: one truncated-search block
+    * per dims value, each the [[annBruteForce]] oracle shape over
+    * `embedding[1:d]`, joined against the full-dim top-k.
+    */
+  def mrlOracleSql(dimsList: Seq[Int] = Seq(8, 16, 32, 64),
+      nQueries: Int = 10, k: Int = 10): String = {
+    val denom = nQueries * k
+    def topk(alias: String, embExpr: String): String =
+      s"""$alias AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ROUND(list_cosine_similarity(($embExpr)::DOUBLE[],
+                  (${embExpr.replace("e.", "q.")})::DOUBLE[]), 6) DESC,
+                e.vec_id) AS rank
+            FROM embeddings e, embeddings q
+            WHERE q.vec_id < $nQueries AND e.vec_id <> q.vec_id) t
+          WHERE rank <= $k)"""
+    val blocks = dimsList.map { d =>
+      topk(s"t$d", s"e.embedding[1:$d]") + s""",
+         h$d AS (SELECT CAST($d AS BIGINT) AS trunc_dims,
+             CAST(COUNT(*) AS BIGINT) AS hits
+           FROM t$d JOIN full0 USING (query_id, neighbor_id))"""
+    }.mkString(",\n         ")
+    val unionAll = dimsList.map(d => s"SELECT * FROM h$d")
+      .mkString(" UNION ALL ")
+    s"""WITH ${topk("full0", "e.embedding")},
+         $blocks
+         SELECT trunc_dims, hits,
+           ROUND(CAST(hits AS DOUBLE) / $denom.0, 4) AS recall
+         FROM ($unionAll) u"""
+  }
+
   def embeddingNorms(spark: SparkSession, dir: String): DataFrame =
     embeddingNorms(Tables.embeddings(spark, dir))
 

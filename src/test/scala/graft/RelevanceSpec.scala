@@ -97,4 +97,42 @@ class RelevanceSpec extends GraftSpecBase {
     assert(ks.filter(col("doc_id") === 1L).count() == 0)
     assert(ks.filter(col("doc_id") === 0L).count() == 2)
   }
+
+  test("mmr: pure-relevance lambda reproduces the cosine top-k order, " +
+      "runs are bit-equal, picks are distinct") {
+    initLog()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val got = Relevance.mmrDiversify(e, lambdaBp = 10000L)
+      .orderBy(col("pick_order")).collect()
+    assert(got.length == 10)
+    assert(got.map(_.getLong(1)).distinct.length == 10)
+    // λ = 1: the objective is rel_c alone, so pick order IS the
+    // (rel_c desc, doc_id asc) candidate ranking
+    val rels = got.map(r => (r.getLong(2), r.getLong(1)))
+    assert(rels.sortBy { case (rc, id) => (-rc, id) }.toSeq == rels.toSeq)
+    val again = Relevance.mmrDiversify(e, lambdaBp = 10000L)
+      .orderBy(col("pick_order")).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("mmr: redundancy penalty pulls in the second cluster that " +
+      "pure relevance ignores") {
+    initLog()
+    // query ≈ cluster A (6 near-copies); cluster B sits at ~45° —
+    // pure relevance's top-4 is all A, MMR at λ=0.5 must not be
+    def v(base: Array[Double], jig: Int): Seq[Double] = {
+      val a = base.clone(); a(3) += 0.001 * jig; a.toSeq
+    }
+    val a = Array(1.0, 0.0, 0.0, 0.0)
+    val b = Array(math.sqrt(0.5), math.sqrt(0.5), 0.0, 0.0)
+    val rows = (0 to 5).map(i => (i.toLong, v(a, i))) ++
+      (6 to 8).map(i => (i.toLong, v(b, i - 6)))
+    val e = rows.toDF("vec_id", "embedding")
+    val pure = Relevance.mmrDiversify(e, queryVecId = 0L, candK = 8,
+      k = 4, lambdaBp = 10000L).collect().map(_.getLong(1)).toSet
+    assert(pure.forall(_ <= 5L), s"pure-relevance picks $pure")
+    val div = Relevance.mmrDiversify(e, queryVecId = 0L, candK = 8,
+      k = 4, lambdaBp = 5000L).collect().map(_.getLong(1)).toSet
+    assert(div.exists(_ >= 6L), s"diversified picks $div stayed in A")
+  }
 }

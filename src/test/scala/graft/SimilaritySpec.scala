@@ -858,4 +858,29 @@ class SimilaritySpec extends GraftSpecBase {
     assert(full.getAs[Long]("n_pairs") ==
       Similarity.embeddingNearDupPairs(df).count())
   }
+
+  test("mrlRecall: full-dim row is exactly 1.0; a prefix that carries " +
+      "all the energy recalls 1.0 at its truncation") {
+    initLog()
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val rows = Similarity.mrlRecall(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set(8L, 16L, 32L, 64L))
+    assert(rows(64L) == ((100L, 1.0)), s"full-dim row ${rows(64L)}")
+    rows.values.foreach { case (h, rc) =>
+      assert(h >= 0L && h <= 100L && rc >= 0.0 && rc <= 1.0)
+    }
+    // energy-front-loaded fixture: dims 5..8 are all zero, so the
+    // 4-prefix search IS the full search — both rows recall 1.0
+    val fixed = (0 until 30).map { i =>
+      val v = Array.tabulate(8)(d =>
+        if (d < 4) (math.sin(i * 37 + d * 11)).toFloat else 0.0f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val fr = Similarity.mrlRecall(fixed, dimsList = Seq(4, 8),
+        nQueries = 5, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(fr == Map(4L -> 1.0, 8L -> 1.0), s"front-loaded $fr")
+  }
 }
