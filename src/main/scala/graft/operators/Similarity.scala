@@ -2159,6 +2159,26 @@ object Similarity {
     }
   }
 
+  /** Index MAINTENANCE, IVF-PQ flavor: appends land one file per
+    * touched list per batch (steady-state ingest fragments every hot
+    * list), and a replayed batch that slipped past upstream id-gating
+    * leaves exact duplicate code rows. ONE pass — full-row distinct
+    * (deterministic; same changed-row caveat as [[compactLshIndex]]:
+    * a re-ingested id whose EMBEDDING changed keeps both rows, since
+    * append-only parquet carries no arrival order to adjudicate),
+    * rewrite one file per list, side dir + [[IndexIo]] swap.
+    * Centroids/codebooks are untouched: the index stores codes only,
+    * so re-training is a REBUILD from the caller's raw corpus
+    * ([[writeIvfPqIndex]], the [[retrainPqIndex]] raw-frame trade).
+    */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
+    spark.read.parquet(s"$path/codes").distinct()
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(s"$path/codes__compact")
+    IndexIo.swapInto(spark, s"$path/codes__compact", s"$path/codes")
+  }
+
   /** Append new vectors to a persisted [[writeIvfPqIndex]] index
     * WITHOUT retraining: assign against the stored centroids, encode
     * residuals against the stored codebooks — pure map-side, the

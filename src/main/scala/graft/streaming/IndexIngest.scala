@@ -49,4 +49,38 @@ object IndexIngest {
           graft.operators.Hnsw.compactHnswIndex(spark, indexPath)
       }
       .start()
+
+  /** IVF-PQ twin of [[startHnswIngest]]: per micro-batch append
+    * ([[graft.operators.Similarity.appendToIvfPqIndex]] — assign +
+    * residual-encode against the STORED tables, pure map-side) with
+    * the same BY-ID replay protection (the codes table is the
+    * membership catalog — a replayed id would duplicate code rows and
+    * double-count its vector in every probe), plus the fragment-
+    * compaction cadence ([[graft.operators.Similarity
+    * .compactIvfPqIndex]], epoch-keyed and idempotent like the HNSW
+    * one). Codebook/centroid DRIFT is the one lifecycle piece a
+    * cadence cannot close from the index alone: the index stores
+    * codes, not raw vectors, so re-training is a rebuild
+    * ([[graft.operators.Similarity.writeIvfPqIndex]]) from the
+    * caller-held raw corpus — the retrainPqIndex trade, documented
+    * rather than hidden behind a lossy decode.
+    */
+  def startIvfPqIngest(stream: DataFrame, indexPath: String,
+      checkpoint: String, compactEvery: Int = 8,
+      dims0: Int = -1): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val existing = spark.read.parquet(s"$indexPath/codes")
+          .select(col("vec_id")).distinct()
+        val fresh = batch.select(col("vec_id"), col("embedding"))
+          .join(existing, Seq("vec_id"), "left_anti")
+        if (!fresh.isEmpty)
+          graft.operators.Similarity.appendToIvfPqIndex(fresh, indexPath,
+            dims0)
+        if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+          graft.operators.Similarity.compactIvfPqIndex(spark, indexPath)
+      }
+      .start()
 }

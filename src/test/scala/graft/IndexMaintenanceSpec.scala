@@ -274,4 +274,48 @@ class IndexMaintenanceSpec extends GraftSpecBase {
     assert(!new java.io.File(s"$tmp/codebooks__retrain").exists)
     assert(!new java.io.File(s"$tmp/codes__old").exists)
   }
+
+  test("compactIvfPqIndex merges append fragments and drops exact " +
+      "re-ingest duplicates; probes are unchanged") {
+    initLog()
+    val e = synth(0 until 120)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-compact").toString
+    Similarity.writeIvfPqIndex(e, tmp, nlist = 8, m = 8, ksub = 16,
+      dims0 = 16)
+    val batch = synth(0 until 20)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"), col("embedding"))
+    val codesPath = s"$tmp/codes"
+    val qv = e.filter(col("vec_id") === 5L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    def probe() = Similarity.ivfPqIndexProbe(spark, tmp, qv, k = 5,
+        nprobe = 4, excludeId = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the reference state: ONE clean append (one-row-per-vector holds)
+    Similarity.appendToIvfPqIndex(batch, tmp, dims0 = 16)
+    val before = probe()
+    val distinctRows = spark.read.parquet(codesPath).count()
+    // replay the SAME batch past the gate: fragments + exact dup rows
+    // (which DO surface in probes — the probe keeps the one-row
+    // invariant lean instead of paying a per-probe dedup; compaction
+    // is the op that restores the invariant)
+    Similarity.appendToIvfPqIndex(batch, tmp, dims0 = 16)
+    assert(spark.read.parquet(codesPath).count() > distinctRows,
+      "re-append created no dup rows?")
+    def listDirs = new java.io.File(codesPath).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("list="))
+    assert(listDirs.exists(
+        _.listFiles.count(_.getName.endsWith(".parquet")) > 1),
+      "appends did not fragment any list dir")
+    assert(probe() != before, "dup rows should surface pre-compact")
+    Similarity.compactIvfPqIndex(spark, tmp)
+    assert(spark.read.parquet(codesPath).count() == distinctRows)
+    assert(listDirs.forall(
+        _.listFiles.count(_.getName.endsWith(".parquet")) == 1),
+      "a list dir is still fragmented after compact")
+    assert(probe() == before, "probe changed across compaction")
+    assert(!new java.io.File(s"$tmp/codes__compact").exists)
+    assert(!new java.io.File(s"$tmp/codes__old").exists)
+  }
 }

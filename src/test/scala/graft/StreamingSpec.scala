@@ -795,6 +795,62 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("ivfpq ingest loop: appends are replay-idempotent by id and " +
+      "the compaction cadence merges code fragments") {
+    initLog()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(16)(d =>
+        (math.sin(i * 131 + d * 31) + math.cos(i * 17 - d * 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val base = Files.createTempDirectory("graft_ivfpqingest")
+    val dir = base.resolve("idx").toString
+    graft.operators.Similarity.writeIvfPqIndex(corpus, dir, nlist = 8,
+      m = 8, ksub = 16, dims0 = 16)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val stream = in.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = graft.streaming.IndexIngest.startIvfPqIngest(
+      stream, dir, base.resolve("ckpt").toString, compactEvery = 2,
+      dims0 = 16)
+    val twin = corpus.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    try {
+      // epoch 0: two new vectors (one a twin of vec 3)
+      in.addData((1000L, twin), (1001L, twin.map(v => -v)))
+      q.processAllAvailable()
+      val c1 = spark.read.parquet(s"$dir/codes").select("vec_id")
+        .collect().map(_.getLong(0))
+      assert(c1.count(_ == 1000L) == 1 && c1.count(_ == 1001L) == 1)
+      // epoch 1: REPLAY of 1000 plus a fresh id — no duplicate code
+      // row, fresh appended; the cadence fires and compacts
+      in.addData((1000L, twin), (1002L, twin.map(v => v * 2f)))
+      q.processAllAvailable()
+      val c2 = spark.read.parquet(s"$dir/codes").select("vec_id")
+        .collect().map(_.getLong(0))
+      assert(c2.count(_ == 1000L) == 1, "replayed id duplicated codes")
+      assert(c2.count(_ == 1002L) == 1, "fresh id lost")
+      val listDirs = new java.io.File(s"$dir/codes").listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("list="))
+      assert(listDirs.nonEmpty && listDirs.forall(
+          _.listFiles.count(_.getName.endsWith(".parquet")) == 1),
+        "cadence did not compact the code fragments")
+      // the ingested twin is findable at cos 1.0 under exact refine
+      val raw = corpus.unionByName(
+        Seq((1000L, twin.toSeq), (1001L, twin.map(v => -v).toSeq),
+          (1002L, twin.map(v => v * 2f).toSeq))
+          .toDF("vec_id", "embedding"))
+      val got = graft.operators.Similarity.ivfPqIndexProbe(spark, dir,
+          twin.map(_.toDouble), k = 3, nprobe = 4, rerank = 20,
+          refineFrom = Some(raw), excludeId = Some(3L))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.exists(p => p._1 == 1000L && p._2 == 1.0), got.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming dq gate: violations quarantined, per-batch observe metrics, batch parity") {
     initLog()
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
