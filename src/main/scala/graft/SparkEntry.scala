@@ -275,6 +275,8 @@ object SparkEntry {
     "contamination_report" -> ((s, d) => TextAnalysis.contaminationReport(s, d)),
     "q_zorder" -> ((s, d) => Layout.zorderCells(s, d)),
     "mm_image_patch" -> ((s, d) => Multimodal.patchGrid(s, d)),
+    "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
+    "mm_phash_effect" -> ((s, d) => Multimodal.phashEffect(s, d)),
     // round 7b: retrieval/relevance family + outlier detection
     "text_tfidf" -> ((s, d) => Relevance.tfidfKeywords(s, d)),
     "text_search_bm25" -> ((s, d) => Relevance.bm25Search(s, d)),
@@ -283,6 +285,7 @@ object SparkEntry {
     // score scales never meet) — full oracle
     "search_hybrid_rrf" -> ((s, d) => Relevance.hybridSearchRrf(s, d)),
     "search_mmr" -> ((s, d) => Relevance.mmrDiversify(s, d)),
+    "search_rerank" -> ((s, d) => Relevance.rerankProximity(s, d)),
     "idx_postings" -> ((s, d) => Relevance.postings(s, d)),
     "q_outlier" -> ((s, d) => BatchQueries.valueOutliers(s, d)),
     // round 7c: governance + affinity family
@@ -2756,6 +2759,9 @@ object SparkEntry {
              / CAST(zz AS DOUBLE)) AS BIGINT) AS weight_u16
          FROM f CROSS JOIN z""",
     "search_mmr" -> Relevance.mmrOracleSql(),
+    "search_rerank" -> Relevance.rerankOracleSql(),
+    "mm_phash_dedup" -> Multimodal.phashOracleSql(),
+    "mm_phash_effect" -> Multimodal.phashEffectOracleSql(),
     "embed_mrl" -> Similarity.mrlOracleSql(),
     "tok_bpe_train" -> Bpe.trainOracleSql(),
     "tok_count_bpe" -> Bpe.countOracleSql(),

@@ -353,11 +353,24 @@ object Dedup {
   def simhashPairs(docs: DataFrame,
       maxDist: Int = 3,
       tokenHash: Column => Column = xxhash64(_),
-      nBits: Int = 64): DataFrame = {
+      nBits: Int = 64): DataFrame =
+    signaturePairs(simhashSignatures(docs, tokenHash, nBits),
+      maxDist, nBits)
+
+  /** Banded candidate join + exact Hamming verify over ANY (doc_id,
+    * sig) frame — the 4-block pigeonhole machinery (any pair within
+    * distance maxDist ≤ 3 shares an exact quarter-block), shared by
+    * the simhash text lane and the multimodal block-hash lane
+    * ([[Multimodal.phashDedup]]). Extracted verbatim from
+    * [[simhashPairs]]; the equi-join on (block, key) is the thing
+    * that scales — candidates bucket by 15-16 bit keys, never a
+    * corpus cross join.
+    */
+  private[operators] def signaturePairs(d: DataFrame, maxDist: Int,
+      nBits: Int): DataFrame = {
     require(nBits % 4 == 0 && nBits <= 64, s"nBits must be ≤64, ÷4: $nBits")
     val blockWidth = nBits / 4
     val mask = (1L << blockWidth) - 1L
-    val d = simhashSignatures(docs, tokenHash, nBits)
     val blocks = d.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("sig"), j * blockWidth).bitwiseAND(lit(mask))): _*)))

