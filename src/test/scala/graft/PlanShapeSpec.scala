@@ -181,6 +181,33 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(got == Map(0L -> "semantic_dup", 1L -> "semantic_dup"), got)
   }
 
+  test("persisted IVF-PQ probe scans only its nprobe list partitions " +
+      "of the codes table — both parents' plan theses composed") {
+    initLog()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqx").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    Similarity.writeIvfPqIndex(emb, dir, nlist = 8, m = 8, ksub = 16,
+      dims0 = 64)
+    val query = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 1L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    val probe = Similarity.ivfPqIndexProbe(spark, dir, query,
+      k = 5, nprobe = 3, excludeId = Some(1L))
+    val scans = allNodes(plan(probe)).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, names(probe).mkString(","))
+    // IVF thesis: static pruning to the probed lists
+    assert(scans.head.partitionFilters.nonEmpty, "list filter must prune")
+    assert(scans.head.selectedPartitions.partitionCount <= 3,
+      s"scanned ${scans.head.selectedPartitions.partitionCount} of 8 lists")
+    // PQ thesis: every scanned file is codes — no raw-embedding or
+    // codebook file in the distributed plan
+    assert(scans.forall(_.relation.location.rootPaths.forall(
+        _.toString.contains("codes"))),
+      scans.map(_.relation.location.rootPaths.mkString(",")).mkString(";"))
+    val got = probe.collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) != 1L))
+  }
+
   test("persisted PQ index probe reads ONLY the compressed codes table") {
     initLog()
     import org.apache.spark.sql.execution.FileSourceScanExec
