@@ -569,6 +569,14 @@ object Bpe {
       .select(col(idCol), posexplode(split(col(textCol), " ")))
       .withColumnRenamed("pos", "wpos").withColumnRenamed("col", "word")
       .filter(length(col("word")) > 0)
+    // vocabIds LOOKS like the broadcastable BM25-df-dictionary class
+    // (vocabulary-keyed), but its rows carry the per-word id-CSV
+    // payload — a FORCED broadcast measured 12.9 → 11.7 s at the 10×
+    // corpus and then 118.6 → 149.1 s at 100× (the broadcast build +
+    // per-task deserialization of the string-heavy table outgrows
+    // the word shuffle it saves). Leave the join unhinted: AQE
+    // broadcasts it while it is small and shuffles when it is not —
+    // exactly the crossover the measurements show.
     words.join(vocabIds, Seq("word"))
       .groupBy(col(idCol))
       .agg(sum(col("n_syms")).as("n_tokens"),
