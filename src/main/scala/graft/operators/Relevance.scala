@@ -317,9 +317,10 @@ object Relevance {
              CAST(COUNT(*) AS BIGINT) AS n_terms_hit
            FROM per GROUP BY 1),
          pool AS (SELECT doc_id, n_terms_hit,
-             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
                AS BIGINT) AS lex_rank
-           FROM (SELECT * FROM sc
+           FROM (SELECT doc_id, ROUND(score, 6) AS bm25, n_terms_hit
+                 FROM sc
                  ORDER BY score DESC, doc_id LIMIT $kPool) c),
          ls AS (SELECT d.doc_id, string_split(d.text, ' ') AS l
            FROM documents d
@@ -438,6 +439,9 @@ object Relevance {
   def mmrOracleSql(queryVecId: Long = 0L, candK: Int = 20, k: Int = 10,
       lambdaBp: Long = 7000L): String = {
     val anti = 10000L - lambdaBp
+    require(k >= 2, s"mmrOracleSql: k must be >= 2 (got $k) — at k <= 1 " +
+      "the unrolled-round list is empty and the template would emit a " +
+      "dangling comma; a 1-pick MMR is just the top-1 relevance row")
     val rounds = (2 to k).map { i =>
       s"""p$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS pick_order, c.doc_id,
             c.rel_c, m.max_sim_c,

@@ -1518,6 +1518,48 @@ object Similarity {
     }
   }
 
+  /** Driver-side probe-list RANKING over the bounded centroid table —
+    * top-nprobe by cosine with (−cos, list) ties (the LOWER list, the
+    * assignment's side). ONE definition shared by the IVF and IVF-PQ
+    * probe paths (and the composite's in-memory query loop) so a
+    * tie-break or guard change cannot reach one family and miss
+    * another — the refineShortlist/signaturePairs extraction rule
+    * applied here too.
+    */
+  private def rankedProbeLists(cents: Array[(Int, Array[Double])],
+      query: Seq[Double], nprobe: Int): Seq[Int] = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    cents.map { case (i, c) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      (i, c.indices.map(d => c(d) * query(d)).sum / (cNorm * qn))
+    }.sortBy { case (list, cos) => (-cos, list) }
+      .take(nprobe).map(_._1).toSeq
+  }
+
+  /** The query's own TWO-LEVEL stored list (hier regime only; empty
+    * below [[HierAssignThreshold]]): large indexes were WRITTEN with
+    * two-level assignment, where a vector's stored list can differ
+    * from its exact-nearest centroid — probing the query's own list
+    * (computed by the same deterministic [[assignToNearest]]) means
+    * an indexed twin of the query is never missed by the exact
+    * ranking alone.
+    */
+  private def assignedListOf(spark: SparkSession,
+      cents: Array[(Int, Array[Double])],
+      query: Seq[Double]): Seq[Int] =
+    if (cents.length < HierAssignThreshold) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      val one = spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(query)).asJava, schema)
+      Seq(assignToNearest(one, cents).select(col("list"))
+        .head().getInt(0))
+    }
+
   /** argmax cosine against the (constant) centroid set via the native
     * [[graft.functions.PqArgmin]] over NORMALIZED centroids: with
     * ĉ = c/‖c‖ the expression's ‖ĉ‖² − 2·x·ĉ = 1 − 2·x·ĉ, whose
@@ -1695,35 +1737,9 @@ object Similarity {
       k: Int = 5, nprobe: Int = 4,
       excludeId: Option[Long] = None,
       pred: Column = lit(true)): DataFrame = {
-    val qNorm = math.sqrt(query.map(x => x * x).sum)
     val cents = readCentroids(spark, path)
-    val exact = cents
-      .map { case (i, c) =>
-        val cNorm = math.sqrt(c.map(x => x * x).sum)
-        val cos = c.indices.map(d => c(d) * query(d)).sum / (cNorm * qNorm)
-        (i, cos)
-      }
-      .sortBy { case (list, cos) => (-cos, list) }
-      .take(nprobe).map(_._1)
-    // large indexes were WRITTEN with two-level assignment, where a
-    // vector's stored list can differ from its exact-nearest
-    // centroid; probe the query's own two-level list too (computed by
-    // the same deterministic assignToNearest) so an indexed twin of
-    // the query is never missed by the exact ranking alone
-    val own: Seq[Int] =
-      if (cents.length < HierAssignThreshold) Seq.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType))))
-        val one = spark.createDataFrame(
-          Seq(org.apache.spark.sql.Row(query)).asJava, schema)
-        Seq(assignToNearest(one, cents).select(col("list"))
-          .head().getInt(0))
-      }
-    val lists = (exact ++ own).distinct
+    val lists = (rankedProbeLists(cents, query, nprobe) ++
+      assignedListOf(spark, cents, query)).distinct
     val q = typedLit(query)
     val base = spark.read.parquet(s"$path/corpus")
       .filter(col("list").isin(lists.toIndexedSeq: _*))
@@ -2027,11 +2043,8 @@ object Similarity {
       val qDotC = centroids.map { case (i, c) =>
         i -> c.indices.map(d => c(d) * q(d)).sum
       }.toMap
-      val ranked = centroids.map { case (i, c) =>
-        val cNorm = math.sqrt(c.map(x => x * x).sum)
-        (i, qDotC(i) / (cNorm * qn))
-      }.sortBy { case (i, cos) => (-cos, i) }.take(nprobe).map(_._1)
-      (ranked ++ own.get(qid)).distinct
+      (rankedProbeLists(centroids, q.toIndexedSeq, nprobe) ++
+          own.get(qid)).distinct
         .map(l => (qid, l, dt, qn, qDotC(l)))
     }
     val queries = broadcast(spark.createDataFrame(probeRows)
@@ -2112,26 +2125,8 @@ object Similarity {
     val qDotC = cents.map { case (i, c) =>
       i -> c.indices.map(d => c(d) * query(d)).sum
     }.toMap
-    val exact = cents.map { case (i, c) =>
-      val cNorm = math.sqrt(c.map(x => x * x).sum)
-      (i, qDotC(i) / (cNorm * qn))
-    }.sortBy { case (i, cos) => (-cos, i) }.take(nprobe).map(_._1)
-    // two-level-written indexes: also probe the query's own stored
-    // list (the ivfIndexProbe guard, same construction)
-    val own: Seq[Int] =
-      if (cents.length < HierAssignThreshold) Seq.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType))))
-        val one = spark.createDataFrame(
-          Seq(org.apache.spark.sql.Row(query)).asJava, schema)
-        Seq(assignToNearest(one, cents).select(col("list"))
-          .head().getInt(0))
-      }
-    val lists = (exact ++ own).distinct
+    val lists = (rankedProbeLists(cents, query, nprobe) ++
+      assignedListOf(spark, cents, query)).distinct
     val dt = typedLit(dotTable(books, m, ksub, dsub, query.toIndexedSeq))
     val qcl = element_at(
       typedLit(lists.map(l => l -> qDotC(l)).toMap), col("list"))
@@ -2411,7 +2406,7 @@ object Similarity {
     * map, zero shuffle.
     */
   def mrlRecall(spark: SparkSession, dir: String): DataFrame =
-    mrlRecall(Tables.embeddings(spark, dir))
+    mrlRecall(Tables.embeddings(spark, dir), dims0 = 64)
 
   /** Matryoshka truncation quality (Kusupati et al., NeurIPS 2022 —
     * MRL-style embeddings serve retrieval from a PREFIX of the dims):
@@ -2434,16 +2429,23 @@ object Similarity {
     * front-load energy and lift the short-prefix end.
     */
   def mrlRecall(emb: DataFrame, dimsList: Seq[Int] = Seq(8, 16, 32, 64),
-      nQueries: Int = 10, k: Int = 10): DataFrame = {
+      nQueries: Int = 10, k: Int = 10, dims0: Int = -1): DataFrame = {
     val denom = (nQueries * k).toDouble
+    val dims = dimsOf(emb, dims0)
     val full = annBruteForce(emb, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     dimsList.map { d =>
-      val truncated = emb.select(col("vec_id"),
-        slice(col("embedding"), 1, d).as("embedding"))
-      annBruteForce(truncated, nQueries, k)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(full, Seq("query_id", "neighbor_id"))
+      // d >= dims: the slice is the identity, so the truncated arm IS
+      // the baseline — reuse it instead of paying the lane's single
+      // most expensive scan twice for a row that is 1.0 by
+      // construction (the self-join's subtrees are byte-identical, so
+      // AQE reuses the exchange; the oracle twin counts full0 once)
+      val arm =
+        if (d >= dims) full
+        else annBruteForce(emb.select(col("vec_id"),
+            slice(col("embedding"), 1, d).as("embedding")), nQueries, k)
+          .select(col("query_id"), col("neighbor_id"))
+      arm.join(full, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("hits"))
         .select(lit(d).cast("long").as("trunc_dims"), col("hits"),
           round(col("hits") / lit(denom), 4).as("recall"))
@@ -2455,7 +2457,7 @@ object Similarity {
     * `embedding[1:d]`, joined against the full-dim top-k.
     */
   def mrlOracleSql(dimsList: Seq[Int] = Seq(8, 16, 32, 64),
-      nQueries: Int = 10, k: Int = 10): String = {
+      nQueries: Int = 10, k: Int = 10, dims: Int = 64): String = {
     val denom = nQueries * k
     def topk(alias: String, embExpr: String): String =
       s"""$alias AS (SELECT query_id, neighbor_id FROM (
@@ -2468,7 +2470,12 @@ object Similarity {
             WHERE q.vec_id < $nQueries AND e.vec_id <> q.vec_id) t
           WHERE rank <= $k)"""
     val blocks = dimsList.map { d =>
-      topk(s"t$d", s"e.embedding[1:$d]") + s""",
+      // d >= dims mirrors the operator: the baseline set joined with
+      // itself is just its row count — no duplicate scan block
+      if (d >= dims)
+        s"""h$d AS (SELECT CAST($d AS BIGINT) AS trunc_dims,
+             CAST(COUNT(*) AS BIGINT) AS hits FROM full0)"""
+      else topk(s"t$d", s"e.embedding[1:$d]") + s""",
          h$d AS (SELECT CAST($d AS BIGINT) AS trunc_dims,
              CAST(COUNT(*) AS BIGINT) AS hits
            FROM t$d JOIN full0 USING (query_id, neighbor_id))"""
