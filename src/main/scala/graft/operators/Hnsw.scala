@@ -647,7 +647,8 @@ object Hnsw {
   }
 
   /** Bounded driver-side hot-region cache for persisted-index probes:
-    * (layer, src) → out-edges, LRU-capped at [[ProbeCacheMaxEdges]]
+    * (layer, src) → out-edges, LRU-capped at the caller-supplied
+    * edge budget (default [[DefaultProbeCacheMaxEdges]])
     * total edges (≈ a few MB with embeddings — contract-bounded
     * driver state, the FAISS keep-the-graph-hot serving pattern
     * scaled down to a budget). Every probe descends from the SAME
@@ -657,16 +658,20 @@ object Hnsw {
     * index write ([[writeHnswIndex]]/[[appendToHnswIndex]]) — a probe
     * after an append must see the appended edges (spec'd).
     */
-  private[graft] var ProbeCacheMaxEdges = 200000 // var: spec shrinks it
-  // to pin the paging path; production code never writes it
+  private[graft] val DefaultProbeCacheMaxEdges = 200000
+  // budget is a PARAMETER captured by the cache instance at creation
+  // (was a mutable JVM-global var — two concurrent probe sessions in
+  // one JVM could observe each other's budget, the QuadraticCapProp
+  // hazard class; r14 VERDICT item 9)
   private final class ProbeCache(val adj: DataFrame, val entry: Long,
-      val entryEmb: Seq[Double], val complete: Boolean) {
+      val entryEmb: Seq[Double], val complete: Boolean,
+      val maxEdges: Int) {
     val map = new java.util.LinkedHashMap[(Int, Long),
       Array[(Long, Array[Double])]](64, 0.75f, true) // access-order LRU
     var edges = 0
   }
-  private def probeCacheFor(spark: SparkSession,
-      path: String): ProbeCache = {
+  private def probeCacheFor(spark: SparkSession, path: String,
+      maxEdges: Int): ProbeCache = {
     probeCaches.keySet.removeIf(_._1.sparkContext.isStopped)
     probeCaches.computeIfAbsent((spark, path), _ => {
       val meta = spark.read.parquet(s"$path/meta").collect()(0)
@@ -675,10 +680,13 @@ object Hnsw {
       // entirely at first touch (one job): every later probe is then
       // zero-job — FAISS's keep-the-graph-in-RAM serving mode. Larger
       // indexes page per-hop through the LRU below (bounded driver
-      // state at any corpus size).
-      val complete = adj.count() <= ProbeCacheMaxEdges
+      // state at any corpus size). The budget binds at cache CREATION:
+      // later probes against the same (session, path) reuse the first
+      // caller's instance — invalidateProbeCache to re-bind.
+      val complete = adj.count() <= maxEdges
       val cache = new ProbeCache(adj, meta.getAs[Long]("entry"),
-        meta.getSeq[Double](meta.fieldIndex("entry_emb")), complete)
+        meta.getSeq[Double](meta.fieldIndex("entry_emb")), complete,
+        maxEdges)
       if (complete) {
         adj.select(col("layer"), col("src"), col("dst"),
             col("de").cast("array<double>"))
@@ -732,7 +740,7 @@ object Hnsw {
         cache.map.put((layer, id), es)
         cache.edges += math.max(1, es.length)
       }
-      while (cache.edges > ProbeCacheMaxEdges && !cache.map.isEmpty) {
+      while (cache.edges > cache.maxEdges && !cache.map.isEmpty) {
         val it = cache.map.entrySet().iterator()
         val eldest = it.next()
         cache.edges -= math.max(1, eldest.getValue.length)
@@ -773,9 +781,10 @@ object Hnsw {
     */
   def hnswIndexProbe(spark: SparkSession, path: String,
       query: Seq[Double], k: Int = 5,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      cacheMaxEdges: Int = DefaultProbeCacheMaxEdges): DataFrame = {
     import spark.implicits._
-    val cache = probeCacheFor(spark, path)
+    val cache = probeCacheFor(spark, path, cacheMaxEdges)
     val qn = math.sqrt(query.map(x => x * x).sum)
     var frontier: Seq[(Long, Double)] =
       Seq((cache.entry, cosDriver(query, qn, cache.entryEmb)))

@@ -2459,12 +2459,17 @@ object Similarity {
   def mrlOracleSql(dimsList: Seq[Int] = Seq(8, 16, 32, 64),
       nQueries: Int = 10, k: Int = 10, dims: Int = 64): String = {
     val denom = nQueries * k
-    def topk(alias: String, embExpr: String): String =
-      s"""$alias AS (SELECT query_id, neighbor_id FROM (
+    // both sides built from the truncation parameter directly (a
+    // textual "e." → "q." rewrite of the corpus expression corrupts
+    // silently if the expression ever contains another "e." substring)
+    def embExpr(alias: String, d: Int): String =
+      if (d > 0) s"$alias.embedding[1:$d]" else s"$alias.embedding"
+    def topk(cteAlias: String, d: Int): String =
+      s"""$cteAlias AS (SELECT query_id, neighbor_id FROM (
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                ROUND(list_cosine_similarity(($embExpr)::DOUBLE[],
-                  (${embExpr.replace("e.", "q.")})::DOUBLE[]), 6) DESC,
+                ROUND(list_cosine_similarity((${embExpr("e", d)})::DOUBLE[],
+                  (${embExpr("q", d)})::DOUBLE[]), 6) DESC,
                 e.vec_id) AS rank
             FROM embeddings e, embeddings q
             WHERE q.vec_id < $nQueries AND e.vec_id <> q.vec_id) t
@@ -2475,14 +2480,14 @@ object Similarity {
       if (d >= dims)
         s"""h$d AS (SELECT CAST($d AS BIGINT) AS trunc_dims,
              CAST(COUNT(*) AS BIGINT) AS hits FROM full0)"""
-      else topk(s"t$d", s"e.embedding[1:$d]") + s""",
+      else topk(s"t$d", d) + s""",
          h$d AS (SELECT CAST($d AS BIGINT) AS trunc_dims,
              CAST(COUNT(*) AS BIGINT) AS hits
            FROM t$d JOIN full0 USING (query_id, neighbor_id))"""
     }.mkString(",\n         ")
     val unionAll = dimsList.map(d => s"SELECT * FROM h$d")
       .mkString(" UNION ALL ")
-    s"""WITH ${topk("full0", "e.embedding")},
+    s"""WITH ${topk("full0", 0)},
          $blocks
          SELECT trunc_dims, hits,
            ROUND(CAST(hits AS DOUBLE) / $denom.0, 4) AS recall

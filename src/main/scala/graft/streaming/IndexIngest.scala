@@ -38,7 +38,11 @@ object IndexIngest {
         val spark = batch.sparkSession
         val existing = spark.read.parquet(s"$indexPath/nodes")
           .select(col("vec_id")).distinct()
+        // within-batch dedup FIRST: the catalog anti-join only sees
+        // already-persisted ids, so two same-id rows arriving in one
+        // micro-batch would both pass it and insert twin nodes
         val fresh = batch.select(col("vec_id"), col("embedding"))
+          .dropDuplicates("vec_id")
           .join(existing, Seq("vec_id"), "left_anti")
         if (!fresh.isEmpty)
           graft.operators.Hnsw.appendToHnswIndex(fresh, indexPath, dims0)
@@ -74,7 +78,11 @@ object IndexIngest {
         val spark = batch.sparkSession
         val existing = spark.read.parquet(s"$indexPath/codes")
           .select(col("vec_id")).distinct()
+        // same within-batch dedup as the HNSW twin: duplicate ids in
+        // ONE batch would append duplicate code rows and double-count
+        // the vector in every probe until compaction
         val fresh = batch.select(col("vec_id"), col("embedding"))
+          .dropDuplicates("vec_id")
           .join(existing, Seq("vec_id"), "left_anti")
         if (!fresh.isEmpty)
           graft.operators.Similarity.appendToIvfPqIndex(fresh, indexPath,

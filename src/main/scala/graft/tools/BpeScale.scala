@@ -21,7 +21,15 @@ import graft.operators.Bpe
   * short, rare words long, and words share prefixes/suffixes the way
   * merges need (hash-deterministic end to end — re-runs agree).
   *
-  * Usage: runMain graft.tools.BpeScale [R] [sfDir|heaps] [batchedonly]
+  * Modes (arg 3):
+  *  - (none)        batched + sequential at the same R, equality check
+  *  - batchedonly   batched only (deep R where sequential is hours)
+  *  - inconly       incremental ([[Bpe.trainMergesIncremental]]) only —
+  *                  the production-depth measurement (R ≥ 10k)
+  *  - incvs         incremental + batched at the same R, equality
+  *                  check (the sampled-R cross-validation)
+  *
+  * Usage: runMain graft.tools.BpeScale [R] [sfDir|heaps] [mode]
   */
 object BpeScale {
 
@@ -86,6 +94,35 @@ object BpeScale {
             .findFirstMatchIn(e.getMessage)
             .map(_.group(1).toInt).getOrElse(throw e))
       }
+    def timedIncremental(rr: Int): (Int, Double, Seq[(String, String)]) =
+      try {
+        val t0 = System.nanoTime()
+        val m = Bpe.trainMergesIncremental(docs, rounds = rr)
+        (rr, (System.nanoTime() - t0) / 1e9, m)
+      } catch {
+        case e: IllegalArgumentException if e.getMessage.contains("exhausted") =>
+          timedIncremental("after (\\d+) merges".r
+            .findFirstMatchIn(e.getMessage)
+            .map(_.group(1).toInt).getOrElse(throw e))
+      }
+    val mode = args.lift(2).getOrElse("")
+    if (mode == "inconly") {
+      val (r2, tInc, _) = timedIncremental(r)
+      println(f"""{"r_requested":$r,"r_effective":$r2,"sf":"$dir",""" +
+        f""""incremental_sec":$tInc%.2f}""")
+      spark.stop()
+      return
+    }
+    if (mode == "incvs") {
+      val (r2, tInc, inc) = timedIncremental(r)
+      val (_, tBatched, batched) = timedBatched(r2)
+      val equal = inc == batched
+      println(f"""{"r_requested":$r,"r_effective":$r2,"sf":"$dir",""" +
+        f""""incremental_sec":$tInc%.2f,"batched_sec":$tBatched%.2f,""" +
+        f""""equal":$equal}""")
+      spark.stop()
+      return
+    }
     val (r2, tBatched, batched) = timedBatched(r)
     if (batchedOnly) {
       println(f"""{"r_requested":$r,"r_effective":$r2,"sf":"$dir",""" +

@@ -24,6 +24,10 @@ import graft.sources.Tables
   *    the streaming/window-agg stress profile of a larger feed.
   *
   * Usage: runMain graft.tools.ScaleData [srcDir] [outDir] [replicas]
+  *          [tables]
+  * `tables` (optional, comma-separated) restricts output to a subset —
+  * a single-lane decade study (e.g. tok_encode_bpe at 1000×) only
+  * needs `documents`, not a 12 GB full star.
   */
 object ScaleData {
 
@@ -41,14 +45,17 @@ object ScaleData {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/sfscaled")
     val n = args.lift(2).map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     // GraftSession keeps timestamps LTZ on the round-trip — a scaled
     // copy that flips o_orderdate to TIMESTAMP_NTZ breaks unix_micros
     val spark = graft.GraftSession.local(cpus, "graft-scale-data")
     spark.sparkContext.setLogLevel("WARN")
 
-    def write(df: DataFrame, name: String): Unit =
-      df.drop("__r").write.mode("overwrite").parquet(s"$out/$name.parquet")
+    def write(df: => DataFrame, name: String): Unit =
+      if (only.forall(_.contains(name)))
+        df.drop("__r").write.mode("overwrite").parquet(s"$out/$name.parquet")
 
     // tiny fixed dims: copy untouched
     write(Tables.region(spark, src), "region")

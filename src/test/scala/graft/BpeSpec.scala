@@ -227,6 +227,68 @@ class BpeSpec extends GraftSpecBase {
         s"batch=$b")
   }
 
+  test("trainMergesIncremental equals the sequential greedy: corpus, " +
+      "tie fixture, self-merge fixture, and a random-corpus sweep " +
+      "against the independent reference") {
+    initLog()
+    // the real corpus at R=48 (the batched spec's depth — ties galore)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(Bpe.trainMergesIncremental(docs, rounds = 48) ==
+      Bpe.trainMerges(docs, rounds = 48))
+    // Sennrich fixture (re-merges + ties)
+    val corpus = Seq.fill(5)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(2)("low") ++ Seq.fill(2)("lower")
+    val fix = docsDf(Seq((1L, "src0", corpus.mkString(" "))))
+    assert(Bpe.trainMergesIncremental(fix, rounds = 10) ==
+      Bpe.trainMerges(fix, rounds = 10))
+    // self-merge fixture (the batched trainer's r14 divergence class —
+    // the incremental trainer has no batch rule, but the delta
+    // bookkeeping around a self-merge's overlapping sites is its own
+    // hazard: [c,c,c] under (c,c) must re-count (cc,c) exactly once)
+    val fix2 = docsDf(Seq(
+      (1L, "src0", Seq.fill(12)("ccc").mkString(" ")),
+      (2L, "src0", Seq.fill(10)("bd").mkString(" "))))
+    assert(Bpe.trainMergesIncremental(fix2, rounds = 3) ==
+      Seq(("c", "c"), ("cc", "c"), ("b", "d")))
+    // random-corpus sweep DRIVER-SIDE against the in-test reference:
+    // the same fuzz harness that found the batched self-merge hole
+    // (deterministic seed; vocab shapes tuned to collide pairs)
+    val rnd = new scala.util.Random(151515L)
+    for (trial <- 0 until 3000) {
+      val nWords = 1 + rnd.nextInt(6)
+      val alpha = "abcd"
+      val words = (0 until nWords).map { _ =>
+        val len = 1 + rnd.nextInt(5)
+        (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val wc = words.groupBy(identity).map { case (w, ws) =>
+        w -> (ws.size.toLong + rnd.nextInt(3)) }
+      val rounds = 1 + rnd.nextInt(6)
+      // refTrain has no exhaustion guard (minBy on an empty pair map
+      // throws); when the corpus exhausts, both sides must notice
+      val exp = scala.util.Try(refTrain(wc, rounds)._1)
+      val got = scala.util.Try(Bpe.trainIncrementalFromVocab(
+        wc.toArray, rounds))
+      (exp, got) match {
+        case (scala.util.Success(e2), scala.util.Success(g2)) =>
+          assert(g2 == e2,
+            s"trial=$trial wc=$wc rounds=$rounds\ngot $g2\nexp $e2")
+        case (scala.util.Failure(_), scala.util.Failure(ge)) =>
+          assert(ge.getMessage.contains("exhausted"),
+            s"trial=$trial: $ge")
+        case other =>
+          fail(s"trial=$trial wc=$wc rounds=$rounds: one side " +
+            s"exhausted, the other did not — $other")
+      }
+    }
+    // exhaustion contract matches the family
+    val tiny = docsDf(Seq((1L, "src0", "ab ab")))
+    val e = intercept[IllegalArgumentException](
+      Bpe.trainMergesIncremental(tiny, rounds = 2))
+    assert(e.getMessage.contains("exhausted"), e.getMessage)
+    assert(Bpe.trainMergesIncremental(tiny, rounds = 1) == Seq(("a", "b")))
+  }
+
   test("whitespace-degenerate vocab: seq_pack on BPE counts returns " +
       "the whitespace packing bit-for-bit") {
     initLog()

@@ -260,17 +260,17 @@ class HnswSpec extends GraftSpecBase {
     // PAGING path: shrink the cache budget below the graph size so
     // the probe pages per hop through the LRU (with eviction) instead
     // of the complete-load fast path — results must stay identical
-    val before = Hnsw.ProbeCacheMaxEdges
+    // the budget is a per-call parameter bound at cache creation (no
+    // mutable global to restore) — invalidate so the small budget
+    // creates a fresh paging-mode cache, and again after so later
+    // probes re-bind the default
+    Hnsw.invalidateProbeCache(tmp)
     try {
-      Hnsw.ProbeCacheMaxEdges = 100
-      Hnsw.invalidateProbeCache(tmp)
-      val paged = Hnsw.hnswIndexProbe(spark, tmp, qv, k = 3).collect()
+      val paged = Hnsw.hnswIndexProbe(spark, tmp, qv, k = 3,
+        cacheMaxEdges = 100).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(paged == dist, s"paged=$paged\ndist =$dist")
-    } finally {
-      Hnsw.ProbeCacheMaxEdges = before
-      Hnsw.invalidateProbeCache(tmp)
-    }
+    } finally Hnsw.invalidateProbeCache(tmp)
   }
 
   test("append sizes planes from existing + delta: a 10x batch keeps " +

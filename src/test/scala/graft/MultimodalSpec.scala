@@ -35,18 +35,36 @@ class MultimodalSpec extends GraftSpecBase {
       "boundary arithmetic matches integer division") {
     initLog()
     import spark.implicits._
-    // payloads >= 64 chars; 300/301 are byte-identical, 302 edits ONE
-    // character (perturbs at most two adjacent blocks -> Hamming <= 8
-    // of 60 only if the edit crosses a boundary; here mid-block, one
-    // nibble -> <= 4... keep the assertion on the pair EXISTING at
-    // the default radius only for the exact twin), 303 is unrelated
+    // payloads >= 64 chars; 300/301 are byte-identical, 302 is mk(0)
+    // with ONE mid-block character replaced, 303 is unrelated. A
+    // mid-block edit perturbs exactly one block's md5 nibble, but an
+    // arbitrary nibble flip can reach Hamming 4 — past the default
+    // radius 3 — so the replacement character is SEARCHED so the
+    // nibble XOR has bit-count 1..3 (deterministic: first match wins)
     val mk = (seed: Int) => (0 until 90).map(i =>
       ('a' + ((i * 31 + seed * 17) % 26)).toChar).mkString
-    val docs = Seq(
-      (300L, mk(0)), (301L, mk(0)), (303L, mk(7))).toDF("doc_id", "text")
+    val base = mk(0)
+    // 90 chars / 15 blocks = 6-char blocks at [6j, 6j+6); position 20
+    // sits mid-block in block 3 (chars 18..23)
+    def blockNibble(t: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.substring(18, 24).getBytes("UTF-8"))
+      (d(0) >> 4) & 0xf
+    }
+    val origNib = blockNibble(base)
+    val (edited, expectHamming) = ('a' to 'z').iterator
+      .map(ch => base.updated(20, ch))
+      .map(t => (t, Integer.bitCount(blockNibble(t) ^ origNib)))
+      .find { case (t, h) => t != base && h >= 1 && h <= 3 }.get
+    val docs = Seq((300L, base), (301L, base), (302L, edited),
+      (303L, mk(7))).toDF("doc_id", "text")
     val pairs = graft.operators.Multimodal.phashDedup(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(pairs.toSeq == Seq((300L, 301L, 0L)), pairs.toSeq)
+    assert(pairs.toSet == Set(
+      (300L, 301L, 0L),
+      (300L, 302L, expectHamming.toLong),
+      (301L, 302L, expectHamming.toLong)), pairs.toSeq)
+    assert(expectHamming >= 1 && expectHamming <= 3)
     // floor(j*n/15.0) == (j*n)//15 for every block index across a
     // sweep of lengths (the oracle's integer-division twin)
     (60 to 200).foreach { n =>

@@ -768,13 +768,17 @@ class StreamingSpec extends GraftSpecBase {
     val twin = corpus.filter(col("vec_id") === 3L)
       .select(col("embedding")).head().getSeq[Float](0)
     try {
-      // epoch 0: two new vectors (one a twin of node 3)
-      in.addData((1000L, twin), (1001L, twin.map(v => -v)))
+      // epoch 0: two new vectors (one a twin of node 3); 1001 arrives
+      // TWICE IN THE SAME BATCH — the catalog anti-join alone cannot
+      // see it (r14 ADVICE), the within-batch dedup must
+      in.addData((1000L, twin), (1001L, twin.map(v => -v)),
+        (1001L, twin.map(v => -v)))
       q.processAllAvailable()
       val n1 = spark.read.parquet(s"$dir/nodes")
         .filter(col("layer") === 0).select("vec_id")
         .collect().map(_.getLong(0))
-      assert(n1.count(_ == 1000L) == 1 && n1.count(_ == 1001L) == 1)
+      assert(n1.count(_ == 1000L) == 1 && n1.count(_ == 1001L) == 1,
+        "same-batch duplicate id inserted twin nodes")
       // epoch 1: REPLAY of 1000 plus a fresh id — no duplicate node,
       // fresh appended; the cadence fires and compacts
       in.addData((1000L, twin), (1002L, twin.map(v => v * 2f)))
@@ -819,12 +823,16 @@ class StreamingSpec extends GraftSpecBase {
     val twin = corpus.filter(col("vec_id") === 3L)
       .select(col("embedding")).head().getSeq[Float](0)
     try {
-      // epoch 0: two new vectors (one a twin of vec 3)
-      in.addData((1000L, twin), (1001L, twin.map(v => -v)))
+      // epoch 0: two new vectors (one a twin of vec 3); 1001 arrives
+      // TWICE IN THE SAME BATCH — must append ONE code row (r14
+      // ADVICE: the catalog anti-join only sees persisted ids)
+      in.addData((1000L, twin), (1001L, twin.map(v => -v)),
+        (1001L, twin.map(v => -v)))
       q.processAllAvailable()
       val c1 = spark.read.parquet(s"$dir/codes").select("vec_id")
         .collect().map(_.getLong(0))
-      assert(c1.count(_ == 1000L) == 1 && c1.count(_ == 1001L) == 1)
+      assert(c1.count(_ == 1000L) == 1 && c1.count(_ == 1001L) == 1,
+        "same-batch duplicate id appended duplicate code rows")
       // epoch 1: REPLAY of 1000 plus a fresh id — no duplicate code
       // row, fresh appended; the cadence fires and compacts
       in.addData((1000L, twin), (1002L, twin.map(v => v * 2f)))
