@@ -247,6 +247,10 @@ object SparkEntry {
     // PQ calibration summary — rows-checked (k-means averages carry
     // partition-order FP; the shape is the signal, see pqCalibration)
     "embed_pq" -> ((s, d) => Similarity.pqCalibration(s, d)),
+    // codebook drift detector — the retrain-cadence trigger; two
+    // scenario rows whose retrain_recommended 0/1 are the hard signal
+    // (rows-checked: k-means FP rides the ratios)
+    "pq_drift" -> ((s, d) => Similarity.pqDriftLane(s, d)),
     "embed_quantize" -> ((s, d) => Similarity.quantizationError(s, d)),
     "embed_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "embed_mrl" -> ((s, d) => Similarity.mrlRecall(s, d)),
@@ -285,6 +289,9 @@ object SparkEntry {
     // score scales never meet) — full oracle
     "search_hybrid_rrf" -> ((s, d) => Relevance.hybridSearchRrf(s, d)),
     "search_mmr" -> ((s, d) => Relevance.mmrDiversify(s, d)),
+    // the composed serving stack: arms -> RRF -> proximity rerank ->
+    // MMR, one lane whose oracle crosses every stage seam
+    "search_pipeline" -> ((s, d) => Relevance.searchPipeline(s, d)),
     "search_rerank" -> ((s, d) => Relevance.rerankProximity(s, d)),
     "idx_postings" -> ((s, d) => Relevance.postings(s, d)),
     "q_outlier" -> ((s, d) => BatchQueries.valueOutliers(s, d)),
@@ -369,7 +376,9 @@ object SparkEntry {
     "text_chunk_bpe" -> ((s, d) => Bpe.chunkDocsBpe(s, d)),
     // per-doc token-ID SEQUENCES (not just counts) — what a training
     // pipeline writes to disk; full oracle via the same unrolled CTEs
-    "tok_encode_bpe" -> ((s, d) => Bpe.encodeLane(s, d)))
+    "tok_encode_bpe" -> ((s, d) => Bpe.encodeLane(s, d)),
+    // GPT-2-shape byte-level BPE (byte remap + regex pre-tokenizer)
+    "tok_encode_bpe_bytes" -> ((s, d) => BpeBytes.encodeLane(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -2760,6 +2769,7 @@ object SparkEntry {
          FROM f CROSS JOIN z""",
     "search_mmr" -> Relevance.mmrOracleSql(),
     "search_rerank" -> Relevance.rerankOracleSql(),
+    "search_pipeline" -> Relevance.pipelineOracleSql(),
     "mm_phash_dedup" -> Multimodal.phashOracleSql(),
     "mm_phash_effect" -> Multimodal.phashEffectOracleSql(),
     "embed_mrl" -> Similarity.mrlOracleSql(),
@@ -2768,5 +2778,6 @@ object SparkEntry {
     "mix_token_budget_bpe" -> Bpe.budgetOracleSql(),
     "seq_pack_bpe" -> Bpe.packOracleSql(),
     "text_chunk_bpe" -> Bpe.chunkOracleSql(),
-    "tok_encode_bpe" -> Bpe.encodeOracleSql())
+    "tok_encode_bpe" -> Bpe.encodeOracleSql(),
+    "tok_encode_bpe_bytes" -> BpeBytes.encodeBytesOracleSql())
 }

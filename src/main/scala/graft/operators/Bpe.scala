@@ -241,11 +241,20 @@ object Bpe {
     * sequential loop; clean corpora batch tens of merges per round.
     */
   def trainMergesBatched(docs: DataFrame, rounds: Int = TrainRounds,
-      textCol: String = "text", batch: Int = 64): Seq[(String, String)] = {
+      textCol: String = "text", batch: Int = 64): Seq[(String, String)] =
+    trainMergesBatchedFromVocab(wordCounts(docs, textCol), rounds, batch)
+
+  /** [[trainMergesBatched]] over a caller-built (cnt, repr) vocabulary
+    * frame — the shared trainer core: the char path feeds
+    * [[wordCounts]]; the byte path feeds [[BpeBytes.byteVocab]]'s
+    * remapped reprs. Training only reads `cnt`/`repr`.
+    */
+  def trainMergesBatchedFromVocab(vocab: DataFrame,
+      rounds: Int = TrainRounds, batch: Int = 64): Seq[(String, String)] = {
     require(rounds > 0 && rounds <= MaxRounds,
       s"trainMergesBatched: rounds=$rounds outside (0, $MaxRounds]")
     require(batch > 0, s"trainMergesBatched: batch=$batch must be positive")
-    var anchor = wordCounts(docs, textCol).persist()
+    var anchor = vocab.persist()
     anchor.count()
     var words = anchor
     val out = collection.mutable.ArrayBuffer[(String, String)]()
@@ -484,7 +493,7 @@ object Bpe {
   /** Apply an ordered merge list to a representation column — the
     * R-deep literal-replace chain (codegen'd string ops, no regex).
     */
-  private def applyMerges(repr: Column,
+  private[operators] def applyMerges(repr: Column,
       merges: Seq[(String, String)]): Column =
     merges.foldLeft(repr) { case (acc, (l, r)) =>
       replace(acc, lit(Sep + l + Sep + r), lit(Sep + l + r))
@@ -791,15 +800,22 @@ object Bpe {
     * side `unnest`s zip positionally, reproducing the slice/zip_with
     * pair extraction.
     */
-  private def unrolledCtes(rounds: Int): String = {
+  private def unrolledCtes(rounds: Int): String =
+    """w0 AS MATERIALIZED (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    regexp_replace(word, '([^ ])', chr(1) || '\1', 'g') AS repr
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE len(word) > 0 GROUP BY word)""".stripMargin +
+      roundCtes(rounds)
+
+  /** The per-round (p_k, b_k, w_k) CTE chain over an existing `w0` —
+    * shared by the char-granularity oracle above and the byte-level
+    * one ([[BpeBytes.encodeBytesOracleSql]]), whose w0 differs only in
+    * tokenization + symbol alphabet.
+    */
+  private[operators] def roundCtes(rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++=
-      """w0 AS MATERIALIZED (
-        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
-        |    regexp_replace(word, '([^ ])', chr(1) || '\1', 'g') AS repr
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
-        |        FROM documents)
-        |  WHERE len(word) > 0 GROUP BY word)""".stripMargin
     for (k <- 1 to rounds) {
       sb ++= s""",
         |p$k AS MATERIALIZED (SELECT l, r, SUM(cnt) AS c FROM (

@@ -379,9 +379,6 @@ object Relevance {
   def mmrDiversify(emb: DataFrame, queryVecId: Long = 0L,
       candK: Int = 20, k: Int = 10, lambdaBp: Long = 7000L): DataFrame = {
     val spark = emb.sparkSession
-    import graft.functions.Vectors
-    def microCos(a: Column, b: Column): Column =
-      round(Vectors.cosine(a, b) * lit(1e6), 0).cast("long")
     val qe = broadcast(emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding").cast("array<double>").as("qe")))
     val cand = emb.filter(col("vec_id") =!= queryVecId)
@@ -394,11 +391,31 @@ object Relevance {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq,
         r.getLong(2)))
+    mmrGreedy(spark, cand, k, lambdaBp)
+  }
+
+  /** Integer micro-cosine — ROUND(cos·10⁶, 0), one IEEE multiply +
+    * one HALF_UP rounding, engine-identical; the family's exact
+    * relevance/similarity unit.
+    */
+  private def microCos(a: Column, b: Column): Column = {
+    import graft.functions.Vectors
+    round(Vectors.cosine(a, b) * lit(1e6), 0).cast("long")
+  }
+
+  /** The MMR greedy selection over an explicit candidate pool — shared
+    * by [[mmrDiversify]] (own relevance pool) and [[searchPipeline]]
+    * (pool from the rerank stage). `cand` is (doc_id, embedding,
+    * rel_c) in micro-units.
+    */
+  private def mmrGreedy(spark: SparkSession,
+      cand: Array[(Long, IndexedSeq[Double], Long)],
+      k: Int, lambdaBp: Long): DataFrame = {
     // pairwise sims of the POOL via the same Spark expression the
     // candidate arm used — a candK-row local frame self-joined, no
     // driver-side float math to drift from the oracle
     val pool = spark.createDataFrame(
-        cand.toSeq.map { case (id, ce, _) => (id, ce) })
+        cand.toSeq.map { case (id, ce, _) => (id, ce.toSeq) })
       .toDF("doc_id", "ce")
     val sims = pool.as("a").join(pool.as("b"),
         col("a.doc_id") =!= col("b.doc_id"))
@@ -436,10 +453,14 @@ object Relevance {
     * picked pool by the integer MMR objective against s_{i−1}'s
     * max-sim table and takes one row; s_i accumulates the picks.
     */
-  def mmrOracleSql(queryVecId: Long = 0L, candK: Int = 20, k: Int = 10,
-      lambdaBp: Long = 7000L): String = {
+  /** The unrolled MMR selection rounds over pre-existing `cand`/`sims`
+    * CTEs — p1..pk + s1..sk plus the final UNION, shared by
+    * [[mmrOracleSql]] and [[pipelineOracleSql]]. Returns
+    * (roundCtes, unionAll).
+    */
+  private def mmrRoundsSql(k: Int, lambdaBp: Long): (String, String) = {
     val anti = 10000L - lambdaBp
-    require(k >= 2, s"mmrOracleSql: k must be >= 2 (got $k) — at k <= 1 " +
+    require(k >= 2, s"mmr oracle: k must be >= 2 (got $k) — at k <= 1 " +
       "the unrolled-round list is empty and the template would emit a " +
       "dangling comma; a 1-pick MMR is just the top-1 relevance row")
     val rounds = (2 to k).map { i =>
@@ -454,8 +475,21 @@ object Relevance {
          s$i AS MATERIALIZED (SELECT doc_id FROM s${i - 1}
                  UNION ALL SELECT doc_id FROM p$i)"""
     }.mkString(",\n         ")
+    val head =
+      s"""p1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS pick_order, doc_id, rel_c,
+             CAST(0 AS BIGINT) AS max_sim_c,
+             $lambdaBp * rel_c AS score_c
+           FROM cand ORDER BY score_c DESC, doc_id LIMIT 1),
+         s1 AS MATERIALIZED (SELECT doc_id FROM p1),
+         $rounds"""
     val unionAll = (1 to k).map(i => s"SELECT * FROM p$i")
       .mkString(" UNION ALL ")
+    (head, unionAll)
+  }
+
+  def mmrOracleSql(queryVecId: Long = 0L, candK: Int = 20, k: Int = 10,
+      lambdaBp: Long = 7000L): String = {
+    val (rounds, unionAll) = mmrRoundsSql(k, lambdaBp)
     s"""WITH qv AS (SELECT embedding AS qe FROM embeddings
                     WHERE vec_id = $queryVecId),
          cand AS MATERIALIZED (SELECT e.vec_id AS doc_id, e.embedding AS ce,
@@ -467,15 +501,197 @@ object Relevance {
              CAST(ROUND(list_cosine_similarity(a.ce::DOUBLE[],
                b.ce::DOUBLE[]) * 1000000, 0) AS BIGINT) AS sim_c
            FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
-         p1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS pick_order, doc_id, rel_c,
-             CAST(0 AS BIGINT) AS max_sim_c,
-             $lambdaBp * rel_c AS score_c
-           FROM cand ORDER BY score_c DESC, doc_id LIMIT 1),
-         s1 AS MATERIALIZED (SELECT doc_id FROM p1),
          $rounds
          SELECT pick_order, doc_id, rel_c, max_sim_c,
            CAST(score_c AS BIGINT) AS score_c
          FROM ($unionAll) u"""
+  }
+
+  // ---------------------------------------------------------------
+  // Composed retrieval pipeline (the full serving stack in one lane)
+  // ---------------------------------------------------------------
+
+  def searchPipeline(spark: SparkSession, dir: String): DataFrame =
+    searchPipeline(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir), Seq("spark", "window"))
+
+  /** The retrieval stack END-TO-END — BM25 + embedding arms → RRF
+    * fusion → proximity rerank → MMR diversification — composed into
+    * one operator (the curate_corpus composition convention applied to
+    * serving): every stage is already its own FULL-oracle lane; the
+    * composition is what catches INTERFACE drift between them (a pool
+    * column renamed, a rank convention flipped, an id space mismatch
+    * between the docs and embeddings arms).
+    *
+    * Stage wiring (each stage's output is the next one's pool, and
+    * every stage is load-bearing by construction):
+    *  1. [[hybridSearchRrf]] arms at kEach → fused top-`kFused`;
+    *  2. proximity annotation over that fused pool (coverage = distinct
+    *     query terms present — semantic-only hits carry 0; min span
+    *     with the 999999 no-pair sentinel), rerank by (coverage desc,
+    *     span asc, doc_id), keep `kRerank`;
+    *  3. MMR (λ = lambdaBp/10⁴, micro-integer arithmetic) over the
+    *     surviving pool with cosine-to-query relevance, pick `kFinal`.
+    * Output carries each stage's evidence columns (rrf, coverage,
+    * prox_span, rerank) alongside the MMR pick columns — the oracle
+    * hash covers the whole seam surface.
+    *
+    * FP/oracle status: FULL oracle — ranks and counts are integers,
+    * rrf is the hybrid lane's fixed two-term rational, MMR is
+    * integer micro-units; [[pipelineOracleSql]] composes the stage
+    * oracles into one WITH chain.
+    *
+    * Scale shape: corpus-scale work is exactly the two arm scans the
+    * hybrid lane documents (at 100 TB each arm swaps to an index
+    * probe); stages 2-3 touch only kFused ≤ 20 rows (broadcast
+    * semi-join for positions; MMR's pool frames are kRerank rows).
+    */
+  def searchPipeline(docs: DataFrame, emb: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long = 0L, kEach: Int = 20,
+      kFused: Int = 12, kRerank: Int = 8, kFinal: Int = 5,
+      lambdaBp: Long = 7000L): DataFrame = {
+    val spark = docs.sparkSession
+    val fused = hybridSearchRrf(docs, emb, queryTerms, queryVecId,
+      kEach, kFused)
+    // stage 2: proximity annotation + rerank over the fused pool
+    val positions = docs
+      .join(broadcast(fused.select(col("doc_id"))), Seq("doc_id"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      .filter(col("tok").isin(queryTerms: _*))
+    val cov = positions.groupBy(col("doc_id"))
+      .agg(countDistinct(col("tok")).as("coverage"))
+    val a = positions.select(col("doc_id"), col("tok").as("ta"),
+      col("p").as("pa"))
+    val b = positions.select(col("doc_id"), col("tok").as("tb"),
+      col("p").as("pb"))
+    val prox = a.join(b, Seq("doc_id"))
+      .filter(col("ta") =!= col("tb"))
+      .groupBy(col("doc_id"))
+      .agg(min(abs(col("pa") - col("pb"))).cast("long").as("prox_span"))
+    val rr = fused
+      .join(cov, Seq("doc_id"), "left")
+      .join(prox, Seq("doc_id"), "left")
+      .withColumn("coverage", coalesce(col("coverage"), lit(0L)))
+      .withColumn("prox_span", coalesce(col("prox_span"), lit(999999L)))
+      .withColumn("rerank", row_number()
+        .over(Window.orderBy(col("coverage").desc, col("prox_span").asc,
+          col("doc_id"))).cast("long"))
+      .filter(col("rerank") <= kRerank)
+      .select(col("doc_id"), col("rerank"), col("coverage"),
+        col("prox_span"), col("rrf"))
+    // stage 3: MMR over the surviving pool (bounded collect — kRerank
+    // ids; the query vector's own doc stays a legit candidate, the
+    // hybrid lane's semantics)
+    val poolIds = rr.select(col("doc_id")).collect().map(_.getLong(0))
+    val qe = broadcast(emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").cast("array<double>").as("qe")))
+    val cand = emb.filter(col("vec_id").isin(poolIds.toIndexedSeq: _*))
+      .crossJoin(qe)
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("ce"),
+        microCos(col("embedding").cast("array<double>"), col("qe"))
+          .as("rel_c"))
+      .orderBy(col("rel_c").desc, col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq,
+        r.getLong(2)))
+    mmrGreedy(spark, cand, kFinal, lambdaBp)
+      .join(broadcast(rr), Seq("doc_id"))
+      .select(col("pick_order"), col("doc_id"), col("rel_c"),
+        col("max_sim_c"), col("score_c"), col("rerank"), col("coverage"),
+        col("prox_span"), col("rrf"))
+  }
+
+  /** Generated oracle for [[searchPipeline]] at the driver's two-term
+    * query: the hybrid-RRF oracle chain (lex arm + sem arm + fusion,
+    * LIMIT kFused), the rerank oracle's position/coverage/span CTEs
+    * over that fused pool, and the MMR unrolled rounds over the
+    * rerank survivors — one WITH chain, stage seams included.
+    */
+  def pipelineOracleSql(queryVecId: Long = 0L, kEach: Int = 20,
+      kFused: Int = 12, kRerank: Int = 8, kFinal: Int = 5,
+      lambdaBp: Long = 7000L): String = {
+    val (rounds, unionAll) = mmrRoundsSql(kFinal, lambdaBp)
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         tok AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         st AS (SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+         df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         q AS (SELECT unnest(['spark', 'window']) AS tok),
+         per AS (SELECT tf.doc_id,
+             ((CAST(st.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+              (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.5)
+               / (CAST(tf.tf AS DOUBLE) +
+                  1.5 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+               AS contrib
+           FROM tf JOIN q USING (tok) JOIN dl USING (doc_id)
+             JOIN df USING (tok) CROSS JOIN st),
+         sc AS (SELECT doc_id, SUM(contrib) AS score FROM per GROUP BY 1),
+         lexK AS (SELECT doc_id, ROUND(score, 6) AS bm25 FROM sc
+           ORDER BY score DESC, doc_id LIMIT $kEach),
+         lexr AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+           FROM lexK),
+         sem0 AS (SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+               qv0.embedding::DOUBLE[]), 6) AS cos
+           FROM embeddings e, (SELECT embedding FROM embeddings
+                               WHERE vec_id = $queryVecId) qv0),
+         semr AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+           FROM sem0 ORDER BY cos DESC, doc_id LIMIT $kEach),
+         fz AS (SELECT doc_id,
+             COALESCE(1.0::DOUBLE / CAST(60 + l.lex_rank AS DOUBLE), 0)
+               + COALESCE(1.0::DOUBLE / CAST(60 + s.sem_rank AS DOUBLE), 0)
+               AS rrf0
+           FROM lexr l FULL OUTER JOIN semr s USING (doc_id)),
+         pool AS MATERIALIZED (SELECT doc_id, ROUND(rrf0, 6) AS rrf
+           FROM fz ORDER BY rrf0 DESC, doc_id LIMIT $kFused),
+         ls AS (SELECT d.doc_id, string_split(d.text, ' ') AS l
+           FROM documents d
+           WHERE d.doc_id IN (SELECT doc_id FROM pool)),
+         lr AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS r
+           FROM ls),
+         pos AS (SELECT doc_id, l[r] AS tok, CAST(r AS BIGINT) AS p
+           FROM lr WHERE l[r] IN ('spark', 'window')),
+         cv AS (SELECT doc_id, CAST(COUNT(DISTINCT tok) AS BIGINT)
+             AS coverage FROM pos GROUP BY 1),
+         prox AS (SELECT a.doc_id, MIN(ABS(a.p - b.p)) AS prox_span
+           FROM pos a JOIN pos b
+             ON a.doc_id = b.doc_id AND a.tok <> b.tok
+           GROUP BY 1),
+         rr AS MATERIALIZED (SELECT doc_id, rerank, coverage, prox_span, rrf
+           FROM (SELECT p.doc_id, p.rrf,
+               COALESCE(c.coverage, 0) AS coverage,
+               COALESCE(x.prox_span, 999999) AS prox_span,
+               CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(c.coverage, 0)
+                 DESC, COALESCE(x.prox_span, 999999) ASC, p.doc_id)
+                 AS BIGINT) AS rerank
+             FROM pool p LEFT JOIN cv c USING (doc_id)
+               LEFT JOIN prox x USING (doc_id)) z
+           WHERE rerank <= $kRerank),
+         qv AS (SELECT embedding AS qe FROM embeddings
+                WHERE vec_id = $queryVecId),
+         cand AS MATERIALIZED (SELECT e.vec_id AS doc_id, e.embedding AS ce,
+             CAST(ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+               qv.qe::DOUBLE[]) * 1000000, 0) AS BIGINT) AS rel_c
+           FROM embeddings e, qv
+           WHERE e.vec_id IN (SELECT doc_id FROM rr)),
+         sims AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(ROUND(list_cosine_similarity(a.ce::DOUBLE[],
+               b.ce::DOUBLE[]) * 1000000, 0) AS BIGINT) AS sim_c
+           FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+         $rounds
+         SELECT u.pick_order, u.doc_id, u.rel_c, u.max_sim_c,
+           CAST(u.score_c AS BIGINT) AS score_c, rr.rerank, rr.coverage,
+           rr.prox_span, rr.rrf
+         FROM ($unionAll) u JOIN rr USING (doc_id)"""
   }
 
   // ---------------------------------------------------------------

@@ -29,28 +29,38 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IndexIngest {
 
+  /** One micro-batch of the HNSW ingest chain — factored so composed
+    * loops ([[IngestPipeline]]) run the identical gate+append without
+    * nesting writeStreams. Within-batch dedup FIRST: the catalog
+    * anti-join only sees already-persisted ids, so two same-id rows
+    * arriving in one micro-batch would otherwise both pass it and
+    * insert twin nodes (r14 ADVICE).
+    */
+  def hnswIngestBatch(batch: DataFrame, indexPath: String,
+      dims0: Int = -1): Unit = {
+    val spark = batch.sparkSession
+    val existing = spark.read.parquet(s"$indexPath/nodes")
+      .select(col("vec_id")).distinct()
+    val fresh = batch.select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+      .join(existing, Seq("vec_id"), "left_anti")
+    if (!fresh.isEmpty)
+      graft.operators.Hnsw.appendToHnswIndex(fresh, indexPath, dims0)
+  }
+
   def startHnswIngest(stream: DataFrame, indexPath: String,
       checkpoint: String, compactEvery: Int = 8,
       dims0: Int = -1): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val spark = batch.sparkSession
-        val existing = spark.read.parquet(s"$indexPath/nodes")
-          .select(col("vec_id")).distinct()
-        // within-batch dedup FIRST: the catalog anti-join only sees
-        // already-persisted ids, so two same-id rows arriving in one
-        // micro-batch would both pass it and insert twin nodes
-        val fresh = batch.select(col("vec_id"), col("embedding"))
-          .dropDuplicates("vec_id")
-          .join(existing, Seq("vec_id"), "left_anti")
-        if (!fresh.isEmpty)
-          graft.operators.Hnsw.appendToHnswIndex(fresh, indexPath, dims0)
+        hnswIngestBatch(batch, indexPath, dims0)
         // epoch-keyed cadence: a REPLAYED epoch re-runs the same
         // decision, and compaction is idempotent on its input — the
         // cadence needs no state of its own
         if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
-          graft.operators.Hnsw.compactHnswIndex(spark, indexPath)
+          graft.operators.Hnsw.compactHnswIndex(batch.sparkSession,
+            indexPath)
       }
       .start()
 

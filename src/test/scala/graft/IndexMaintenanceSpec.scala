@@ -275,6 +275,70 @@ class IndexMaintenanceSpec extends GraftSpecBase {
     assert(!new java.io.File(s"$tmp/codes__old").exists)
   }
 
+  test("pqDriftReport: a same-distribution append does not trip the " +
+      "threshold, a planted distribution shift does, and retrain " +
+      "resets the baseline (PQ and IVF-PQ twins)") {
+    initLog()
+    val orig = synth(0 until 200)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-pq-drift").toString
+    // sampleMod 1: the fixture corpus is small — sample everything
+    Similarity.writePqIndex(orig, tmp, m = 8, ksub = 16, dims0 = 16,
+      sampleMod = 1L)
+    def rec(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = df.collect()(0)
+      (r.getAs[Long]("retrain_recommended"), r.getAs[Double]("drift_ratio"))
+    }
+    // same-distribution growth: fresh ids from the SAME generator
+    val grown = synth(0 until 120)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"), col("embedding"))
+    Similarity.appendToPqIndex(grown, tmp, dims0 = 16)
+    val current = orig.unionByName(grown)
+    val (recSame, ratioSame) = rec(
+      Similarity.pqDriftReport(current, tmp, threshold = 2.0, dims0 = 16))
+    assert(recSame == 0L,
+      s"same-distribution append tripped the detector (ratio $ratioSame)")
+    // planted shift: a +2.0 per-dim offset moves the arriving cloud
+    // off the trained codebooks' support (a generator PHASE change is
+    // NOT a distribution shift — measured ratio 1.09, the isotropic
+    // cloud looks the same; an offset is what "the corpus moved" means)
+    val ed = col("embedding").cast("array<double>")
+    val shifted = current.unionByName(synth(0 until 400)
+      .select((col("vec_id") + lit(5000L)).as("vec_id"),
+        array((0 until 16).map(d =>
+          element_at(ed, d + 1) + lit(2.0)): _*).as("embedding")))
+    val (recShift, ratioShift) = rec(
+      Similarity.pqDriftReport(shifted, tmp, threshold = 2.0, dims0 = 16))
+    assert(recShift == 1L,
+      s"planted shift did not trip the detector (ratio $ratioShift)")
+    assert(ratioShift > ratioSame)
+    // retrain on the shifted corpus resets the baseline: the detector
+    // stands down (requires the raw = holdings contract, so append the
+    // shifted rows first)
+    Similarity.appendToPqIndex(shifted.filter(col("vec_id") >= 5000L),
+      tmp, dims0 = 16)
+    Similarity.retrainPqIndex(shifted, tmp, dims0 = 16)
+    val (recAfter, ratioAfter) = rec(
+      Similarity.pqDriftReport(shifted, tmp, threshold = 2.0, dims0 = 16))
+    assert(recAfter == 0L,
+      s"retrain did not reset the drift baseline (ratio $ratioAfter)")
+    // IVF-PQ twin: residual-space drift detection, same three-way story
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-drift").toString
+    Similarity.writeIvfPqIndex(orig, tmp2, nlist = 8, m = 8, ksub = 16,
+      dims0 = 16)
+    // small-corpus meta sample: DriftSampleMod=16 over 200 rows keeps
+    // ~12 — enough for the fixture's wide ratio split, and exercises
+    // the sampled path the 100 TB form runs
+    val (recSame2, _) = rec(
+      Similarity.ivfPqDriftReport(current, tmp2, threshold = 2.0, dims0 = 16))
+    assert(recSame2 == 0L, "ivfpq: same-distribution append tripped")
+    val (recShift2, ratioShift2) = rec(
+      Similarity.ivfPqDriftReport(shifted, tmp2, threshold = 2.0, dims0 = 16))
+    assert(recShift2 == 1L,
+      s"ivfpq: planted shift did not trip (ratio $ratioShift2)")
+  }
+
   test("compactIvfPqIndex merges append fragments and drops exact " +
       "re-ingest duplicates; probes are unchanged") {
     initLog()

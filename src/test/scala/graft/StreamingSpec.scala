@@ -859,6 +859,124 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("llm ingest chain e2e: quality -> exact novelty -> segment " +
+      "novelty -> hnsw ingest on ONE stream; batch parity with a " +
+      "driver-side replica and whole-chain replay idempotence") {
+    initLog()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def emb(i: Long): Seq[Float] = Seq.tabulate(16)(d =>
+      (math.sin(i * 131 + d * 31) + math.cos(i * 17 - d * 7)).toFloat)
+    // corpus docs: 20 unique words each -> 2 segments at window=10
+    def words(tag: String, a: Int, b: Int): String =
+      (a until b).map(j => s"$tag$j").mkString(" ")
+    val corpusTexts = (0 until 10).map(i => i.toLong -> words(s"c$i-", 0, 20))
+    val corpus = corpusTexts
+      .map { case (i, t) => (i, t, emb(i)) }
+      .toDF("doc_id", "text", "embedding")
+    val base = Files.createTempDirectory("graft_llm_ingest")
+    val idx = base.resolve("idx").toString
+    val st = base.resolve("state").toString
+    graft.operators.Hnsw.writeHnswIndex(
+      corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+      idx, dims0 = 16)
+    graft.streaming.IngestPipeline.initCatalogs(corpus, st, window = 10)
+    val rules = Seq(
+      "min_words" -> (size(split(col("text"), " ")) >= 10))
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val stream = in.toDF().select(col("_1").as("doc_id"),
+      col("_2").as("text"), col("_3").as("embedding"))
+    val q = graft.streaming.IngestPipeline.startLlmIngest(stream, st,
+      idx, base.resolve("ckpt").toString, rules, window = 10,
+      compactEvery = 2, dims0 = 16)
+    val batch0 = Seq(
+      (100L, words("n100-", 0, 20), emb(100)), // novel -> ingests
+      (101L, corpusTexts(3)._2, emb(101)),     // exact corpus dup
+      (102L, "too short", emb(102)),           // quality drop
+      (103L, words("n103-", 0, 20), emb(103)), // within-batch twin A
+      (104L, words("n103-", 0, 20), emb(104))) // twin B (higher id) drops
+    // recombined doc: both segments already known (corpus 1 seg0 +
+    // corpus 2 seg1) -> exact hash NOVEL but segment stage drops it
+    val recombined = words("c1-", 0, 10) + " " + words("c2-", 10, 20)
+    // half-novel: one known segment + one novel -> survives
+    val halfNovel = words("c1-", 0, 10) + " " + words("n106-", 10, 20)
+    val batch1 = Seq(
+      (105L, recombined, emb(105)),
+      (106L, halfNovel, emb(106)),
+      (100L, words("n100-", 0, 20), emb(100))) // re-delivery drops
+    try {
+      in.addData(batch0: _*)
+      q.processAllAvailable()
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      def nodeIds() = spark.read.parquet(s"$idx/nodes")
+        .filter(col("layer") === 0).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      def docCatalog() = spark.read.parquet(s"$st/doc_catalog")
+        .select("text_hash").collect().map(_.getString(0)).toSeq.sorted
+      def segCatalogN() = spark.read.parquet(s"$st/seg_catalog").count()
+      // batch parity: a driver-side replica of the whole chain over
+      // the same arrival order
+      def md5hex(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val seenHash = collection.mutable.Set(
+        corpusTexts.map(t => md5hex(t._2)): _*)
+      val seenSeg = collection.mutable.Set(corpusTexts.flatMap(t =>
+        t._2.split(" ").grouped(10).map(g => md5hex(g.mkString(" ")))): _*)
+      val expectIngested = collection.mutable.Buffer[Long]()
+      Seq(batch0, batch1).foreach { b =>
+        val inBatchHash = collection.mutable.Set[String]()
+        val inBatchSeg = collection.mutable.Set[String]()
+        b.foreach { case (id, text, _) =>
+          val h = md5hex(text)
+          if (text.split(" ").count(_.nonEmpty) >= 10 &&
+              !seenHash(h) && !inBatchHash(h)) {
+            inBatchHash += h
+            val segHashes = text.split(" ").grouped(10)
+              .map(g => md5hex(g.mkString(" "))).toSeq
+            val fresh = segHashes.filterNot(s =>
+              seenSeg(s) || inBatchSeg(s))
+            if (fresh.nonEmpty) {
+              expectIngested += id
+              seenHash += h
+              inBatchSeg ++= fresh
+              seenSeg ++= fresh
+            }
+          }
+        }
+      }
+      assert(expectIngested.toSeq == Seq(100L, 103L, 106L))
+      val expectedNodes = ((0L until 10L) ++ expectIngested).sorted
+      assert(nodeIds() == expectedNodes,
+        s"index nodes ${nodeIds()} != expected $expectedNodes")
+      assert(docCatalog() ==
+        (corpusTexts.map(t => md5hex(t._2)) ++
+          expectIngested.map(i => md5hex(
+            Map(100L -> words("n100-", 0, 20),
+              103L -> words("n103-", 0, 20),
+              106L -> halfNovel)(i)))).sorted)
+      // the ingested novel doc is findable at cos 1.0
+      val got = graft.operators.Hnsw.hnswIndexProbe(spark, idx,
+          emb(106).map(_.toDouble), k = 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.head == ((106L, 1.0)), got.toSeq)
+      // WHOLE-CHAIN replay: re-run epoch 0's batch body directly (the
+      // committed-epoch re-delivery case) — nothing may change
+      val nodesBefore = nodeIds()
+      val docsBefore = docCatalog()
+      val segsBefore = segCatalogN()
+      graft.streaming.IngestPipeline.llmIngestBatch(
+        batch0.toDF("doc_id", "text", "embedding"), 0L, st, idx,
+        rules, window = 10, dims0 = 16)
+      assert(nodeIds() == nodesBefore, "replay changed index nodes")
+      assert(docCatalog() == docsBefore, "replay changed doc catalog")
+      assert(segCatalogN() == segsBefore, "replay changed seg catalog")
+    } finally q.stop()
+  }
+
   test("streaming dq gate: violations quarantined, per-batch observe metrics, batch parity") {
     initLog()
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
