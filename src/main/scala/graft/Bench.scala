@@ -142,7 +142,8 @@ object Bench {
     */
   private val headlinePrefixes = Seq("ann_", "dedup_", "curate_",
     "decontaminate", "embed_", "mm_", "sample_", "text_", "seq_",
-    "profile_", "idx_", "graph_", "dq_", "mix_", "tok_")
+    "profile_", "idx_", "graph_", "dq_", "mix_", "tok_", "search_",
+    "pq_")
   private val headlineBatch = Set("q_edit_window", "q_filter_project",
     "q1_pricing_agg", "q_multijoin", "q_topn_join", "q_exists_sql",
     "q_snapshot_diff", "q_asof_join", "q_range_join", "q_window_running")

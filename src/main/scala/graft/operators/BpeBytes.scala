@@ -189,7 +189,19 @@ object BpeBytes {
   private[graft] def cachedMergesBytes(spark: SparkSession, dir: String,
       rounds: Int = Bpe.TrainRounds): Seq[(String, String)] =
     mergeCacheBytes.computeIfAbsent((dir, rounds),
-      _ => trainMergesBytes(Tables.documents(spark, dir), rounds))
+      // incremental trainer over the byte vocab (the Bpe.cachedMerges
+      // convention — collect the Heap's-bounded vocab, zero-job
+      // rounds). The trainer splits its input per CHAR, so it is fed
+      // the REMAPPED word ([[byteEncode]] — injective, chars ≡ byte
+      // symbols), never the raw pre-token (whose multi-byte chars
+      // would be one symbol instead of two)
+      _ => Bpe.trainIncrementalFromVocab(
+        Tables.documents(spark, dir)
+          .select(explode(regexp_extract_all(col("text"),
+            lit(PreTokenRegex), lit(0))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .collect()
+          .map(r => (byteEncode(r.getString(0)), r.getLong(1))), rounds))
 
   /** Driver query `tok_encode_bpe_bytes`: per-doc GPT-2-shape token-id
     * sequences under byte merges trained on the same corpus.

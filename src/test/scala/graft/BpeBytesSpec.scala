@@ -109,6 +109,33 @@ class BpeBytesSpec extends GraftSpecBase {
     assert(byteEnc.toSeq == charEnc.toSeq)
   }
 
+  test("byte merges: the batched relational trainer and the " +
+      "incremental driver trainer over the REMAPPED vocab agree on " +
+      "non-ascii text (multi-byte chars = two symbols)") {
+    initLog()
+    val docs = docsDf(Seq(
+      (1L, "café café crème café"),
+      (2L, "the cat's café... naïve"),
+      (3L, "crème crème naïve the the")))
+    val r = 10
+    val batched = BpeBytes.trainMergesBytes(docs, rounds = r)
+    // driver replica of the cachedMergesBytes vocab derivation
+    val p = java.util.regex.Pattern.compile(BpeBytes.PreTokenRegex)
+    val wc = collection.mutable.Map[String, Long]()
+    docs.collect().map(_.getString(2)).foreach { t =>
+      val m = p.matcher(t)
+      while (m.find()) wc(m.group()) = wc.getOrElse(m.group(), 0L) + 1
+    }
+    val inc = Bpe.trainIncrementalFromVocab(
+      wc.toArray.map { case (w, c) => (BpeBytes.byteEncode(w), c) }, r)
+    assert(inc == batched, s"inc $inc\nbat $batched")
+    // and at least one merge involves a remapped multi-byte symbol
+    // (the é bytes remap to chars above U+00FF), proving the byte
+    // alphabet is actually in play
+    assert(batched.exists { case (l, x) =>
+      (l + x).exists(_ > 'ÿ') }, batched)
+  }
+
   test("encodeDocsBytes: independent replica agrees on ids and the " +
       "decode-back recovers the exact text (spaces included)") {
     initLog()

