@@ -569,7 +569,11 @@ object Relevance {
       .filter(col("ta") =!= col("tb"))
       .groupBy(col("doc_id"))
       .agg(min(abs(col("pa") - col("pb"))).cast("long").as("prox_span"))
-    val rr = fused
+    // the rerank output is collected ONCE (≤ kRerank rows) and
+    // re-parallelized: it feeds both the MMR candidate filter and the
+    // final evidence join, and keeping it lazy would re-execute the
+    // corpus-scale arm subtree once per consumer
+    val rrRows = fused
       .join(cov, Seq("doc_id"), "left")
       .join(prox, Seq("doc_id"), "left")
       .withColumn("coverage", coalesce(col("coverage"), lit(0L)))
@@ -580,10 +584,15 @@ object Relevance {
       .filter(col("rerank") <= kRerank)
       .select(col("doc_id"), col("rerank"), col("coverage"),
         col("prox_span"), col("rrf"))
+      .collect()
+    val rr = spark.createDataFrame(
+        rrRows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))))
+      .toDF("doc_id", "rerank", "coverage", "prox_span", "rrf")
     // stage 3: MMR over the surviving pool (bounded collect — kRerank
     // ids; the query vector's own doc stays a legit candidate, the
     // hybrid lane's semantics)
-    val poolIds = rr.select(col("doc_id")).collect().map(_.getLong(0))
+    val poolIds = rrRows.map(_.getLong(0))
     val qe = broadcast(emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding").cast("array<double>").as("qe")))
     val cand = emb.filter(col("vec_id").isin(poolIds.toIndexedSeq: _*))

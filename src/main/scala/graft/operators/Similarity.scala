@@ -1117,14 +1117,23 @@ object Similarity {
   private def writePqMeta(train: DataFrame, path: String,
       books: Array[(Int, Int, Array[Double])], dims: Int,
       sampleMod: Long): Unit = {
+    val spark = train.sparkSession
     val m = books.map(_._1).max + 1
     val ksub = books.map(_._2).max + 1
-    pqEncode(Par.ensure(distortionSample(train, sampleMod)), books, dims)
-      .agg(count(lit(1)).cast("long").as("n_train_sampled"),
-        round(avg(col("distortion")), 4).as("train_mean_distortion"))
-      .select(lit(m.toLong).as("m"), lit(ksub.toLong).as("ksub"),
-        lit(sampleMod).as("sample_mod"), col("n_train_sampled"),
-        col("train_mean_distortion"))
+    val r = pqEncode(Par.ensure(distortionSample(train, sampleMod)),
+        books, dims)
+      .agg(count(lit(1)).cast("long"), round(avg(col("distortion")), 4))
+      .collect()(0)
+    // a null baseline would NPE every later drift report — fail at
+    // the build, where the caller can pick a smaller sampleMod
+    require(r.getLong(0) > 0,
+      s"writePqIndex: distortion sample is empty at " +
+        s"sample_mod=$sampleMod — pass a smaller sampleMod for a " +
+        "corpus this size")
+    spark.createDataFrame(Seq(
+        (m.toLong, ksub.toLong, sampleMod, r.getLong(0), r.getDouble(1))))
+      .toDF("m", "ksub", "sample_mod", "n_train_sampled",
+        "train_mean_distortion")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -1543,6 +1552,12 @@ object Similarity {
     * Scale shape: one sampled corpus scan, pure map-side encode
     * (broadcast-literal codebooks), one agg — no shuffle beyond the
     * final one-row reduce.
+    *
+    * Empty-sample note: `n_sampled = 0` (a near-empty current corpus
+    * at the stored sample_mod) yields NULL distortion/ratio columns
+    * rather than a spurious recommendation — the caller's signal to
+    * re-check sample_mod. The TRAINING-side baseline can never be
+    * empty ([[writePqMeta]] fails the build loudly).
     */
   def pqDriftReport(current: DataFrame, path: String,
       threshold: Double = 1.25, dims0: Int = -1): DataFrame = {

@@ -138,6 +138,78 @@ class RelevanceSpec extends GraftSpecBase {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("searchPipeline: stage wiring — picks come from the rerank " +
+      "survivors of the fused pool, carried evidence columns match a " +
+      "driver-side recomputation, MMR head pick is the max-relevance " +
+      "survivor, runs are bit-equal") {
+    initLog()
+    // id space shared between docs and embeddings; doc 0 is the query
+    // vector. Docs 1-4: both query terms (varying span); 5-6: one
+    // term; 7-9: semantic-only (no terms, embeddings near the query)
+    val texts = Seq(
+      (0L, "filler filler filler"),
+      (1L, "spark window close pair here"),
+      (2L, "spark mid window with one gap"),
+      (3L, "spark far far far far window"),
+      (4L, "window then spark adjacent too"),
+      (5L, "spark alone in this doc"),
+      (6L, "window alone in this doc"),
+      (7L, "nothing relevant lexically"),
+      (8L, "also nothing relevant here"),
+      (9L, "semantic only content"))
+    val docs = texts.toDF("doc_id", "text")
+    def v(i: Int): Seq[Double] = {
+      val a = Array(1.0, 0.0, 0.0, 0.0)
+      a(1) += 0.01 * i; a.toSeq
+    }
+    val emb = (0 to 9).map(i => (i.toLong, v(i)))
+      .toDF("vec_id", "embedding")
+    val terms = Seq("spark", "window")
+    val got = Relevance.searchPipeline(docs, emb, terms,
+        queryVecId = 0L, kEach = 10, kFused = 8, kRerank = 6, kFinal = 4)
+      .orderBy(col("pick_order")).collect()
+    assert(got.length == 4)
+    assert(got.map(_.getLong(1)).distinct.length == 4)
+    // stage composition: every pick sits in the fused pool AND within
+    // the rerank budget
+    val fusedIds = Relevance.hybridSearchRrf(docs, emb, terms,
+        queryVecId = 0L, kEach = 10, k = 8)
+      .collect().map(_.getLong(0)).toSet
+    got.foreach { r =>
+      assert(fusedIds(r.getLong(1)), s"pick ${r.getLong(1)} not fused")
+      assert(r.getAs[Long]("rerank") <= 6L)
+    }
+    // carried evidence columns match a driver-side recomputation of
+    // coverage and min-span over the picked docs' texts — the seam
+    // the composed lane exists to catch
+    val textOf = texts.toMap
+    got.foreach { r =>
+      val toks = textOf(r.getLong(1)).split(" ")
+      val pos = toks.zipWithIndex.filter(t => terms.contains(t._1))
+      val cov = pos.map(_._1).distinct.length.toLong
+      val span =
+        if (pos.map(_._1).distinct.length < 2) 999999L
+        else (for (a <- pos; b <- pos if a._1 != b._1)
+          yield math.abs(a._2 - b._2).toLong).min
+      assert(r.getAs[Long]("coverage") == cov,
+        s"doc ${r.getLong(1)} coverage ${r.getAs[Long]("coverage")} != $cov")
+      assert(r.getAs[Long]("prox_span") == span,
+        s"doc ${r.getLong(1)} span ${r.getAs[Long]("prox_span")} != $span")
+    }
+    // MMR head pick: the max-rel survivor (ties to lower id) — with
+    // doc 0 (the query itself, rel 10^6) in the pool it must be first
+    // whenever it survives the rerank cut; otherwise the top surviving
+    // cosine wins. Either way pick 1 has max_sim_c = 0.
+    assert(got(0).getAs[Long]("max_sim_c") == 0L)
+    val rels = got.map(r => (r.getLong(1), r.getAs[Long]("rel_c")))
+    assert(rels.map(_._2).max == got(0).getAs[Long]("rel_c"))
+    // determinism
+    val again = Relevance.searchPipeline(docs, emb, terms,
+        queryVecId = 0L, kEach = 10, kFused = 8, kRerank = 6, kFinal = 4)
+      .orderBy(col("pick_order")).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("mmr: redundancy penalty pulls in the second cluster that " +
       "pure relevance ignores") {
     initLog()
