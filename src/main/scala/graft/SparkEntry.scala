@@ -349,6 +349,9 @@ object SparkEntry {
     "dedup_semantic_inc" -> ((s, d) => Similarity.semanticDeltaEffect(s, d)),
     "mix_epochs" -> ((s, d) => Mixture.epochMixture(s, d)),
     "mix_shard_shuffle" -> ((s, d) => Mixture.shardShuffleAssign(s, d)),
+    // curriculum (sequence-length warmup) sharding: phase-major order,
+    // shuffled within phase — full oracle via a global row_number
+    "mix_curriculum" -> ((s, d) => Mixture.curriculumAssign(s, d)),
     "mix_anneal" -> ((s, d) => Mixture.annealMixture(s, d)),
     "curate_c4" -> ((s, d) => TextAnalysis.c4Summary(s, d)),
     "dedup_embedding_audit" -> ((s, d) => Similarity.embeddingAuditRate(s, d)),
@@ -2497,6 +2500,17 @@ object SparkEntry {
          FROM (SELECT doc_id, row_number() OVER
                  (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                FROM documents) t""",
+    "mix_curriculum" ->
+      """WITH ph AS (SELECT doc_id,
+             LEAST(3, len(string_split(text, ' ')) // 64) AS phase
+           FROM documents)
+         SELECT doc_id, CAST(phase AS BIGINT) AS phase,
+           CAST((rn - 1) % 8 AS BIGINT) AS shard,
+           CAST((rn - 1) // 8 AS BIGINT) AS pos
+         FROM (SELECT doc_id, phase, row_number() OVER
+                 (ORDER BY phase, md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rn
+               FROM ph) t""",
     // bounded near-dup audit: fixed-k md5-ordered sample, exact pairs
     // within it, rate = integer ppm (rung 1); the cosine round(6)
     // equality is the proven dedup_embedding contract

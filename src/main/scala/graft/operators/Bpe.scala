@@ -360,14 +360,24 @@ object Bpe {
     * Spec'd equal to [[trainMerges]]/[[trainMergesBatched]] on the
     * fixtures (ties, self-merge) and a random-corpus sweep.
     */
+  /** `resumeFrom`: an already-trained merge prefix — the vocabulary
+    * EXTENSION path (continue a 32k vocab to 48k as the corpus or the
+    * budget grows, without re-deriving the prefix): the resumed merges
+    * replay over the fresh vocab (cheap — mergeGreedy per word per
+    * merge, driver-side) and training continues from that state.
+    * `rounds` is the TOTAL (prefix included); the returned list
+    * carries the prefix. On the SAME corpus, resume(train(R1), R) ≡
+    * train(R) exactly (spec'd) — the greedy is history-deterministic.
+    */
   def trainMergesIncremental(docs: DataFrame, rounds: Int,
-      textCol: String = "text"): Seq[(String, String)] = {
+      textCol: String = "text",
+      resumeFrom: Seq[(String, String)] = Nil): Seq[(String, String)] = {
     require(rounds > 0 && rounds <= 65536,
       s"trainMergesIncremental: rounds=$rounds outside (0, 65536]")
     val vocab = wordCounts(docs, textCol)
       .select(col("word"), col("cnt")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    trainIncrementalFromVocab(vocab, rounds)
+    trainIncrementalFromVocab(vocab, rounds, resumeFrom)
   }
 
   /** Left-to-right non-overlapping single-pass merge — the exact
@@ -387,10 +397,18 @@ object Bpe {
   }
 
   private[graft] def trainIncrementalFromVocab(
-      vocab: Array[(String, Long)], rounds: Int): Seq[(String, String)] = {
+      vocab: Array[(String, Long)], rounds: Int,
+      resumeFrom: Seq[(String, String)] = Nil): Seq[(String, String)] = {
     type Pair = (String, String)
+    require(rounds > resumeFrom.length,
+      s"trainMergesIncremental: rounds=$rounds must exceed the " +
+        s"${resumeFrom.length}-merge resume prefix")
     val syms: Array[Array[String]] =
-      vocab.map { case (w, _) => w.toCharArray.map(_.toString) }
+      vocab.map { case (w, _) =>
+        resumeFrom.foldLeft(w.toCharArray.map(_.toString)) {
+          case (s, (l, r)) => mergeGreedy(s, l, r)
+        }
+      }
     val cnts: Array[Long] = vocab.map(_._2)
     val pc = new java.util.HashMap[Pair, Long]()
     // pair → word indices currently containing it (≥ once)
@@ -441,7 +459,8 @@ object Bpe {
     }
     pc.forEach((p, c) => { ranked.add((c, p._1, p._2)); () })
     val out = Seq.newBuilder[(String, String)]
-    var k = 0
+    out ++= resumeFrom
+    var k = resumeFrom.length
     while (k < rounds) {
       require(!ranked.isEmpty,
         s"trainMergesIncremental: corpus exhausted after $k merges " +

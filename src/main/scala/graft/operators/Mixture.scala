@@ -262,7 +262,35 @@ object Mixture {
     math.max(16L, (n + targetBucketRows - 1) / targetBucketRows)
 
   def shardShuffle(docs: DataFrame, idCol: String, nShards: Int,
-      buckets: Int = -1, targetBucketRows: Long = 1L << 20): DataFrame = {
+      buckets: Int = -1, targetBucketRows: Long = 1L << 20): DataFrame =
+    shardOrder(docs, idCol, lit(0L), nShards, buckets, targetBucketRows)
+      .drop("phase")
+
+  /** CURRICULUM sharding — the staged orderings real training runs
+    * use (sequence-length warmup, easy-first curricula): global order
+    * is (phase asc, md5(id)) — phase-MAJOR, shuffled WITHIN each
+    * phase. Curricula stage difficulty coarsely rather than
+    * strict-sorting by a float score (a strict sort correlates
+    * adjacent batches and destroys within-phase i.i.d.-ness; the
+    * phase column is where the caller quantizes their score). Same
+    * balanced round-robin (shard, pos) bijection as [[shardShuffle]]
+    * — and because pos order within a shard is the global order
+    * restricted to that shard, every data-loader worker streams its
+    * slice in phase-monotone order (spec'd).
+    *
+    * `phase` must be a deterministic integer expression over the row
+    * (cross-engine reproducibility — the md5 portability contract
+    * extended with one integer key). [[shardShuffle]] is the
+    * constant-phase instance.
+    */
+  def curriculumShards(docs: DataFrame, idCol: String, phase: Column,
+      nShards: Int, buckets: Int = -1,
+      targetBucketRows: Long = 1L << 20): DataFrame =
+    shardOrder(docs, idCol, phase.cast("long"), nShards, buckets,
+      targetBucketRows)
+
+  private def shardOrder(docs: DataFrame, idCol: String, phase: Column,
+      nShards: Int, buckets: Int, targetBucketRows: Long): DataFrame = {
     require(nShards > 0, "shardShuffle: nShards must be positive")
     val b: Long =
       if (buckets > 0) buckets.toLong
@@ -281,28 +309,43 @@ object Mixture {
     val key = md5(col(idCol).cast("string"))
     // v = numeric value of the first 8 hex chars, in [0, 2^32);
     // bkt = floor(v·b / 2^32) — contiguous, monotone in the key, so
-    // ordering by (bkt, key) IS ordering by key.
+    // ordering by (phase, bkt, key) IS ordering by (phase, key).
     val v = conv(substring(key, 1, 8), 16, 10).cast("long")
-    val tagged = docs.select(col(idCol), key.as("__k"),
+    val tagged = docs.select(col(idCol), phase.as("__p"), key.as("__k"),
       shiftright(v * lit(b), 32).as("__b"))
-    val wIn = Window.partitionBy(col("__b"))
+    val wIn = Window.partitionBy(col("__p"), col("__b"))
       .orderBy(col("__k"), col(idCol))
     val ranked = tagged
       .withColumn("__r", row_number().over(wIn).cast("long"))
-    // offsets: one row per non-empty bucket — driver-bounded (≤ b);
-    // the running sum over ≤ b rows is the only single-partition
-    // window and it never touches corpus-sized data
-    val offs = ranked.groupBy(col("__b"))
+    // offsets: one row per non-empty (phase, bucket) — bounded by
+    // phases×b (phases are a handful by contract); the running sum
+    // over those rows is the only single-partition window and it
+    // never touches corpus-sized data
+    val offs = ranked.groupBy(col("__p"), col("__b"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(
-        sum(col("__n")).over(Window.orderBy(col("__b"))
+        sum(col("__n")).over(Window.orderBy(col("__p"), col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__b"), col("__off"))
-    ranked.join(broadcast(offs), Seq("__b"))
+      .select(col("__p"), col("__b"), col("__off"))
+    ranked.join(broadcast(offs), Seq("__p", "__b"))
       .withColumn("__g", col("__off") + col("__r") - 1)
-      .select(col(idCol),
+      .select(col(idCol), col("__p").as("phase"),
         pmod(col("__g"), lit(nShards.toLong)).as("shard"),
         expr(s"__g div ${nShards}L").as("pos"))
+  }
+
+  /** Driver query `mix_curriculum`: sequence-length warmup over the
+    * documents corpus — phase = min(3, whitespace tokens div 64)
+    * (short docs first, the shortformer-style warmup), 8 shards.
+    * FULL oracle: a plain global row_number over (phase, md5, id)
+    * reproduces the permutation.
+    */
+  def curriculumAssign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    curriculumShards(docs, "doc_id",
+      least(lit(3L), call_function("div",
+        size(split(col("text"), " ")).cast("long"), lit(64L))),
+      nShards = 8)
   }
 
   /** Driver query `mix_shard_shuffle`: shuffle the documents corpus

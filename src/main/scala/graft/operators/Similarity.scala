@@ -1120,18 +1120,23 @@ object Similarity {
     val spark = train.sparkSession
     val m = books.map(_._1).max + 1
     val ksub = books.map(_._2).max + 1
-    val r = pqEncode(Par.ensure(distortionSample(train, sampleMod)),
-        books, dims)
-      .agg(count(lit(1)).cast("long"), round(avg(col("distortion")), 4))
-      .collect()(0)
-    // a null baseline would NPE every later drift report — fail at
-    // the build, where the caller can pick a smaller sampleMod
+    def sampled(mod: Long) =
+      pqEncode(Par.ensure(distortionSample(train, mod)), books, dims)
+        .agg(count(lit(1)).cast("long"), round(avg(col("distortion")), 4))
+        .collect()(0)
+    val r0 = sampled(sampleMod)
+    // small-corpus fallback: a 1-in-N hash sample can catch zero rows
+    // of a fixture-sized corpus — take the full corpus instead (and
+    // record sample_mod=1 so the drift report samples consistently).
+    // A null baseline would NPE every later report, so an empty FULL
+    // corpus still fails loud here.
+    val (useMod, r) =
+      if (r0.getLong(0) > 0) (sampleMod, r0) else (1L, sampled(1L))
     require(r.getLong(0) > 0,
-      s"writePqIndex: distortion sample is empty at " +
-        s"sample_mod=$sampleMod — pass a smaller sampleMod for a " +
-        "corpus this size")
+      "writePqIndex: cannot record a distortion baseline for an " +
+        "empty corpus")
     spark.createDataFrame(Seq(
-        (m.toLong, ksub.toLong, sampleMod, r.getLong(0), r.getDouble(1))))
+        (m.toLong, ksub.toLong, useMod, r.getLong(0), r.getDouble(1))))
       .toDF("m", "ksub", "sample_mod", "n_train_sampled",
         "train_mean_distortion")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")

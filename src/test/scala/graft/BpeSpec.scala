@@ -289,6 +289,35 @@ class BpeSpec extends GraftSpecBase {
     assert(Bpe.trainMergesIncremental(tiny, rounds = 1) == Seq(("a", "b")))
   }
 
+  test("trainMergesIncremental resume: continuing from a trained " +
+      "prefix reproduces the full run exactly (vocabulary extension)") {
+    initLog()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val full = Bpe.trainMergesIncremental(docs, rounds = 32)
+    val prefix = Bpe.trainMergesIncremental(docs, rounds = 12)
+    assert(full.take(12) == prefix)
+    assert(Bpe.trainMergesIncremental(docs, rounds = 32,
+      resumeFrom = prefix) == full,
+      "resume diverged from the uninterrupted run")
+    // resume over a GROWN corpus: the prefix is preserved verbatim and
+    // the continuation is deterministic (no equality claim vs a fresh
+    // train — the grown corpus legitimately reorders later merges)
+    val fix = docsDf(Seq((1L, "src0", "newest newest widest low lower")))
+    val p2 = Bpe.trainMergesIncremental(fix, rounds = 3)
+    val grown = docsDf(Seq(
+      (1L, "src0", "newest newest widest low lower"),
+      (2L, "src0", "lowest widest newest")))
+    val cont = Bpe.trainMergesIncremental(grown, rounds = 6,
+      resumeFrom = p2)
+    assert(cont.take(3) == p2 && cont.length == 6)
+    assert(cont == Bpe.trainMergesIncremental(grown, rounds = 6,
+      resumeFrom = p2))
+    // total rounds must exceed the prefix
+    val e = intercept[IllegalArgumentException](
+      Bpe.trainMergesIncremental(fix, rounds = 2, resumeFrom = p2))
+    assert(e.getMessage.contains("resume"), e.getMessage)
+  }
+
   test("whitespace-degenerate vocab: seq_pack on BPE counts returns " +
       "the whitespace packing bit-for-bit") {
     initLog()

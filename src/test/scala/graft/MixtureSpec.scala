@@ -207,6 +207,53 @@ class MixtureSpec extends GraftSpecBase {
     assert(e.getMessage.contains("ceiling"), e.getMessage)
   }
 
+  test("curriculumShards: phase-major order (shuffled within phase), " +
+      "per-shard pos order is phase-monotone, constant phase " +
+      "degenerates to shardShuffle") {
+    initLog()
+    // phase = id % 3 — three deterministic difficulty stages
+    val docs = (0L until 103L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = Mixture.curriculumShards(docs, "doc_id",
+        pmod(col("doc_id"), lit(3L)), nShards = 7, buckets = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 103)
+    // bijection + balance (the shardShuffle contract preserved)
+    assert(out.map(t => (t._3, t._4)).distinct.length == 103)
+    val sizes = out.groupBy(_._3).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1 && sizes.sum == 103)
+    // equals the literal global row_number over (phase, md5(id), id)
+    val expect = (0L until 103L)
+      .sortBy(id => (id % 3, md5Hex(id), id)).zipWithIndex
+      .map { case (id, r) =>
+        (id, id % 3, (r % 7).toLong, (r / 7).toLong) }.toSet
+    assert(out.toSet == expect)
+    // within every shard, phase never decreases as pos increases —
+    // the property a data-loader worker's stream depends on
+    out.groupBy(_._3).values.foreach { rows =>
+      val phases = rows.sortBy(_._4).map(_._2)
+      assert(phases.zip(phases.tail).forall { case (a, b) => a <= b },
+        s"non-monotone phases in a shard: ${phases.toSeq}")
+    }
+    // bucket count never changes the answer (the prefix-order lemma
+    // now over (phase, bkt, key))
+    val out64 = Mixture.curriculumShards(docs.repartition(5), "doc_id",
+        pmod(col("doc_id"), lit(3L)), nShards = 7, buckets = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out64 == out.toSet)
+    // constant phase ≡ shardShuffle bit-for-bit
+    val flat = Mixture.curriculumShards(docs, "doc_id", lit(0L),
+        nShards = 7, buckets = 8)
+      .drop("phase").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Mixture.shardShuffle(docs, "doc_id", nShards = 7,
+        buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(flat == plain)
+  }
+
   test("phasedSchedule: per-phase closed-form multiplicities; the " +
       "fractional gate draws independently per phase") {
     initLog()
