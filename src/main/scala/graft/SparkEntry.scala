@@ -226,6 +226,37 @@ object SparkEntry {
         Similarity.annBruteForceFiltered(e, pred, nQueries = 10, k = 10),
         k = 10)
     }),
+    // SQ8 — the sixth index family (scalar int8 quantization, no
+    // training): FULL oracle, unique among the ANN families (the
+    // scale and codes are engine-exact integers)
+    "ann_sq8" -> ((s, d) =>
+      Similarity.annSq8Search(graft.sources.Tables.embeddings(s, d),
+        dims0 = 64)),
+    "ann_sq8_recall" -> ((s, d) => {
+      val e = graft.sources.Tables.embeddings(s, d)
+      Similarity.annRecallSummary(
+        Similarity.annSq8Search(e, nQueries = 10, k = 10, rerank = 50,
+          dims0 = 64),
+        Similarity.annBruteForce(e, nQueries = 10, k = 10), k = 10)
+    }),
+    // filtered SQ8 uses a SQL-expressible predicate (vec_id % 2 = 0)
+    // instead of the family's xxhash gate, so BOTH filtered lanes stay
+    // FULL oracle — the hash gate exists to prove pushdown shapes,
+    // which the PQ-placement filtered spec already pins for this
+    // family's plan
+    "ann_sq8_filtered" -> ((s, d) =>
+      Similarity.annSq8SearchFiltered(
+        graft.sources.Tables.embeddings(s, d),
+        pmod(col("vec_id"), lit(2L)) === 0, dims0 = 64)),
+    "ann_sq8_filtered_recall" -> ((s, d) => {
+      val e = graft.sources.Tables.embeddings(s, d)
+      val pred = pmod(col("vec_id"), lit(2L)) === 0
+      Similarity.annRecallSummary(
+        Similarity.annSq8SearchFiltered(e, pred, nQueries = 10, k = 10,
+          rerank = 50, dims0 = 64),
+        Similarity.annBruteForceFiltered(e, pred, nQueries = 10, k = 10),
+        k = 10)
+    }),
     "text_tokencount" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
@@ -2793,5 +2824,11 @@ object SparkEntry {
     "seq_pack_bpe" -> Bpe.packOracleSql(),
     "text_chunk_bpe" -> Bpe.chunkOracleSql(),
     "tok_encode_bpe" -> Bpe.encodeOracleSql(),
-    "tok_encode_bpe_bytes" -> BpeBytes.encodeBytesOracleSql())
+    "tok_encode_bpe_bytes" -> BpeBytes.encodeBytesOracleSql(),
+    "ann_sq8" -> Similarity.sq8OracleSql(),
+    "ann_sq8_recall" -> Similarity.sq8RecallOracleSql(),
+    "ann_sq8_filtered" ->
+      Similarity.sq8OracleSql(predSql = "e.vec_id % 2 = 0"),
+    "ann_sq8_filtered_recall" ->
+      Similarity.sq8RecallOracleSql(predSql = "e.vec_id % 2 = 0"))
 }

@@ -2576,6 +2576,259 @@ object Similarity {
         round(col("n_hits").cast("double") / col("n_exact"), 6).as("recall"))
   }
 
+  // ---------------------------------------------------------------
+  // SQ8 scalar quantization (the SIXTH index family — the FAISS
+  // IndexScalarQuantizer QT_8bit flat shape)
+  // ---------------------------------------------------------------
+
+  /** Global symmetric int8 scale: 127 / max|component| over the
+    * corpus — ONE exact aggregation (floats are exactly representable
+    * in double; MAX is exact), so the scale is a deterministic
+    * cross-engine scalar, which is what makes this the first index
+    * family whose SEARCH lane is FULL-oracle rather than rows-checked:
+    * quantized components are small integers, their dots/norms are
+    * exact, and the quantized cosine is the same
+    * correctly-rounded-divide + round(6) contract as
+    * [[annBruteForce]].
+    */
+  def sq8Scale(e: DataFrame): Double = {
+    val maxAbs = e.agg(max(greatest(
+        array_max(col("embedding")).cast("double"),
+        -array_min(col("embedding")).cast("double"))))
+      .head().getDouble(0)
+    require(maxAbs > 0, "sq8: corpus max |component| is zero")
+    127.0 / maxAbs
+  }
+
+  /** (vec_id, codes): int8-quantized embeddings — round-half-away
+    * per component (Spark `round` ≡ DuckDB ROUND on halves) with a
+    * ±127 clamp. The clamp binds only for vectors OUTSIDE the
+    * calibration corpus ([[appendToSq8Index]]'s documented drift);
+    * per-dim column algebra, whole projection in codegen (the
+    * residualFrame convention — no interpreted HOF on the corpus).
+    */
+  def sq8Encode(e: DataFrame, scale: Double, dims: Int): DataFrame = {
+    val ed = col("embedding").cast("array<double>")
+    e.select(col("vec_id"), array((0 until dims).map(d =>
+      greatest(lit(-127L), least(lit(127L),
+        round(element_at(ed, d + 1) * lit(scale), 0).cast("long")))
+        .cast("int")): _*).as("codes"))
+  }
+
+  /** SQ8 search: quantized-cosine shortlist over int8 codes + exact
+    * refine (the flat-PQ rerank convention). The compression trade vs
+    * the code families: 4× scan reduction (int8 vs float32) with NO
+    * training, NO codebooks, and near-lossless recall on real-valued
+    * embeddings — the right first index when memory is the only
+    * problem. Scale shape: one corpus-linear quantize projection, one
+    * scan scoring m `element_at`-free native dots (the codes cast
+    * rides codegen), shortlist via WindowGroupLimit, refine touches
+    * nQueries×rerank rows.
+    *
+    * FULL oracle (unique among the six families): scale, codes,
+    * quantized cosine, and the exact refine are all engine-exact —
+    * [[sq8OracleSql]] reproduces the whole pipeline.
+    */
+  def annSq8Search(e: DataFrame, nQueries: Int = 10, k: Int = 5,
+      rerank: Int = 50, dims0: Int = -1): DataFrame =
+    annSq8SearchImpl(e, lit(true), nQueries, k, rerank, dims0)
+
+  /** FILTERED SQ8 search — the family's during-search-predicate
+    * surface: like PQ, the scan is exhaustive over its candidate set,
+    * so the predicate simply lands on the corpus side BEFORE the
+    * quantize projection (pushed into the scan) and no widening knob
+    * exists. The scale calibrates on the FULL corpus (one index
+    * serves every predicate). `annSq8Search` is the `lit(true)`
+    * instance.
+    */
+  def annSq8SearchFiltered(e: DataFrame, pred: Column,
+      nQueries: Int = 10, k: Int = 5, rerank: Int = 50,
+      dims0: Int = -1): DataFrame =
+    annSq8SearchImpl(e, pred, nQueries, k, rerank, dims0)
+
+  private def annSq8SearchImpl(e: DataFrame, pred: Column,
+      nQueries: Int, k: Int, rerank: Int, dims0: Int): DataFrame = {
+    val dims = dimsOf(e, dims0)
+    val scale = sq8Scale(e)
+    val codes = sq8Encode(Par.ensure(e).where(pred), scale, dims)
+    val qcodes = broadcast(
+      sq8Encode(e.filter(col("vec_id") < nQueries), scale, dims)
+        .select(col("vec_id").as("query_id"),
+          col("codes").cast("array<double>").as("qc")))
+    val scored = codes.join(qcodes, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Vectors.cosine(col("qc"),
+          col("codes").cast("array<double>")), 6).as("q_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_cos").desc, col("neighbor_id"))
+    val short = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= math.max(k, rerank))
+    if (rerank <= 0)
+      short.filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("q_cos").as("cos_sim"))
+    else {
+      val qs = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      refineShortlist(e, short, qs, k)
+    }
+  }
+
+  /** The shared SQ8 oracle CTE chain through `sq` (the refined top-k
+    * set): the scale as a scalar subquery (one exact MAX + one divide
+    * — bit-equal to the driver-side scale), list_transform
+    * quantization with the same clamp and half-away rounding,
+    * quantized-cosine shortlist, exact refine.
+    */
+  private def sq8Ctes(nQueries: Int, k: Int, rerank: Int,
+      predSql: String = "TRUE"): String =
+    s"""sc AS (SELECT 127.0 / MAX(GREATEST(
+             CAST(list_max(embedding) AS DOUBLE),
+             -CAST(list_min(embedding) AS DOUBLE))) AS s
+           FROM embeddings),
+         qz AS (SELECT vec_id, list_transform(embedding, x ->
+             GREATEST(-127, LEAST(127,
+               ROUND(CAST(x AS DOUBLE) * sc.s, 0)))) AS c
+           FROM embeddings, sc),
+         sh AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(e.c::DOUBLE[],
+                   q.c::DOUBLE[]), 6) DESC, e.vec_id) AS rk
+             FROM qz e, qz q
+             WHERE q.vec_id < $nQueries AND e.vec_id <> q.vec_id
+               AND ($predSql)) t
+           WHERE rk <= ${math.max(k, rerank)}),
+         sq AS (SELECT query_id, neighbor_id, rank, cos_sim FROM (
+           SELECT s.query_id, s.neighbor_id,
+             CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                 q.embedding::DOUBLE[]), 6) DESC, s.neighbor_id)
+               AS BIGINT) AS rank,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+               q.embedding::DOUBLE[]), 6) AS cos_sim
+           FROM sh s
+             JOIN embeddings e ON e.vec_id = s.neighbor_id
+             JOIN embeddings q ON q.vec_id = s.query_id) z
+         WHERE rank <= $k)"""
+
+  def sq8OracleSql(nQueries: Int = 10, k: Int = 5,
+      rerank: Int = 50, predSql: String = "TRUE"): String =
+    s"""WITH ${sq8Ctes(nQueries, k, rerank, predSql)}
+         SELECT query_id, neighbor_id, rank, cos_sim FROM sq"""
+
+  /** FULL oracle for the sq8 recall row — the first ANN recall lane
+    * whose value is hash-checked, not rows-checked (both arms are
+    * engine-exact).
+    */
+  def sq8RecallOracleSql(nQueries: Int = 10, k: Int = 10,
+      rerank: Int = 50, predSql: String = "TRUE"): String =
+    s"""WITH ${sq8Ctes(nQueries, k, rerank, predSql)},
+         bf AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                   q.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rk
+             FROM embeddings e, embeddings q
+             WHERE q.vec_id < $nQueries AND e.vec_id <> q.vec_id
+               AND ($predSql)) t
+           WHERE rk <= $k)
+         SELECT CAST($k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL
+               THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+         FROM bf b LEFT JOIN sq s
+           ON b.query_id = s.query_id
+             AND b.neighbor_id = s.neighbor_id"""
+
+  /** Persist an SQ8 index: int8 codes (4× smaller scans than raw
+    * float32 — at 100 TB the whole first-pass scan shrinks with it)
+    * plus the one-row scale meta. No training, no codebooks — the
+    * cheapest persisted form in the family.
+    */
+  def writeSq8Index(e: DataFrame, path: String, dims0: Int = -1): Unit = {
+    val dims = dimsOf(e, dims0)
+    val scale = sq8Scale(e)
+    e.sparkSession.createDataFrame(Seq((scale, dims)))
+      .toDF("scale", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    sq8Encode(Par.ensure(e), scale, dims)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Quantize one query vector with the STORED scale — the same
+    * half-away rounding + clamp as [[sq8Encode]] (BigDecimal HALF_UP
+    * ≡ Spark `round` on doubles).
+    */
+  private def sq8QuantizeDriver(q: Seq[Double], scale: Double): Seq[Double] =
+    q.map { x =>
+      val r = BigDecimal(x * scale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      math.max(-127L, math.min(127L, r)).toDouble
+    }
+
+  /** Top-k probe against a persisted [[writeSq8Index]] index:
+    * quantized-cosine scan of the CODES table only (the 4× win),
+    * TakeOrdered shortlist, optional exact refine against a
+    * caller-held raw frame (the pqIndexProbe refineFrom trade).
+    * `pred` is the filtered surface (id-level — raw embeddings are
+    * not stored), pushed into the codes scan.
+    */
+  def sq8IndexProbe(spark: SparkSession, path: String,
+      query: Seq[Double], k: Int = 5, rerank: Int = 0,
+      refineFrom: Option[DataFrame] = None,
+      excludeId: Option[Long] = None,
+      pred: Column = lit(true)): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val scale = meta.getDouble(0)
+    val dims = meta.getInt(1)
+    require(query.length == dims,
+      s"sq8IndexProbe: query has ${query.length} dims, index $dims")
+    val qc = typedLit(sq8QuantizeDriver(query, scale))
+    val base = spark.read.parquet(s"$path/codes").where(pred)
+    val scored = excludeId.fold(base)(id =>
+        base.filter(col("vec_id") =!= id))
+      .select(col("vec_id").as("neighbor_id"),
+        round(Vectors.cosine(col("codes").cast("array<double>"), qc), 6)
+          .as("q_cos"))
+    val short = scored
+      .orderBy(col("q_cos").desc, col("neighbor_id"))
+      .limit(math.max(k, rerank))
+    refineFrom match {
+      case None => short.limit(k)
+        .select(col("neighbor_id"), col("q_cos").as("cos_sim"))
+      case Some(raw) =>
+        val q = typedLit(query)
+        raw.select(col("vec_id").as("neighbor_id"), col("embedding"))
+          .join(broadcast(short.select(col("neighbor_id"))),
+            Seq("neighbor_id"))
+          .select(col("neighbor_id"),
+            round(Vectors.cosine(col("embedding"), q), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id")).limit(k)
+    }
+  }
+
+  /** Append new vectors WITHOUT recalibrating: encode with the stored
+    * scale — pure map-side. Components beyond the calibrated range
+    * CLAMP to ±127 (the standard SQ drift; directions survive,
+    * magnitudes saturate) — when appended mass drifts the range,
+    * rebuild via [[writeSq8Index]] from raw (there are no codebooks,
+    * so rebuild IS retrain).
+    */
+  def appendToSq8Index(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val codesSchema = spark.read.parquet(s"$path/codes").schema
+    sq8Encode(newVectors, meta.getDouble(0), meta.getInt(1))
+      .select(codesSchema.map(f => col(f.name).cast(f.dataType)): _*)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Per-vector hygiene stats — the sanity pass run before any
     * similarity work on an embedding column: L2 norm (un-normalized
     * vectors silently break cosine-as-dot shortcuts), max |component|
