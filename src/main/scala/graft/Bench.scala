@@ -160,6 +160,15 @@ object Bench {
   private[graft] val quadraticContract =
     Set("dedup_embedding", "dedup_embedding_exact_hi")
 
+  /** The `quadratic_lanes` artifact field: names the exclusion class
+    * behind the total vs total_nonquadratic gap IN the artifact (the
+    * suite's own no-silent-caps rule applied to its own reporting),
+    * restricted to lanes that actually ran, in run order.
+    */
+  private[graft] def quadraticLanesJson(ran: Seq[String]): String =
+    ran.collect { case n if quadraticContract(n) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+
   /** Fixed-work calibration probe: a single-threaded xorshift loop
     * whose quiet-host time is known, run (after one untimed JIT warm)
     * right before the suite. Exists because loadavg alone MISSED a
@@ -478,6 +487,13 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
+    // the shared ann_hnsw* graph build is timed ONCE, as its own
+    // artifact field (hnsw_build_sec), when the family's first lane
+    // comes up — otherwise the build lands inside whichever family
+    // lane runs it first and per-lane numbers stop comparing across
+    // rounds (r15's 100× artifacts read phantom 3× family moves that
+    // were pure build-attribution shuffle)
+    var hnswBuildSec = -1.0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // the ann_hnsw* lanes share one memoized graph build; the lanes
       // are alphabetically consecutive, so the first non-family lane
@@ -487,6 +503,12 @@ object Bench {
       // No-op when the memo is empty.
       if (!name.startsWith("ann_hnsw"))
         graft.operators.Hnsw.releaseGraphCache(spark)
+      else if (hnswBuildSec < 0) {
+        val tb = System.nanoTime()
+        try graft.operators.Hnsw.prebuildLaneGraph(spark, sfDir)
+        catch { case _: Throwable => () }
+        hnswBuildSec = (System.nanoTime() - tb) / 1e9
+      }
       var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -505,13 +527,17 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
+    // the separately-attributed hnsw build is still SUITE work — it
+    // rides both totals so round-over-round totals stay comparable
+    // with rounds where the build hid inside a family lane
+    val buildSec = if (hnswBuildSec > 0) hnswBuildSec else 0.0
     val total = results.collect { case (_, v) if v >= 0 => v }.sum +
-      failed.size * 1000.0
+      failed.size * 1000.0 + buildSec
     // the scale-comparison figure: quadratic-contract lanes excluded
     // (their growth law is pinned; see quadraticContract)
     val totalNonQuadratic = results.collect {
       case (n, v) if v >= 0 && !quadraticContract(n) => v
-    }.sum + failed.count(!quadraticContract(_)) * 1000.0
+    }.sum + failed.count(!quadraticContract(_)) * 1000.0 + buildSec
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // two streaming throughput figures next to the batch seconds — the
     // reference's actual modality is an unbounded stream; the windowed
@@ -606,8 +632,9 @@ object Bench {
       .mkString("[", ",", "]")
     def histJson(h: Seq[Double]): String =
       h.map(fmt(_, 1)).mkString("[", ",", "]")
+    val quadraticJson = quadraticLanesJson(results.map(_._1))
     def line(qs: String, extra: String = "") =
-      s"""{"metric":"total","value":${fmt(total, 4)},"total_nonquadratic":${fmt(totalNonQuadratic, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"regressed":$regressedJson,"transient":$transientJson,"median_shift":${fmt(shift, 3)},"stream_rows_per_sec":${fmt(streamRps, 0)},"stream_rows_per_sec_stateful":${fmt(streamRpsStateful, 0)},"loadavg":${fmt(loadavg, 2)},"probe_ms":${fmt(probeMs, 1)},"probe_quiet_ms":${fmt(probeQuiet, 1)},"probe_par_ms":${fmt(probeParMs, 1)},"probe_par_quiet_ms":${fmt(probeParQuiet, 1)},"noisy":$noisy,"full":"bench_full.json","sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"total_nonquadratic":${fmt(totalNonQuadratic, 4)},"quadratic_lanes":$quadraticJson,"hnsw_build_sec":${fmt(hnswBuildSec, 4)},"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"regressed":$regressedJson,"transient":$transientJson,"median_shift":${fmt(shift, 3)},"stream_rows_per_sec":${fmt(streamRps, 0)},"stream_rows_per_sec_stateful":${fmt(streamRpsStateful, 0)},"loadavg":${fmt(loadavg, 2)},"probe_ms":${fmt(probeMs, 1)},"probe_quiet_ms":${fmt(probeQuiet, 1)},"probe_par_ms":${fmt(probeParMs, 1)},"probe_par_quiet_ms":${fmt(probeParQuiet, 1)},"noisy":$noisy,"full":"bench_full.json","sf":"$sfDir"$extra}"""
     // Full map (4-decimal) to the file artifact; headline map
     // (3-decimal) to stdout, with a hard 1600-char guard: should
     // the headline set ever outgrow the tail budget, drop precision

@@ -282,6 +282,10 @@ object SparkEntry {
     // scenario rows whose retrain_recommended 0/1 are the hard signal
     // (rows-checked: k-means FP rides the ratios)
     "pq_drift" -> ((s, d) => Similarity.pqDriftLane(s, d)),
+    // SQ8's recalibration signal — clamp-saturation fraction under
+    // the stored scale; FULL oracle (max-based scale + integer
+    // saturation counts — no k-means FP, unlike pq_drift)
+    "sq8_drift" -> ((s, d) => Similarity.sq8DriftLane(s, d)),
     "embed_quantize" -> ((s, d) => Similarity.quantizationError(s, d)),
     "embed_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "embed_mrl" -> ((s, d) => Similarity.mrlRecall(s, d)),
@@ -323,6 +327,10 @@ object SparkEntry {
     // the composed serving stack: arms -> RRF -> proximity rerank ->
     // MMR, one lane whose oracle crosses every stage seam
     "search_pipeline" -> ((s, d) => Relevance.searchPipeline(s, d)),
+    // the probe-backed twin: postings-index lex arm + IVF-PQ sem arm
+    // (no_oracle — approximate sem arm; parity floors spec'd)
+    "search_pipeline_indexed" -> ((s, d) =>
+      Relevance.searchPipelineIndexedLane(s, d)),
     "search_rerank" -> ((s, d) => Relevance.rerankProximity(s, d)),
     "idx_postings" -> ((s, d) => Relevance.postings(s, d)),
     "q_outlier" -> ((s, d) => BatchQueries.valueOutliers(s, d)),
@@ -2830,5 +2838,6 @@ object SparkEntry {
     "ann_sq8_filtered" ->
       Similarity.sq8OracleSql(predSql = "e.vec_id % 2 = 0"),
     "ann_sq8_filtered_recall" ->
-      Similarity.sq8RecallOracleSql(predSql = "e.vec_id % 2 = 0"))
+      Similarity.sq8RecallOracleSql(predSql = "e.vec_id % 2 = 0"),
+    "sq8_drift" -> Similarity.sq8DriftOracleSql())
 }

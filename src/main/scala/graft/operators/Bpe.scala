@@ -371,13 +371,46 @@ object Bpe {
     */
   def trainMergesIncremental(docs: DataFrame, rounds: Int,
       textCol: String = "text",
-      resumeFrom: Seq[(String, String)] = Nil): Seq[(String, String)] = {
+      resumeFrom: Seq[(String, String)] = Nil,
+      maxVocabRows: Long = MaxIncrementalVocabRows)
+      : Seq[(String, String)] = {
     require(rounds > 0 && rounds <= 65536,
       s"trainMergesIncremental: rounds=$rounds outside (0, 65536]")
-    val vocab = wordCounts(docs, textCol)
-      .select(col("word"), col("cnt")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+    val vocab = collectVocabGuarded(
+      wordCounts(docs, textCol).select(col("word"), col("cnt")),
+      "trainMergesIncremental", maxVocabRows)
     trainIncrementalFromVocab(vocab, rounds, resumeFrom)
+  }
+
+  /** Driver-vocab ceiling for the incremental trainer's collect.
+    * Heap's law bounds distinct corpus words far below token count
+    * (≈ K·N^β, β ≈ 0.5 — a 100 TB corpus lands around 10⁷–10⁸
+    * distinct words), but the TOP of that range is multi-GB of driver
+    * heap: 2·10⁷ rows ≈ 1-2 GB of (word, cnt) state is the safe
+    * default for an 8-16 GB driver. Beyond the ceiling the trainer
+    * fails LOUDLY (below) instead of OOMing mid-collect.
+    */
+  val MaxIncrementalVocabRows: Long = 20000000L
+
+  /** The incremental family's ONE vocab collect, guarded: counts the
+    * distinct-word vocabulary BEFORE collecting it and refuses past
+    * `maxVocabRows` with the remedy in the message — the fully
+    * distributed [[trainMergesBatched]] (one job per batch of rounds,
+    * no driver vocab state) is the documented path for corpora whose
+    * vocabulary outgrows the driver. The count is one cheap
+    * aggregation job next to the collect it protects.
+    */
+  private[graft] def collectVocabGuarded(vc: DataFrame, what: String,
+      maxVocabRows: Long): Array[(String, Long)] = {
+    val n = vc.count()
+    require(n <= maxVocabRows,
+      s"$what: distinct-word vocabulary has $n rows > " +
+        s"maxVocabRows=$maxVocabRows — the incremental trainer keeps " +
+        "the whole vocab as driver state and would risk an OOM here. " +
+        "Train with trainMergesBatched (fully distributed, no driver " +
+        "vocab) or raise maxVocabRows if the driver heap genuinely " +
+        "holds it.")
+    vc.collect().map(r => (r.getString(0), r.getLong(1)))
   }
 
   /** Left-to-right non-overlapping single-pass merge — the exact
@@ -403,9 +436,16 @@ object Bpe {
     require(rounds > resumeFrom.length,
       s"trainMergesIncremental: rounds=$rounds must exceed the " +
         s"${resumeFrom.length}-merge resume prefix")
+    // Initial symbols are CODEPOINTS, not chars: wordCounts /
+    // bpeCountExpr / the DuckDB oracle all symbolize per codepoint
+    // (`([^ ])` matches a full codepoint in Java regex and RE2 alike),
+    // so non-BMP text (emoji) must not be split into surrogate halves
+    // here or the learned merges diverge from trainMerges/the oracle.
     val syms: Array[Array[String]] =
       vocab.map { case (w, _) =>
-        resumeFrom.foldLeft(w.toCharArray.map(_.toString)) {
+        val cps = w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        resumeFrom.foldLeft(cps) {
           case (s, (l, r)) => mergeGreedy(s, l, r)
         }
       }

@@ -196,12 +196,13 @@ object BpeBytes {
       // symbols), never the raw pre-token (whose multi-byte chars
       // would be one symbol instead of two)
       _ => Bpe.trainIncrementalFromVocab(
-        Tables.documents(spark, dir)
-          .select(explode(regexp_extract_all(col("text"),
-            lit(PreTokenRegex), lit(0))).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-          .collect()
-          .map(r => (byteEncode(r.getString(0)), r.getLong(1))), rounds))
+        Bpe.collectVocabGuarded(
+          Tables.documents(spark, dir)
+            .select(explode(regexp_extract_all(col("text"),
+              lit(PreTokenRegex), lit(0))).as("word"))
+            .groupBy(col("word")).agg(count(lit(1)).as("cnt")),
+          "cachedMergesBytes", Bpe.MaxIncrementalVocabRows)
+          .map { case (w, c) => (byteEncode(w), c) }, rounds))
 
   /** Driver query `tok_encode_bpe_bytes`: per-doc GPT-2-shape token-id
     * sequences under byte merges trained on the same corpus.

@@ -448,6 +448,19 @@ object Hnsw {
   /** Memo size, for specs. */
   private[graft] def graphCacheSize: Int = graphCache.size()
 
+  /** Force the shared lane-graph memo for `dir` (no-op when already
+    * built). The bench calls this ONCE, timed, when it reaches the
+    * `ann_hnsw*` family and reports it as `hnsw_build_sec` — charging
+    * the build to its own artifact field instead of whichever family
+    * lane happens to run first, so per-lane family numbers compare
+    * across rounds (r15 showed the memo landing on different lanes
+    * at 100× and reading as phantom 3× regressions).
+    */
+  private[graft] def prebuildLaneGraph(spark: SparkSession,
+      dir: String): Unit = {
+    cachedGraphFor(spark, dir); ()
+  }
+
   def searchLane(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val (e, adj, entry) = cachedGraphFor(spark, dir)
@@ -673,6 +686,13 @@ object Hnsw {
   private def probeCacheFor(spark: SparkSession, path: String,
       maxEdges: Int): ProbeCache = {
     probeCaches.keySet.removeIf(_._1.sparkContext.isStopped)
+    // a later probe requesting a LARGER budget than the instance bound
+    // at creation rebuilds the cache under the new budget (it would
+    // otherwise silently page under the first caller's smaller one);
+    // a smaller request reuses the existing, more generous instance
+    val existing = probeCaches.get((spark, path))
+    if (existing != null && maxEdges > existing.maxEdges)
+      probeCaches.remove((spark, path))
     probeCaches.computeIfAbsent((spark, path), _ => {
       val meta = spark.read.parquet(s"$path/meta").collect()(0)
       val adj = spark.read.parquet(s"$path/adj")
@@ -680,9 +700,9 @@ object Hnsw {
       // entirely at first touch (one job): every later probe is then
       // zero-job — FAISS's keep-the-graph-in-RAM serving mode. Larger
       // indexes page per-hop through the LRU below (bounded driver
-      // state at any corpus size). The budget binds at cache CREATION:
-      // later probes against the same (session, path) reuse the first
-      // caller's instance — invalidateProbeCache to re-bind.
+      // state at any corpus size). The budget binds at cache CREATION;
+      // a later probe asking for MORE rebuilds (see above), one asking
+      // for less reuses the existing instance.
       val complete = adj.count() <= maxEdges
       val cache = new ProbeCache(adj, meta.getAs[Long]("entry"),
         meta.getSeq[Double](meta.fieldIndex("entry_emb")), complete,

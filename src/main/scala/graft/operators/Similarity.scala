@@ -2829,6 +2829,130 @@ object Similarity {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Shared SQ8 saturation summary: ONE map-side scan counting the
+    * components where the clamp BINDS — |round(x·scale)| > 127, i.e.
+    * the unclamped quantized value falls outside int8 and the stored
+    * code is a lie about the magnitude. This is SQ8's drift number
+    * (the PQ families measure reconstruction distortion; a scalar
+    * quantizer has no codebooks, so its aging signal is range
+    * saturation): at calibration time the scale is exactly
+    * 127/max|x|, so saturation is 0 by construction, and it grows
+    * only when the corpus range drifts past the calibrated max.
+    * Every column is exact integer algebra + one correctly-rounded
+    * divide — unlike the PQ drift ratios this summary is FULL-oracle.
+    */
+  private def sq8SatSummary(e: DataFrame, scale: Double, dims: Int,
+      threshold: Double): DataFrame = {
+    val ed = col("embedding").cast("array<double>")
+    val satPerRow = (0 until dims).map(d =>
+        when(abs(round(element_at(ed, d + 1) * lit(scale), 0)) > 127,
+          lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    e.select(satPerRow.as("sat"))
+      .agg(count(lit(1)).cast("long").as("n_sampled"),
+        coalesce(sum(col("sat")), lit(0L)).as("n_saturated"))
+      .select(col("n_sampled"),
+        (col("n_sampled") * lit(dims.toLong)).as("n_components"),
+        col("n_saturated"),
+        // NULL on an empty sample (0.0/0.0 is NaN, not a signal) —
+        // the pqDriftReport empty-sample convention
+        when(col("n_sampled") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_saturated").cast("double") /
+            (col("n_sampled") * lit(dims.toLong)).cast("double"), 6))
+          .as("sat_frac"),
+        lit(threshold).as("threshold"))
+      .withColumn("recalibrate_recommended",
+        when(col("sat_frac").isNull, lit(null).cast("long"))
+          .otherwise((col("sat_frac") > lit(threshold)).cast("long")))
+  }
+
+  /** Saturation-drift report for a persisted [[writeSq8Index]] index —
+    * the recalibration signal the SQ8 append contract defers to
+    * ([[appendToSq8Index]]: "when appended mass drifts the range,
+    * rebuild"): re-encode a deterministic sample of the CURRENT corpus
+    * against the STORED scale and report the clamp-saturation
+    * fraction + a hard `recalibrate_recommended` 0/1. SQ8 stores no
+    * train-time baseline because none is needed — the calibrated
+    * corpus saturates at exactly 0 by construction, so the threshold
+    * is absolute, not a ratio. Rebuild via [[writeSq8Index]] from raw
+    * resets it (no codebooks — rebuild IS retrain).
+    *
+    * Scale shape: one sampled map-side scan, one one-row agg — the
+    * pqDriftReport shape without the codebook broadcast.
+    */
+  def sq8DriftReport(current: DataFrame, path: String,
+      threshold: Double = 0.01, sampleMod: Long = 1L): DataFrame = {
+    val spark = current.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    sq8SatSummary(distortionSample(Par.ensure(current), sampleMod),
+      meta.getDouble(0), meta.getInt(1), threshold)
+  }
+
+  /** Driver lane `sq8_drift`: the saturation detector exercised
+    * in-memory on a train/current split — the scale calibrates on
+    * even vec_ids; the `same_dist` row measures the odd half
+    * (identical distribution: only components beyond the even half's
+    * max can saturate — a vanishing fraction, recommended 0) and the
+    * `shifted` row measures the odd half under a planted ×3 range
+    * shift (every component above a third of the calibrated max
+    * saturates: recommended 1). FULL oracle — the pq_drift two-
+    * scenario convention, but hash-checked rather than rows-checked
+    * (max-based scale, integer saturation counts, one rounded
+    * divide; no k-means FP anywhere).
+    */
+  def sq8DriftLane(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val e = Tables.embeddings(spark, dir)
+    val train = e.filter(col("vec_id") % 2 === 0)
+    val cur = e.filter(col("vec_id") % 2 =!= 0)
+    val scale = sq8Scale(train)
+    val ed = col("embedding").cast("array<double>")
+    val shifted = cur.select(col("vec_id"),
+      array((0 until dims).map(d =>
+        element_at(ed, d + 1) * lit(3.0)): _*).as("embedding"))
+    sq8SatSummary(Par.ensure(cur), scale, dims, 0.01)
+      .select(lit("same_dist").as("scenario"), col("*"))
+      .unionByName(
+        sq8SatSummary(shifted, scale, dims, 0.01)
+          .select(lit("shifted").as("scenario"), col("*")))
+      .orderBy(col("scenario"))
+  }
+
+  /** Oracle for [[sq8DriftLane]]: the even-half scale as a scalar
+    * subquery, per-component saturation counts over the odd half
+    * (raw and ×3-shifted), the same rounded fraction and 0/1.
+    */
+  def sq8DriftOracleSql(threshold: Double = 0.01): String = {
+    def arm(scenario: String, mult: String): String =
+      s"""SELECT '$scenario' AS scenario, n_sampled,
+             n_sampled * 64 AS n_components,
+             CAST(n_saturated AS BIGINT) AS n_saturated,
+             CASE WHEN n_sampled = 0 THEN NULL
+               ELSE ROUND(CAST(n_saturated AS DOUBLE)
+                 / CAST(n_sampled * 64 AS DOUBLE), 6) END AS sat_frac,
+             CAST($threshold AS DOUBLE) AS threshold,
+             CAST(CASE WHEN n_sampled = 0 THEN NULL
+               WHEN ROUND(CAST(n_saturated AS DOUBLE)
+                 / CAST(n_sampled * 64 AS DOUBLE), 6) > $threshold
+               THEN 1 ELSE 0 END AS BIGINT) AS recalibrate_recommended
+           FROM (SELECT
+               (SELECT COUNT(*) FROM cur) AS n_sampled,
+               (SELECT COALESCE(SUM(CASE WHEN ABS(ROUND(
+                   CAST(x AS DOUBLE) * $mult * sc.s, 0)) > 127
+                 THEN 1 ELSE 0 END), 0)
+                FROM comp, sc) AS n_saturated)"""
+    s"""WITH sc AS (SELECT 127.0 / MAX(GREATEST(
+             CAST(list_max(embedding) AS DOUBLE),
+             -CAST(list_min(embedding) AS DOUBLE))) AS s
+           FROM embeddings WHERE vec_id % 2 = 0),
+         cur AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 2 <> 0),
+         comp AS (SELECT vec_id, unnest(embedding) AS x FROM cur)
+         SELECT * FROM (${arm("same_dist", "1.0")}
+           UNION ALL ${arm("shifted", "3.0")})
+         ORDER BY scenario"""
+  }
+
   /** Per-vector hygiene stats — the sanity pass run before any
     * similarity work on an embedding column: L2 norm (un-normalized
     * vectors silently break cosine-as-dot shortcuts), max |component|

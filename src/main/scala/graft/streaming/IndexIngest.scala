@@ -29,6 +29,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IndexIngest {
 
+  /** Deterministic within-batch pick: one row per vec_id, the
+    * lexicographically-smallest embedding. `dropDuplicates("vec_id")`
+    * keeps an ARBITRARY row when one micro-batch carries the same id
+    * with different embeddings — which embedding gets indexed would
+    * then vary across replays (and the by-id gate pins whichever
+    * landed first). An aggregate min is order-independent, so the
+    * same batch always indexes the same vector.
+    */
+  private def dedupById(batch: DataFrame): DataFrame =
+    batch.select(col("vec_id"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("embedding"))).as("pick"))
+      .select(col("vec_id"), col("pick.embedding").as("embedding"))
+
   /** One micro-batch of the HNSW ingest chain — factored so composed
     * loops ([[IngestPipeline]]) run the identical gate+append without
     * nesting writeStreams. Within-batch dedup FIRST: the catalog
@@ -41,8 +55,7 @@ object IndexIngest {
     val spark = batch.sparkSession
     val existing = spark.read.parquet(s"$indexPath/nodes")
       .select(col("vec_id")).distinct()
-    val fresh = batch.select(col("vec_id"), col("embedding"))
-      .dropDuplicates("vec_id")
+    val fresh = dedupById(batch)
       .join(existing, Seq("vec_id"), "left_anti")
     if (!fresh.isEmpty)
       graft.operators.Hnsw.appendToHnswIndex(fresh, indexPath, dims0)
@@ -88,11 +101,10 @@ object IndexIngest {
         val spark = batch.sparkSession
         val existing = spark.read.parquet(s"$indexPath/codes")
           .select(col("vec_id")).distinct()
-        // same within-batch dedup as the HNSW twin: duplicate ids in
-        // ONE batch would append duplicate code rows and double-count
-        // the vector in every probe until compaction
-        val fresh = batch.select(col("vec_id"), col("embedding"))
-          .dropDuplicates("vec_id")
+        // same deterministic within-batch dedup as the HNSW twin:
+        // duplicate ids in ONE batch would append duplicate code rows
+        // and double-count the vector in every probe until compaction
+        val fresh = dedupById(batch)
           .join(existing, Seq("vec_id"), "left_anti")
         if (!fresh.isEmpty)
           graft.operators.Similarity.appendToIvfPqIndex(fresh, indexPath,

@@ -67,10 +67,24 @@ object IngestPipeline {
       indexPath: String, rules: Seq[(String, Column)],
       window: Int = 10, dims0: Int = -1): Unit = {
     val spark = batch.sparkSession
-    // snapshot-by-epoch: a replayed epoch must gate against exactly
-    // the state its first attempt saw
-    def catalog(name: String): DataFrame =
-      spark.read.parquet(s"$base/$name").filter(col("epoch") < epoch)
+    // Catalogs are snapshotted ONCE per batch and pinned with
+    // localCheckpoint: the appends below target the same directories,
+    // and a job that both lists and writes a directory is a known
+    // flake source on object stores (listing-vs-commit races). The
+    // pinned frame serves BOTH the epoch-gated novelty reads (a
+    // replayed epoch must gate against exactly the state its first
+    // attempt saw — `epoch < epoch` filters out any partially-landed
+    // failed attempt) and the append-side dedup anti-joins
+    // (epoch-unfiltered). Catalog rows are 16-byte hashes — the
+    // checkpoint is the StreamNovelty catalog contract's bounded size.
+    val docCatAll = spark.read.parquet(s"$base/doc_catalog")
+      .select(col("text_hash"), col("epoch"))
+      .localCheckpoint(true)
+    val segCatAll = spark.read.parquet(s"$base/seg_catalog")
+      .select(col("seg_md5"), col("epoch"))
+      .localCheckpoint(true)
+    def catalog(snap: DataFrame): DataFrame =
+      snap.filter(col("epoch") < epoch)
     // 1. quality
     val clean = StreamQuality.annotated(batch, rules)
       .filter(col("dq_ok")).drop("dq_ok", "dq_failed")
@@ -80,7 +94,7 @@ object IngestPipeline {
       .agg(min(col("doc_id")).as("doc_id"))
     val novel = hashed
       .join(firstIds, Seq("text_hash", "doc_id"), "left_semi")
-      .join(catalog("doc_catalog").select(col("text_hash")),
+      .join(catalog(docCatAll).select(col("text_hash")),
         Seq("text_hash"), "left_anti")
     // 3. segment novelty: fresh segments = first within-batch
     //    occurrence AND not in the catalog; docs with none drop
@@ -90,7 +104,7 @@ object IngestPipeline {
     val freshSegs = segs.groupBy(col("seg_md5"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("fo"))
       .select(col("seg_md5"), col("fo.doc_id").as("doc_id"))
-      .join(catalog("seg_catalog").select(col("seg_md5")),
+      .join(catalog(segCatAll).select(col("seg_md5")),
         Seq("seg_md5"), "left_anti")
     val surviving = novel.join(
       freshSegs.select(col("doc_id")).distinct(), Seq("doc_id"),
@@ -99,17 +113,24 @@ object IngestPipeline {
     IndexIngest.hnswIngestBatch(
       surviving.select(col("doc_id").as("vec_id"), col("embedding")),
       indexPath, dims0)
-    // 5. catalog appends — key-anti-joined so replays cannot
-    //    duplicate rows (the epoch filter above, not ordering, is what
-    //    makes the chain replay-safe)
+    // 5. catalog appends — key-anti-joined against the PINNED
+    //    snapshots so replays cannot duplicate rows and no job lists
+    //    the directory it writes (the epoch filter above, not append
+    //    ordering, is what makes the chain replay-safe). The doc
+    //    catalog records ALL of `novel` — survivors AND
+    //    segment-novelty drops: a recombined duplicate was fully
+    //    adjudicated this epoch (its segments are all catalogued, so
+    //    it would drop again anyway), and cataloguing its hash lets
+    //    future identical arrivals short-circuit at the exact gate
+    //    instead of re-running quality + segmentation every time.
     freshSegs.select(col("seg_md5")).distinct()
-      .join(spark.read.parquet(s"$base/seg_catalog")
-        .select(col("seg_md5")), Seq("seg_md5"), "left_anti")
+      .join(segCatAll.select(col("seg_md5")), Seq("seg_md5"),
+        "left_anti")
       .withColumn("epoch", lit(epoch))
       .write.mode("append").parquet(s"$base/seg_catalog")
-    surviving.select(col("text_hash")).distinct()
-      .join(spark.read.parquet(s"$base/doc_catalog")
-        .select(col("text_hash")), Seq("text_hash"), "left_anti")
+    novel.select(col("text_hash")).distinct()
+      .join(docCatAll.select(col("text_hash")), Seq("text_hash"),
+        "left_anti")
       .withColumn("epoch", lit(epoch))
       .write.mode("append").parquet(s"$base/doc_catalog")
   }

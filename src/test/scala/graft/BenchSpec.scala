@@ -179,4 +179,14 @@ class BenchSpec extends AnyFunSuite {
     // un-exclude them from total_nonquadratic
     assert(Bench.quadraticContract.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("quadratic_lanes artifact field names exactly the excluded " +
+      "lanes that ran, in run order") {
+    assert(Bench.quadraticLanesJson(Seq("q1_pricing_agg",
+        "dedup_embedding_exact_hi", "ann_lsh", "dedup_embedding")) ==
+      """["dedup_embedding_exact_hi","dedup_embedding"]""")
+    // a single-lane dev run without the class emits an empty list,
+    // not an absent field
+    assert(Bench.quadraticLanesJson(Seq("q1_pricing_agg")) == "[]")
+  }
 }

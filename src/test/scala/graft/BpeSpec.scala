@@ -250,6 +250,18 @@ class BpeSpec extends GraftSpecBase {
       (2L, "src0", Seq.fill(10)("bd").mkString(" "))))
     assert(Bpe.trainMergesIncremental(fix2, rounds = 3) ==
       Seq(("c", "c"), ("cc", "c"), ("b", "d")))
+    // non-BMP fixture: initial symbols must be CODEPOINTS — a
+    // surrogate-halved 😀 would learn merges over lone surrogates
+    // that never match the distributed SEP repr or trainMerges
+    val emoji = new String(Character.toChars(0x1F600)) // 😀 (non-BMP)
+    val fixNb = docsDf(Seq(
+      (1L, "src0", Seq.fill(6)(s"$emoji$emoji").mkString(" ")),
+      (2L, "src0", Seq.fill(4)(s"a$emoji").mkString(" "))))
+    val nbInc = Bpe.trainMergesIncremental(fixNb, rounds = 2)
+    assert(nbInc == Bpe.trainMerges(fixNb, rounds = 2),
+      "non-BMP corpus: incremental diverged from sequential greedy")
+    assert(nbInc.head == ((emoji, emoji)),
+      s"expected the emoji pair to win round 1, got ${nbInc.head}")
     // random-corpus sweep DRIVER-SIDE against the in-test reference:
     // the same fuzz harness that found the batched self-merge hole
     // (deterministic seed; vocab shapes tuned to collide pairs)
@@ -287,6 +299,20 @@ class BpeSpec extends GraftSpecBase {
       Bpe.trainMergesIncremental(tiny, rounds = 2))
     assert(e.getMessage.contains("exhausted"), e.getMessage)
     assert(Bpe.trainMergesIncremental(tiny, rounds = 1) == Seq(("a", "b")))
+  }
+
+  test("incremental trainer vocab guard: refuses an over-ceiling " +
+      "vocabulary loudly, naming the threshold and the distributed " +
+      "remedy, before any driver collect") {
+    initLog()
+    val docs = docsDf(Seq((1L, "src0", "aa bb cc dd ee")))
+    val e = intercept[IllegalArgumentException](
+      Bpe.trainMergesIncremental(docs, rounds = 2, maxVocabRows = 3L))
+    assert(e.getMessage.contains("maxVocabRows=3"), e.getMessage)
+    assert(e.getMessage.contains("trainMergesBatched"), e.getMessage)
+    // at/under the ceiling the same call trains normally
+    assert(Bpe.trainMergesIncremental(docs, rounds = 2,
+      maxVocabRows = 5L).length == 2)
   }
 
   test("trainMergesIncremental resume: continuing from a trained " +

@@ -339,6 +339,61 @@ class IndexMaintenanceSpec extends GraftSpecBase {
       s"ivfpq: planted shift did not trip (ratio $ratioShift2)")
   }
 
+  test("sq8DriftReport: same-distribution growth does not trip, a " +
+      "planted range shift saturates the clamp and trips, and a " +
+      "rebuild from raw (SQ8's retrain) resets the detector") {
+    initLog()
+    val orig = synth(0 until 200)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sq8-drift").toString
+    Similarity.writeSq8Index(orig, tmp, dims0 = 16)
+    def rec(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = df.collect()(0)
+      (r.getAs[Long]("recalibrate_recommended"), r.getAs[Double]("sat_frac"))
+    }
+    // the calibration corpus itself: saturation 0 BY CONSTRUCTION
+    // (scale = 127/max|x| — nothing exceeds the max it came from)
+    val (rec0, sat0) = rec(
+      Similarity.sq8DriftReport(orig, tmp, threshold = 0.01))
+    assert(rec0 == 0L && sat0 == 0.0,
+      s"calibration corpus saturates: frac $sat0")
+    // same-distribution growth: a few components may land past the
+    // calibrated max, but nowhere near the threshold
+    val grown = synth(500 until 650)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"), col("embedding"))
+    Similarity.appendToSq8Index(grown, tmp)
+    val current = orig.unionByName(grown)
+    val (recSame, satSame) = rec(
+      Similarity.sq8DriftReport(current, tmp, threshold = 0.01))
+    assert(recSame == 0L,
+      s"same-distribution growth tripped the detector (frac $satSame)")
+    // planted RANGE shift (×3): components above a third of the
+    // calibrated max saturate — magnitudes lie, the detector fires
+    val ed = col("embedding").cast("array<double>")
+    val shifted = current.unionByName(synth(0 until 300)
+      .select((col("vec_id") + lit(5000L)).as("vec_id"),
+        array((0 until 16).map(d =>
+          element_at(ed, d + 1) * lit(3.0)): _*).as("embedding")))
+    val (recShift, satShift) = rec(
+      Similarity.sq8DriftReport(shifted, tmp, threshold = 0.01))
+    assert(recShift == 1L,
+      s"planted range shift did not trip (frac $satShift)")
+    assert(satShift > satSame)
+    // rebuild from the shifted raw corpus = retrain (no codebooks):
+    // the new scale covers the new range, the detector stands down
+    Similarity.writeSq8Index(shifted, tmp, dims0 = 16)
+    val (recAfter, satAfter) = rec(
+      Similarity.sq8DriftReport(shifted, tmp, threshold = 0.01))
+    assert(recAfter == 0L && satAfter == 0.0,
+      s"rebuild did not reset the detector (frac $satAfter)")
+    // sampled path: the deterministic xxhash sample reports the same
+    // hard 0/1 on both scenarios
+    val (recSampled, _) = rec(
+      Similarity.sq8DriftReport(shifted, tmp, threshold = 0.01,
+        sampleMod = 4L))
+    assert(recSampled == 0L)
+  }
+
   test("compactIvfPqIndex merges append fragments and drops exact " +
       "re-ingest duplicates; probes are unchanged") {
     initLog()

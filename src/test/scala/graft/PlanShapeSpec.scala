@@ -181,6 +181,31 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(got == Map(0L -> "semantic_dup", 1L -> "semantic_dup"), got)
   }
 
+  test("bm25IndexProbe scans only the query terms' bucket partitions " +
+      "of the postings index — the corpus is never re-scanned") {
+    initLog()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.Relevance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_postidx").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    Relevance.writePostingsIndex(docs, dir, nBuckets = 16)
+    val probe = Relevance.bm25IndexProbe(spark, dir,
+      Seq("spark", "window"), k = 10)
+    val scans = allNodes(plan(probe)).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, names(probe).mkString(","))
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty, "bucket filter must prune")
+    // 2 terms -> <= 2 of 16 bucket partitions
+    assert(scan.selectedPartitions.partitionCount <= 2,
+      s"scanned ${scan.selectedPartitions.partitionCount} of 16 buckets")
+    // every scanned file is the postings index — no documents scan
+    assert(scans.forall(_.relation.location.rootPaths.forall(
+        _.toString.contains("postings"))),
+      scans.map(_.relation.location.rootPaths.mkString(",")).mkString(";"))
+    assert(probe.collect().nonEmpty)
+  }
+
   test("persisted IVF-PQ probe scans only its nprobe list partitions " +
       "of the codes table — both parents' plan theses composed") {
     initLog()

@@ -210,6 +210,53 @@ class RelevanceSpec extends GraftSpecBase {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("bm25IndexProbe: bit-parity with bm25Search over the corpus " +
+      "(two-term, single-term, and absent-term queries)") {
+    initLog()
+    val d = graft.sources.Tables.documents(spark, sf)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_postings").toString
+    Relevance.writePostingsIndex(d, tmp, nBuckets = 16)
+    for (terms <- Seq(Seq("spark", "window"), Seq("spark"),
+        Seq("spark", "zzz_absent_term"))) {
+      val exact = Relevance.bm25Search(d, terms, k = 20)
+        .collect().map(_.toSeq).toSeq
+      val probe = Relevance.bm25IndexProbe(spark, tmp, terms, k = 20)
+        .collect().map(_.toSeq).toSeq
+      assert(probe == exact, s"terms=$terms:\nprobe $probe\nexact $exact")
+    }
+  }
+
+  test("searchPipelineIndexed: probe-backed arms hold the family " +
+      "floor against the exact-arm pipeline, and the shared picks " +
+      "carry identical stage-2 evidence (stages beyond the arms are " +
+      "the same code)") {
+    initLog()
+    val exact = Relevance.searchPipeline(spark, sf).collect()
+    val probe = Relevance.searchPipelineIndexedLane(spark, sf).collect()
+    assert(probe.length == exact.length,
+      s"${probe.length} picks vs exact ${exact.length}")
+    val eIds = exact.map(_.getLong(1)).toSet
+    val pIds = probe.map(_.getLong(1)).toSet
+    val floor = math.ceil(eIds.size * 0.8).toInt
+    assert((eIds & pIds).size >= floor,
+      s"final-pick overlap ${(eIds & pIds).size}/${eIds.size} " +
+        s"< floor $floor (exact $eIds, probe $pIds)")
+    // the arms are where the two pipelines may differ; coverage and
+    // span are recomputed per pool from the same docs, so any pick
+    // both pipelines surface must carry identical evidence
+    val eBy = exact.map(r => r.getLong(1) ->
+      ((r.getAs[Long]("coverage"), r.getAs[Long]("prox_span")))).toMap
+    probe.filter(r => eBy.contains(r.getLong(1))).foreach { r =>
+      val got = (r.getAs[Long]("coverage"), r.getAs[Long]("prox_span"))
+      assert(eBy(r.getLong(1)) == got,
+        s"pick ${r.getLong(1)}: evidence $got != exact ${eBy(r.getLong(1))}")
+    }
+    // determinism of the indexed lane (memoized indexes, same result)
+    val again = Relevance.searchPipelineIndexedLane(spark, sf).collect()
+    assert(probe.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("mmr: redundancy penalty pulls in the second cluster that " +
       "pure relevance ignores") {
     initLog()
