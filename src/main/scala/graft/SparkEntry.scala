@@ -420,7 +420,14 @@ object SparkEntry {
     // pipeline writes to disk; full oracle via the same unrolled CTEs
     "tok_encode_bpe" -> ((s, d) => Bpe.encodeLane(s, d)),
     // GPT-2-shape byte-level BPE (byte remap + regex pre-tokenizer)
-    "tok_encode_bpe_bytes" -> ((s, d) => BpeBytes.encodeLane(s, d)))
+    "tok_encode_bpe_bytes" -> ((s, d) => BpeBytes.encodeLane(s, d)),
+    // unigram-LM (SentencePiece-shape) family: the MDL (Shannon-bit)
+    // vocab + Viterbi encode are FULL oracle (integer costs via exact
+    // bit algebra); the EM trainer is FP-iterative -> no_oracle with
+    // spec'd recovery/monotonicity signals
+    "tok_unigram_vocab" -> ((s, d) => Unigram.vocabLane(s, d)),
+    "tok_encode_unigram" -> ((s, d) => Unigram.encodeLane(s, d)),
+    "tok_unigram_train" -> ((s, d) => Unigram.trainLane(s, d)))
 
   /** DuckDB oracle twins. Keys absent here (approx sketches, LSH
     * buckets, simhash) get rows-only checks — their semantics are
@@ -2833,6 +2840,8 @@ object SparkEntry {
     "text_chunk_bpe" -> Bpe.chunkOracleSql(),
     "tok_encode_bpe" -> Bpe.encodeOracleSql(),
     "tok_encode_bpe_bytes" -> BpeBytes.encodeBytesOracleSql(),
+    "tok_unigram_vocab" -> Unigram.vocabOracleSql(),
+    "tok_encode_unigram" -> Unigram.encodeUnigramOracleSql(),
     "ann_sq8" -> Similarity.sq8OracleSql(),
     "ann_sq8_recall" -> Similarity.sq8RecallOracleSql(),
     "ann_sq8_filtered" ->

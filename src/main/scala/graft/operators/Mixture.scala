@@ -377,7 +377,32 @@ object Mixture {
     * nShards × filesPerShard tasks.
     */
   def writeShards(docs: DataFrame, idCol: String, path: String,
-      nShards: Int, buckets: Int = -1, filesPerShard: Int = 1): Unit = {
+      nShards: Int, buckets: Int = -1, filesPerShard: Int = 1): Unit =
+    writeShardsImpl(docs, idCol, None, path, nShards, buckets,
+      filesPerShard)
+
+  /** CURRICULUM-ordered shard writer (r15 VERDICT stretch 9):
+    * [[curriculumShards]] composed into [[writeShards]] — phase-major
+    * order is what a data loader actually STREAMS, not just an
+    * assignment map. Each shard dir, read in (slice, pos) order, is
+    * phase-monotone (pos is the global (phase, md5, id) rank
+    * restricted to the shard — spec'd), the `phase` column rides
+    * every row so a loader can detect phase boundaries without
+    * recomputing the expression, and the slice layout is RESUME-SAFE:
+    * slice j covers exactly pos ∈ [j·perSlice, (j+1)·perSlice), so
+    * resuming an epoch at position p opens slice p div perSlice and
+    * skips (p mod perSlice) rows — one file touched, no scan of the
+    * earlier slices (spec'd).
+    */
+  def writeCurriculumShards(docs: DataFrame, idCol: String,
+      phase: Column, path: String, nShards: Int, buckets: Int = -1,
+      filesPerShard: Int = 1): Unit =
+    writeShardsImpl(docs, idCol, Some(phase), path, nShards, buckets,
+      filesPerShard)
+
+  private def writeShardsImpl(docs: DataFrame, idCol: String,
+      phase: Option[Column], path: String, nShards: Int, buckets: Int,
+      filesPerShard: Int): Unit = {
     require(filesPerShard > 0, "writeShards: filesPerShard must be positive")
     // overwrite-over-lazy-input guard (the Layout.compact hazard):
     // the write path re-reads `docs`, so overwriting a directory the
@@ -402,7 +427,10 @@ object Mixture {
     val n = if (needCount) docs.count() else -1L
     val b = if (buckets > 0) buckets
       else math.toIntExact(derivedBuckets(n, 1L << 20))
-    val assign = shardShuffle(docs, idCol, nShards, b)
+    val assign = phase match {
+      case None => shardShuffle(docs, idCol, nShards, b)
+      case Some(p) => curriculumShards(docs, idCol, p, nShards, b)
+    }
     val rows = docs.join(assign, Seq(idCol))
     if (filesPerShard == 1) {
       rows.repartition(col("shard"))

@@ -66,6 +66,29 @@ object IngestPipeline {
   def llmIngestBatch(batch: DataFrame, epoch: Long, base: String,
       indexPath: String, rules: Seq[(String, Column)],
       window: Int = 10, dims0: Int = -1): Unit = {
+    val (surviving, segAppend, docAppend) =
+      planBatch(batch, epoch, base, rules, window)
+    // 4. index ingest (its own by-id replay gate)
+    IndexIngest.hnswIngestBatch(
+      surviving.select(col("doc_id").as("vec_id"), col("embedding")),
+      indexPath, dims0)
+    // 5. catalog appends — the frames carry NO scan of the directory
+    //    they are written to (planBatch pinned the snapshots), so no
+    //    job both lists and writes a catalog dir
+    segAppend.write.mode("append").parquet(s"$base/seg_catalog")
+    docAppend.write.mode("append").parquet(s"$base/doc_catalog")
+  }
+
+  /** The batch's three output frames — (surviving docs for index
+    * ingest, seg-catalog append rows, doc-catalog append rows) —
+    * factored out so the no-read-while-append property is
+    * SPEC-ASSERTABLE on the exact production frames: neither append
+    * frame's physical plan may contain a file scan of the catalog
+    * directory it will be appended to.
+    */
+  private[graft] def planBatch(batch: DataFrame, epoch: Long,
+      base: String, rules: Seq[(String, Column)],
+      window: Int): (DataFrame, DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     // Catalogs are snapshotted ONCE per batch and pinned with
     // localCheckpoint: the appends below target the same directories,
@@ -109,30 +132,24 @@ object IngestPipeline {
     val surviving = novel.join(
       freshSegs.select(col("doc_id")).distinct(), Seq("doc_id"),
       "left_semi")
-    // 4. index ingest (its own by-id replay gate)
-    IndexIngest.hnswIngestBatch(
-      surviving.select(col("doc_id").as("vec_id"), col("embedding")),
-      indexPath, dims0)
-    // 5. catalog appends — key-anti-joined against the PINNED
-    //    snapshots so replays cannot duplicate rows and no job lists
-    //    the directory it writes (the epoch filter above, not append
-    //    ordering, is what makes the chain replay-safe). The doc
-    //    catalog records ALL of `novel` — survivors AND
-    //    segment-novelty drops: a recombined duplicate was fully
-    //    adjudicated this epoch (its segments are all catalogued, so
-    //    it would drop again anyway), and cataloguing its hash lets
-    //    future identical arrivals short-circuit at the exact gate
-    //    instead of re-running quality + segmentation every time.
-    freshSegs.select(col("seg_md5")).distinct()
+    // catalog appends — key-anti-joined against the PINNED snapshots
+    // so replays cannot duplicate rows (the epoch filter above, not
+    // append ordering, is what makes the chain replay-safe). The doc
+    // catalog records ALL of `novel` — survivors AND segment-novelty
+    // drops: a recombined duplicate was fully adjudicated this epoch
+    // (its segments are all catalogued, so it would drop again
+    // anyway), and cataloguing its hash lets future identical
+    // arrivals short-circuit at the exact gate instead of re-running
+    // quality + segmentation every time.
+    val segAppend = freshSegs.select(col("seg_md5")).distinct()
       .join(segCatAll.select(col("seg_md5")), Seq("seg_md5"),
         "left_anti")
       .withColumn("epoch", lit(epoch))
-      .write.mode("append").parquet(s"$base/seg_catalog")
-    novel.select(col("text_hash")).distinct()
+    val docAppend = novel.select(col("text_hash")).distinct()
       .join(docCatAll.select(col("text_hash")), Seq("text_hash"),
         "left_anti")
       .withColumn("epoch", lit(epoch))
-      .write.mode("append").parquet(s"$base/doc_catalog")
+    (surviving, segAppend, docAppend)
   }
 
   def startLlmIngest(stream: DataFrame, base: String, indexPath: String,

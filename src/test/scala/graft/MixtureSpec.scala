@@ -383,6 +383,75 @@ class MixtureSpec extends GraftSpecBase {
     }
   }
 
+  test("writeCurriculumShards: each shard streams phase-monotone in " +
+      "pos order, phase rides the rows, slices are resume-safe pos " +
+      "ranges, nothing lost") {
+    initLog()
+    // phase = doc_id div 20 -> 3 phases of 20 docs (a deterministic
+    // integer expression, the curriculum contract)
+    val docs = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val phase = expr("doc_id div 20L")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curshards-").toString
+    try {
+      Mixture.writeCurriculumShards(docs, "doc_id", phase, dir,
+        nShards = 4, buckets = 8, filesPerShard = 2)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      assert(shardDirs.length == 4)
+      // reference assignment: the curriculumShards map
+      val ref = Mixture.curriculumShards(docs, "doc_id", phase,
+          nShards = 4, buckets = 8)
+        .collect()
+        .map(r => (r.getAs[Long]("shard"),
+          (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"),
+            r.getAs[Long]("phase"))))
+        .groupBy(_._1).map { case (s, v) =>
+          s -> v.map(_._2).sortBy(_._1).toSeq }
+      // shard sizes 15 each -> perSlice = ceil(15/2) = 8
+      val perSlice = 8L
+      var seen = Set.empty[Long]
+      shardDirs.foreach { d =>
+        val shard = d.getName.stripPrefix("shard=").toLong
+        val slices = d.listFiles().filter(_.getName.startsWith("slice="))
+          .sortBy(_.getName.stripPrefix("slice=").toLong)
+        assert(slices.nonEmpty, d.getName)
+        val concat = slices.zipWithIndex.flatMap { case (sd, j) =>
+          val rows = spark.read.parquet(sd.toString).collect()
+            .sortBy(_.getAs[Long]("pos"))
+          val poss = rows.map(_.getAs[Long]("pos"))
+          // RESUME-SAFE: slice j covers exactly
+          // pos ∈ [j·perSlice, (j+1)·perSlice) ∩ shard — resuming at
+          // pos p opens slice p div perSlice only
+          assert(poss.forall(p => p / perSlice == j.toLong),
+            s"${d.getName}/${sd.getName}: pos range ${poss.toSeq}")
+          rows
+        }
+        val poss = concat.map(_.getAs[Long]("pos"))
+        assert(poss.toSeq == poss.sorted.toSeq && poss.head == 0L)
+        // phase-monotone per shard, and the carried phase column
+        // matches the expression recomputed from the row
+        val phases = concat.map(_.getAs[Long]("phase"))
+        assert(phases.toSeq == phases.sorted.toSeq,
+          s"shard $shard not phase-monotone: ${phases.toSeq}")
+        concat.foreach(r => assert(
+          r.getAs[Long]("phase") == r.getAs[Long]("doc_id") / 20L))
+        // the streamed order IS the assignment map's order
+        assert(concat.map(r => (r.getAs[Long]("pos"),
+            r.getAs[Long]("doc_id"), r.getAs[Long]("phase"))).toSeq ==
+          ref(shard), s"shard $shard order diverged from the map")
+        seen ++= concat.map(_.getAs[Long]("doc_id"))
+      }
+      assert(seen == (0L until 60L).toSet)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("doremiReweight: hand-computed MW step — high-loss domain " +
       "upweights, low-loss downweights, the floor keeps a collapsing " +
       "domain alive, weights are exact integers") {

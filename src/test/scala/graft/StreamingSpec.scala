@@ -979,6 +979,45 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("llm ingest: neither catalog-append frame's plan scans the " +
+      "directory it is appended to (listing-vs-commit object-store " +
+      "races engineered out by the pinned snapshots)") {
+    initLog()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val corpus = (0 until 5)
+      .map(i => (i.toLong, (0 until 20).map(j => s"c$i-$j").mkString(" "),
+        Seq.fill(16)(0.1f)))
+      .toDF("doc_id", "text", "embedding")
+    val st = Files.createTempDirectory("graft_llm_planspec").toString
+    graft.streaming.IngestPipeline.initCatalogs(corpus, st, window = 10)
+    val batch = Seq((100L,
+      (0 until 20).map(j => s"n-$j").mkString(" "),
+      Seq.fill(16)(0.2f))).toDF("doc_id", "text", "embedding")
+    val rules = Seq(
+      "min_words" -> (size(split(col("text"), " ")) >= 10))
+    val (_, segAppend, docAppend) = graft.streaming.IngestPipeline
+      .planBatch(batch, 0L, st, rules, window = 10)
+    def scansOf(df: org.apache.spark.sql.DataFrame, sub: String) = {
+      def all(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: (p.children ++ p.subqueries).flatMap(all)
+      all(df.queryExecution.executedPlan).collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths
+              .exists(_.toString.contains(sub)) => f
+      }
+    }
+    assert(scansOf(segAppend, "seg_catalog").isEmpty,
+      "seg append frame lists seg_catalog — read-while-append")
+    assert(scansOf(docAppend, "doc_catalog").isEmpty,
+      "doc append frame lists doc_catalog — read-while-append")
+    // the frames still do their job: the novel doc's hash appends,
+    // the catalog state rides the pinned snapshot
+    assert(docAppend.count() == 1L && segAppend.count() == 2L)
+  }
+
   test("ivfpq ingest under load: FILTERED probe recall holds the 0.8 " +
       "floor after every epoch, across the compaction epoch, on the " +
       "maintained composite index") {
