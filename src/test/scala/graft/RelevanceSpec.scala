@@ -257,6 +257,36 @@ class RelevanceSpec extends GraftSpecBase {
     assert(probe.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("searchPipelineArms with an HNSW sem arm: the other index " +
+      "family slots into the same arm contract and holds the floor") {
+    initLog()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pipe_hnsw").toString
+    graft.operators.Hnsw.writeHnswIndex(emb, s"$base/hnsw", dims0 = 64)
+    Relevance.writePostingsIndex(docs, s"$base/postings")
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val probe = Relevance.searchPipelineArms(docs,
+      graft.sources.Tables.embeddings(spark, sf),
+      k => Relevance.bm25IndexProbe(spark, s"$base/postings",
+        Seq("spark", "window"), k),
+      k => graft.operators.Hnsw.hnswIndexProbe(spark, s"$base/hnsw",
+          qv, k = k)
+        .select(col("neighbor_id").as("doc_id"),
+          round(col("cos_sim"), 6).as("cos")),
+      Seq("spark", "window"), 0L, 20, 12, 8, 5, 7000L).collect()
+    val exact = Relevance.searchPipeline(spark, sf).collect()
+    assert(probe.length == exact.length)
+    val overlap = (probe.map(_.getLong(1)).toSet &
+      exact.map(_.getLong(1)).toSet).size
+    assert(overlap >= math.ceil(exact.length * 0.8).toInt,
+      s"HNSW-armed overlap $overlap/${exact.length}")
+  }
+
   test("mmr: redundancy penalty pulls in the second cluster that " +
       "pure relevance ignores") {
     initLog()
