@@ -488,4 +488,53 @@ class TextAnalysisSpec extends GraftSpecBase {
     assert(!plan.contains("hashpartitioning"),
       "no key shuffle expected: " + plan.take(1200))
   }
+
+  test("CharBigramSet == the charBigrams HOF on corpus text and " +
+      "every short-text edge (drop-in contract)") {
+    initLog()
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import spark.implicits._
+    def native(c: org.apache.spark.sql.Column) =
+      column(graft.functions.CharBigramSet(expression(c)))
+    // edge fixtures: empty, 1 char, 1 non-BMP char, surrogate pairs
+    // inside bigrams, U+0000 pairs (the packed-key-0 case), repeats
+    // (dedup + first-occurrence order), and a 2-char doc
+    val edges = Seq(
+      "", "a", "😀", "ab",
+      "a😀b😀a",       // emoji is ONE bigram char
+      "\u0000\u0000\u0000a\u0000",         // NUL pairs: key 0 is valid
+      "abababab", "aaaa", "banana bandana"
+    ).toDF("text")
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).limit(400)
+    for (df <- Seq(edges, corpus)) {
+      val rows = df.select(
+          graft.operators.TextAnalysis.charBigrams(col("text")).as("hof"),
+          native(col("text")).as("nat"),
+          col("text"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"mismatch on ${r.getString(2).take(40).map(_.toInt)}")
+      }
+      assert(rows.nonEmpty)
+    }
+  }
+
+  test("CharBigramSet stays inside WholeStageCodegen (no interpreted " +
+      "lambda in the fluency hot path once swapped)") {
+    initLog()
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // a parquet-backed source (a local Seq constant-folds to
+    // LocalTableScan and never enters codegen at all)
+    val df = graft.sources.Tables.documents(spark, sf).limit(2)
+      .select(column(graft.functions.CharBigramSet(
+        expression(col("text")))).as("bgs"))
+    // `*(n)` is the WholeStageCodegen marker in the compact plan form
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("char_bigram_set") && l.trim.matches("""^\+?-?\s*\*\(\d+\).*""")),
+      "expected char_bigram_set inside a codegen stage: " + plan.take(800))
+    assert(df.collect().forall(_.getSeq[String](0).nonEmpty))
+  }
 }
