@@ -264,10 +264,12 @@ object SparkEntry {
       TextAnalysis.fingerprintsFast(graft.sources.Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     "text_top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(s, d)),
+    // FULL oracle since r17 (integer micro-bits Shannon costs — no
+    // float crosses the engine boundary)
     "text_fluency" -> ((s, d) =>
       TextAnalysis.fluencyScores(graft.sources.Tables.documents(s, d))),
-    // planted-gibberish margin as ONE summary row — the hard
-    // per-round signal for the no_oracle fluency lane
+    // planted-gibberish margin as ONE summary row — kept as the
+    // belt-and-braces signal alongside the now-oracled base lane
     "text_fluency_margin" -> ((s, d) => TextAnalysis.fluencyMargin(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionScores(s, d)),
@@ -466,6 +468,42 @@ object SparkEntry {
                  ROW_NUMBER() OVER (PARTITION BY doc_id
                    ORDER BY sc.score DESC, sc.lang DESC) AS rk FROM s)
          SELECT doc_id, lang_label, lang_pred FROM r WHERE rk = 1""",
+    // Integer-bits fluency (TextAnalysis.fluencyScoresAgainst): the
+    // whole chain is integer algebra — ceil-div + bin() bit lengths
+    // for profile costs, bitlen(T)+8 floor, and a round-half-up
+    // integer division for the micro-bit mean — so Spark and DuckDB
+    // agree bit-for-bit. Bigram extraction mirrors CharBigramSet's
+    // short-text contract (len 0 -> [''], len 1 -> [text]); per-doc
+    // DISTINCT; profile ties break on binary collation (lane corpora
+    // are ASCII by contract). generate_series is inclusive, so
+    // greatest(len-1, 1) yields exactly one i for short docs.
+    "text_fluency" ->
+      """WITH bgall AS MATERIALIZED (
+           SELECT DISTINCT doc_id,
+             CASE WHEN length(text) < 2 THEN text
+                  ELSE substr(text, CAST(i AS INT), 2) END AS bg
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1,
+                     greatest(length(text) - 1, 1))) AS i
+                 FROM documents)),
+         cnts AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM bgall GROUP BY bg),
+         tt AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnts),
+         prof AS (SELECT bg,
+             CAST(CASE WHEN q <= 1 THEN 0
+                  ELSE length(bin(q - 1)) END AS BIGINT) AS cost_bits
+           FROM (SELECT bg, (t + n - 1) // n AS q,
+                   row_number() OVER (ORDER BY n DESC, bg) AS rk
+                 FROM cnts, tt)
+           WHERE rk <= 2000),
+         fl AS (SELECT CAST(length(bin(t)) + 8 AS BIGINT) AS fcost
+                FROM tt)
+         SELECT b.doc_id,
+           CAST(-((2 * 1000000 * SUM(COALESCE(p.cost_bits, fl.fcost))
+              + COUNT(*)) // (2 * COUNT(*))) AS BIGINT) AS fluency_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+         FROM bgall b LEFT JOIN prof p USING (bg), fl
+         GROUP BY b.doc_id""",
     "q_edit_window" ->
       """SELECT event_type,
          epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS win_start,

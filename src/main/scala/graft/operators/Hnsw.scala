@@ -689,11 +689,14 @@ object Hnsw {
     // a later probe requesting a LARGER budget than the instance bound
     // at creation rebuilds the cache under the new budget (it would
     // otherwise silently page under the first caller's smaller one);
-    // a smaller request reuses the existing, more generous instance
-    val existing = probeCaches.get((spark, path))
-    if (existing != null && maxEdges > existing.maxEdges)
-      probeCaches.remove((spark, path))
-    probeCaches.computeIfAbsent((spark, path), _ => {
+    // a smaller request reuses the existing, more generous instance.
+    // ATOMIC via compute(): the budget comparison runs inside the
+    // remapping function, so a concurrent smaller-budget probe can't
+    // recreate the cache between a remove and a computeIfAbsent
+    // (r16 ADVICE — the remove+computeIfAbsent form raced).
+    probeCaches.compute((spark, path), (_, existing) => {
+      if (existing != null && existing.maxEdges >= maxEdges) existing
+      else {
       val meta = spark.read.parquet(s"$path/meta").collect()(0)
       val adj = spark.read.parquet(s"$path/adj")
       // an index whose WHOLE adjacency fits the edge budget loads
@@ -719,6 +722,7 @@ object Hnsw {
           }
       }
       cache
+      }
     })
   }
   private val probeCaches =

@@ -845,6 +845,11 @@ object Relevance {
       .select(col("tok"), col("__cnt").as("df"))
     val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
       .collect()(0)
+    // sum(dl) over zero docs aggregates to null → getLong would NPE
+    // with no hint of why; fail loudly instead (r16 ADVICE)
+    require(st.getLong(0) > 0,
+      "writePostingsIndex: corpus has no tokens (0 docs with terms) " +
+        "— refusing to write an empty index meta")
     spark.createDataFrame(Seq((st.getLong(0), st.getLong(1), nBuckets)))
       .toDF("n", "sum_dl", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")

@@ -176,7 +176,18 @@ object TextAnalysis {
     * deterministic (score desc, lang) tie-break. Scales as one
     * shuffle on (doc, lang); profiles are dimension-sized.
     */
-  def charBigrams(text: Column): Column =
+  def charBigrams(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.CharBigramSet(expression(text)))
+  }
+
+  /** The original HOF formulation — kept as the semantics yardstick
+    * for the CharBigramSet drop-in spec. Not used in any lane:
+    * the interpreted per-character lambda + string array_distinct was
+    * the fluency lanes' SUPERLINEAR hot loop at 100× (SCALE.md r16);
+    * [[charBigrams]] now routes to the compiled native expression.
+    */
+  def charBigramsHof(text: Column): Column =
     array_distinct(transform(
       sequence(lit(0), length(text) - 2),
       i => substr(text, i + 1, lit(2))))
@@ -209,16 +220,27 @@ object TextAnalysis {
         round(col("score"), 6).as("lang_score"))
   }
 
-  /** Corpus-fluency score (perplexity-like gibberish detector): the
-    * mean log-probability of a doc's character bigrams under the
-    * corpus-wide bigram distribution. Natural text reuses the corpus'
-    * common bigrams → score near the corpus mode; random noise / wrong
-    * encoding / binary-in-text outliers sit far below. Bigrams outside
-    * the top-`topM` profile get a fixed 1e-9 floor instead of -inf
-    * (scores are RELATIVE quality ranks, not calibrated perplexity).
-    * Distinct bigrams per doc (boundedness over fidelity). Shapes: one
-    * agg builds the profile (dimension-sized, broadcast); scoring is
-    * explode → broadcast-join → per-doc mean — one shuffle on doc_id.
+  /** Corpus-fluency score (perplexity-like gibberish detector), FULL-
+    * oracle form (r16 VERDICT item 7): the per-doc mean Shannon code
+    * length in WHOLE BITS of the doc's distinct character bigrams
+    * under the corpus-wide bigram document-frequency profile —
+    * integer algebra end to end (the [[Unigram.unigramVocab]]
+    * cost_bits doctrine). Profile cost(bg) = ⌈log2(T / n(bg))⌉ via
+    * ceil-div + `bin()` bit length; out-of-profile floor =
+    * bitlen(T) + 8 bits (strictly costlier than the rarest in-profile
+    * bigram at ANY corpus size — the floor scales with the corpus
+    * instead of a fixed 1e-9); the per-doc mean ships as an EXACT
+    * integer in micro-bits, `fluency_micro` =
+    * −round_half_up(10⁶·sum_bits / n_bigrams) by integer division.
+    * No float ever crosses the engine boundary, so the lane
+    * hash-matches a DuckDB oracle (the former ln-based form was
+    * no_oracle by FP sum-order). Sign convention unchanged: HIGHER =
+    * more fluent — natural text reuses common bigrams (few bits);
+    * noise / wrong encoding / binary-in-text bottoms out at the
+    * floor. Distinct bigrams per doc (boundedness over fidelity).
+    * Shapes: one agg builds the profile (dimension-sized, broadcast);
+    * scoring is explode → broadcast-join → per-doc integer mean — one
+    * shuffle on doc_id.
     */
   def fluencyScores(docs: DataFrame, topM: Int = 2000): DataFrame =
     fluencyScoresAgainst(docs, docs, topM)
@@ -237,16 +259,30 @@ object TextAnalysis {
     val counts = Par.ensure(corpus)
       .select(explode(charBigrams(col("text"))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n")).as("__total"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    // TakeOrdered top-M (never a single-partition full sort); ties by
+    // bg are binary-collation in both engines (corpus contract: the
+    // lane tables are ASCII — see the oracle note in SparkEntry)
     val profile = counts
       .orderBy(col("n").desc, col("bg")).limit(topM)
       .crossJoin(broadcast(total))
-      .select(col("bg"), (col("n") / col("__total")).as("p"))
+      .withColumn("__q", expr("(__t + n - 1) div n"))
+      .select(col("bg"),
+        when(col("__q") <= 1, lit(0L))
+          .otherwise(length(bin(col("__q") - 1)).cast("long"))
+          .as("cost_bits"))
+    val floor = total.select(
+      (length(bin(col("__t"))).cast("long") + lit(8L)).as("__floor"))
     bg.join(broadcast(profile), Seq("bg"), "left")
+      .crossJoin(broadcast(floor))
       .groupBy(col("doc_id"))
-      .agg(round(avg(
-        log(coalesce(col("p"), lit(1e-9)))), 6).as("fluency"),
+      .agg(
+        sum(coalesce(col("cost_bits"), col("__floor"))).as("__sum_bits"),
         count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"),
+        (-expr("(2 * 1000000 * __sum_bits + n_bigrams)" +
+          " div (2 * n_bigrams)")).as("fluency_micro"),
+        col("n_bigrams"))
   }
 
   /** Driver contract `text_fluency_margin`: the hard per-round signal
@@ -254,14 +290,16 @@ object TextAnalysis {
     * plant `nPlanted` deterministic GIBBERISH docs (md5 hex of the
     * doc translated onto a rare-consonant alphabet, so their bigrams
     * sit far outside the corpus profile), score the union AGAINST THE
-    * REAL corpus's profile, and report ONE row: mean fluency of real
-    * vs planted docs and the margin between them. Real text reuses
-    * top-profile bigrams (mean log-p near the corpus mode); the
-    * planted docs bottom out at the 1e-9 floor (ln ≈ −20.7) — the
-    * margin is large and stable run-to-run even
-    * though the absolute means carry FP sum-order noise (which is why
-    * the base lane has no oracle). Rows-checked by the driver; the
-    * ≥3.0 margin floor is spec'd (TextAnalysisSpec).
+    * REAL corpus's profile, and report ONE row: mean fluency_micro of
+    * real vs planted docs and the margin between them (micro-bits —
+    * the base lane's integer unit; 10⁶ ≡ one bit). Real text reuses
+    * top-profile bigrams (few bits per bigram); the planted docs
+    * bottom out at the bitlen(T)+8 floor — the margin is large and
+    * stable run-to-run. The per-doc scores are exact integers now
+    * (the base lane is FULL oracle); only this summary's means are FP
+    * (avg over docs), so the lane stays the belt-and-braces signal:
+    * rows-checked by the driver, ≥3e6 micro-bits (3 bits) margin
+    * floor spec'd (SamplingSpec).
     */
   def fluencyMargin(spark: SparkSession, dir: String): DataFrame =
     fluencyMargin(Tables.documents(spark, dir))
@@ -276,10 +314,10 @@ object TextAnalysis {
       .agg(
         count(when(col("doc_id") < 1000000L, 1)).as("n_real"),
         count(when(col("doc_id") >= 1000000L, 1)).as("n_planted"),
-        round(avg(when(col("doc_id") < 1000000L, col("fluency"))), 6)
-          .as("mean_real"),
-        round(avg(when(col("doc_id") >= 1000000L, col("fluency"))), 6)
-          .as("mean_planted"))
+        round(avg(when(col("doc_id") < 1000000L,
+          col("fluency_micro"))), 6).as("mean_real"),
+        round(avg(when(col("doc_id") >= 1000000L,
+          col("fluency_micro"))), 6).as("mean_planted"))
       .select(col("n_real"), col("n_planted"), col("mean_real"),
         col("mean_planted"),
         round(col("mean_real") - col("mean_planted"), 6).as("margin"))

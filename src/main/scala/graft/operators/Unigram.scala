@@ -170,7 +170,7 @@ object Unigram {
   def encodeDocsUnigram(docs: DataFrame,
       vocabSize: Int = DefaultVocabSize,
       maxPieceLen: Int = DefaultMaxPieceLen, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", oracleCompat: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val vocabRows = unigramVocab(docs, vocabSize, maxPieceLen, textCol)
       .collect()
@@ -179,12 +179,18 @@ object Unigram {
     val wc = Bpe.collectVocabGuarded(
       Bpe.wordCounts(docs, textCol).select(col("word"), col("cnt")),
       "encodeDocsUnigram", Bpe.MaxIncrementalVocabRows)
-    val maxLen = if (wc.isEmpty) 0
-      else wc.iterator.map(w => w._1.codePointCount(0, w._1.length)).max
-    require(maxLen <= MaxOracleWordLen,
-      s"encodeDocsUnigram: corpus has a $maxLen-codepoint word but " +
-        s"the generated oracle unrolls $MaxOracleWordLen DP rounds — " +
-        "raise MaxOracleWordLen (and regenerate) or pre-chunk words")
+    // The 16-codepoint cap is the ORACLE's CTE-unroll constraint, not
+    // the operator's: driver Viterbi handles any length. Enforce only
+    // on the oracle-verified lane path (r16 ADVICE — real text has
+    // URLs/compounds/long identifiers and must not throw here).
+    if (oracleCompat) {
+      val maxLen = if (wc.isEmpty) 0
+        else wc.iterator.map(w => w._1.codePointCount(0, w._1.length)).max
+      require(maxLen <= MaxOracleWordLen,
+        s"encodeDocsUnigram: corpus has a $maxLen-codepoint word but " +
+          s"the generated oracle unrolls $MaxOracleWordLen DP rounds — " +
+          "raise MaxOracleWordLen (and regenerate) or pre-chunk words")
+    }
     val perWord = wc.toSeq.map { case (w, _) =>
       val ids = viterbiSegment(w, costOf, maxPieceLen)
       (w, ids.length.toLong, ids.mkString(","))
@@ -217,7 +223,11 @@ object Unigram {
     *    multi-codepoint pieces down to ~75 % of the excess over the
     *    target (the SentencePiece shrink schedule; singles are never
     *    pruned — coverage is structural);
-    *  - final vocab: exactly the target size (plus singles), scores
+    *  - final vocab: AT MOST the target size (plus singles) — the
+    *    last round's EM sweeps run after the final prune, so a
+    *    multi-codepoint piece whose expected count underflows to zero
+    *    in those sweeps drops out below target (singles are floored,
+    *    never lost; coverage holds.) Scores
     *    ln p quantized to integer micro-units (round(10⁶·ln p)) — the
     *    ARTIFACT is integers, so downstream Viterbi is deterministic.
     *
@@ -420,9 +430,11 @@ object Unigram {
   def vocabLane(spark: SparkSession, dir: String): DataFrame =
     unigramVocab(Tables.documents(spark, dir))
 
-  /** Lane `tok_encode_unigram` (FULL oracle). */
+  /** Lane `tok_encode_unigram` (FULL oracle; oracleCompat enforces
+    * the [[MaxOracleWordLen]] unroll cap the generated SQL needs).
+    */
   def encodeLane(spark: SparkSession, dir: String): DataFrame =
-    encodeDocsUnigram(Tables.documents(spark, dir))
+    encodeDocsUnigram(Tables.documents(spark, dir), oracleCompat = true)
 
   /** Lane `tok_unigram_train` (no_oracle — EM is FP-iterative; the
     * output is deterministic driver FP with fixed iteration order, so

@@ -117,6 +117,68 @@ class StreamingSpec extends GraftSpecBase {
     }
   }
 
+  test("kafka source: the full reference pipeline runs against a live " +
+      "in-process broker through format(\"kafka\") — results match the " +
+      "file-backed twin, appends land while the query runs, " +
+      "maxOffsetsPerTrigger admission holds") {
+    initLog()
+    import org.apache.spark.sql.kafka010.FakeKafkaBroker
+    // the fake provider sits at the REAL class coordinates + the real
+    // ServiceLoader shortName, so this is the production path end to
+    // end: isAvailable preflight → format("kafka") → option map →
+    // wire-schema frames → fromKafkaShaped decode → pipeline
+    assert(graft.streaming.KafkaEditSource.isAvailable)
+    val topic = s"wikipedia-events-spec-${System.nanoTime()}"
+    val preload = Seq(
+      editJson(1, "en.wikipedia.org", "human", "main namespace",
+        "2023-11-27T19:01:00Z", 100, 150),                       // +50
+      editJson(2, "en.wikipedia.org", "human", "main namespace",
+        "2023-11-27T19:03:30Z", 150, 120),                       // +30
+      editJson(3, "en.wikipedia.org", "bot", "main namespace",
+        "2023-11-27T19:02:00Z", 0, 999),                         // dropped
+      editJson(4, "de.wikipedia.org", "human", "talk",
+        "2023-11-27T19:02:00Z", 0, 999),                         // dropped
+      editJson(5, "de.wikipedia.org", "HUMAN", "Main Namespace",
+        "2023-11-27T19:06:00Z", 500, 400))                       // +100
+    preload.foreach(FakeKafkaBroker.send(topic, _))
+    val src = graft.streaming.KafkaEditSource(
+      brokers = "fakebroker:9092", topic = topic,
+      startingOffsets = "earliest", maxOffsetsPerTrigger = Some(2L))
+    val events = src.loadEvents(spark)
+    // schema parity: the Kafka feed is a drop-in for the file twin
+    assert(events.schema ==
+      EditStream.readJsonFiles(spark, tmp("graft_kafka_parity")).schema)
+    val q = WikiEditPipeline.windowedEditSize(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kafka_wiki_out").start()
+    try {
+      def result(): Set[(String, Long, Long)] =
+        spark.table("kafka_wiki_out")
+          .select(col("domain"), col("edit_size"), col("n_edits"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      q.processAllAvailable()
+      assert(result() == Set(("en.wikipedia.org", 80L, 2L),
+        ("de.wikipedia.org", 100L, 1L)))
+      // admission control: 5 preloaded messages under a 2-per-trigger
+      // cap need >= 3 micro-batches, none above the cap
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3, s"expected >=3 capped batches, " +
+        s"got ${batches.map(_.numInputRows).mkString(",")}")
+      assert(batches.forall(_.numInputRows <= 2))
+      // LIVE append while the query is running (the reference is an
+      // unbounded feed, llmIngestBatch's read-while-append shape)
+      FakeKafkaBroker.send(topic, editJson(6, "en.wikipedia.org",
+        "human", "main namespace", "2023-11-27T19:04:10Z", 120, 140)) // +20
+      q.processAllAvailable()
+      assert(result() == Set(("en.wikipedia.org", 100L, 3L),
+        ("de.wikipedia.org", 100L, 1L)))
+    } finally {
+      q.stop()
+      FakeKafkaBroker.deleteTopic(topic)
+    }
+  }
+
   test("processing-time window mode: literal TumblingProcessingTimeWindows twin") {
     initLog()
     val in = tmp("graft_in_pt")

@@ -509,7 +509,7 @@ class TextAnalysisSpec extends GraftSpecBase {
       .select(col("text")).limit(400)
     for (df <- Seq(edges, corpus)) {
       val rows = df.select(
-          graft.operators.TextAnalysis.charBigrams(col("text")).as("hof"),
+          graft.operators.TextAnalysis.charBigramsHof(col("text")).as("hof"),
           native(col("text")).as("nat"),
           col("text"))
         .collect()
