@@ -22,6 +22,24 @@ object EditStream {
   def readJsonFiles(spark: SparkSession, path: String): DataFrame =
     EditEvents.fromJson(spark.readStream.text(path))
 
+  /** Bounded-intake variant: `maxFilesPerTrigger` is the file-source
+    * face of Kafka's `maxOffsetsPerTrigger` — the per-trigger
+    * admission bound graft documents as Spark's analog of the
+    * reference's watermark ALIGNMENT (DataStreamJob.java:63-64:
+    * `withWatermarkAlignment`, which pauses a source that runs ahead
+    * of the group). Spark cannot pause one source relative to
+    * another's watermark, but when every source's intake is capped,
+    * no source's event-time high-water can run ahead of a co-equal
+    * source by more than one admission quantum per trigger — the
+    * bound the alignment spec measures and enforces
+    * (StreamingSpec "watermark-alignment analog").
+    */
+  def readJsonFiles(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int): DataFrame =
+    EditEvents.fromJson(spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .text(path))
+
   /** Kafka-shaped frames: any streaming DataFrame with a binary/string
     * `value` column (e.g. `spark.readStream.format("kafka")...`).
     */

@@ -207,6 +207,65 @@ class SinkSourceSpec extends GraftSpecBase {
     assert(ids.sorted == (1 to 6).toList, ids.sorted.mkString(","))
   }
 
+  test("crash MID-epoch: partially written chunks stay visible, and a " +
+      "checkpoint restart converges byte-identically to an " +
+      "uninterrupted twin run (at-least-once -> effectively-once)") {
+    initLog()
+    // the reference sink is DeliveryGuarantee.AT_LEAST_ONCE
+    // (DataStreamJob.java:133): a crash between chunk inserts leaves a
+    // PARTIAL epoch in the store (unlike the outage spec, where no
+    // insert lands). Restarting from the same checkpoint replays the
+    // whole uncommitted epoch; the keyed (epoch,partition,chunk)
+    // upsert + deterministic chunk contents overwrite the partial
+    // writes, so the final store equals a run that never crashed.
+    val in = Files.createTempDirectory("graft_mid_in").toString
+    val dir = Files.createTempDirectory("graft_mid_store").toString
+    val ck = Files.createTempDirectory("graft_mid_ck").toString
+    val twinDir = Files.createTempDirectory("graft_mid_twin").toString
+    val twinCk = Files.createTempDirectory("graft_mid_twin_ck").toString
+    def doc(i: Int) = s"""{"doc_id":$i,"text":"doc number $i"}"""
+    Files.write(Paths.get(in, "b1.json"),
+      (1 to 15).map(doc).mkString("\n").getBytes)
+    Files.write(Paths.get(in, "b2.json"),
+      (16 to 30).map(doc).mkString("\n").getBytes)
+    def startQ(store: DocStore, c: String) = DocStoreSink.start(
+      spark.readStream.schema("doc_id LONG, text STRING").json(in),
+      store, c, batchSize = 5, maxRetries = 1, outputMode = "append")
+    // crash after the first 2 chunk inserts land (JVM-wide allowance)
+    SinkSourceSpec.resetBudget(2)
+    val q1 = startQ(
+      SinkSourceSpec.CrashAfterStore(DirDocStore(dir)), ck)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    val partial = readStore(dir)
+    assert(partial.nonEmpty,
+      "crash must leave a PARTIAL epoch visible — else this test " +
+        "degenerates to the outage spec")
+    assert(partial.length < 30, s"only a strict subset may land " +
+      s"pre-crash (got ${partial.length}/30)")
+    // heal + restart from the SAME checkpoint: epoch replays in full
+    val q2 = startQ(DirDocStore(dir), ck)
+    try q2.processAllAvailable() finally q2.stop()
+    // uninterrupted twin: same input, healthy store from the start
+    val qt = startQ(DirDocStore(twinDir), twinCk)
+    try qt.processAllAvailable() finally qt.stop()
+    def snapshot(d: String): Map[String, String] =
+      Files.list(Paths.get(d)).iterator().asScala
+        .filter(_.toString.endsWith(".jsonl"))
+        .map(p => p.getFileName.toString ->
+          new String(Files.readAllBytes(p), "UTF-8")).toMap
+    val recovered = snapshot(dir)
+    val twin = snapshot(twinDir)
+    assert(recovered.keySet == twin.keySet,
+      s"chunk sets differ: ${recovered.keySet} vs ${twin.keySet}")
+    assert(recovered == twin,
+      "recovered store must be byte-identical to the uninterrupted run")
+    assert(recovered.size > 2, "expect the replay to add chunks " +
+      "beyond the pre-crash survivors")
+  }
+
   test("streaming quality-gated ingest: low-quality docs never reach the store") {
     initLog()
     // The batch quality transform applied 1:1 to a stream — ingest-time
@@ -316,6 +375,22 @@ object SinkSourceSpec {
         totalFailures.incrementAndGet()
         throw new RuntimeException(s"transient store failure #$n for $key")
       }
+      inner.insertMany(key, docs)
+    }
+  }
+
+  /** Store with a JVM-wide insert allowance: the first `resetBudget(n)`
+    * inserts land, every later one crashes — models a process dying
+    * MID-epoch with some chunks already durable (the at-least-once
+    * exposure the crash-recovery spec replays through).
+    */
+  private val insertBudget = new AtomicInteger(0)
+  def resetBudget(n: Int): Unit = insertBudget.set(n)
+
+  final case class CrashAfterStore(inner: DocStore) extends DocStore {
+    override def insertMany(key: String, docs: Seq[String]): Unit = {
+      if (insertBudget.getAndDecrement() <= 0)
+        throw new RuntimeException(s"simulated crash before insert of $key")
       inner.insertMany(key, docs)
     }
   }

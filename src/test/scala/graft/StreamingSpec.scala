@@ -179,6 +179,87 @@ class StreamingSpec extends GraftSpecBase {
     }
   }
 
+  test("watermark-alignment analog: with per-trigger admission capped " +
+      "on BOTH sources, their per-batch event-time high-water marks " +
+      "stay within one admission quantum; uncapped, the drift exceeds " +
+      "it (the enforcement is the cap)") {
+    initLog()
+    // reference: DataStreamJob.java:63-64 withWatermarkAlignment —
+    // Flink pauses a source that runs ahead. Spark's analog is
+    // bounding every source's per-trigger intake
+    // (maxFilesPerTrigger / maxOffsetsPerTrigger): aligned sources
+    // then advance in lockstep. Two file sources, 3 files each,
+    // 5-minute event-time stride per file; the source tag rides the
+    // domain so it survives the pipeline's projection.
+    val base = "2023-11-27T19:%02d:00Z"
+    def mkDir(domain: String): String = {
+      val d = tmp(s"graft_align_${domain.takeWhile(_ != '.')}")
+      (0 until 3).foreach { k =>
+        val lines = (0 until 3).map(j => editJson(k * 10 + j, domain,
+          "human", "main namespace", base.format(k * 5 + j), 100, 110))
+        val p = Files.write(Paths.get(d, f"b$k%02d.json"),
+          lines.mkString("\n").getBytes)
+        // distinct mtimes pin the admission order oldest-first (the
+        // file source orders by modification time; same-ms writes tie)
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(1700000000000L + k * 60000L))
+      }
+      d
+    }
+    val d1 = mkDir("s1.wikipedia.org")
+    val d2 = mkDir("s2.wikipedia.org")
+    val quantumMs = 5 * 60 * 1000L // one file spans < 5 min of events
+    // (batch, domain) -> event-time high-water of that source's rows
+    def measure(src: org.apache.spark.sql.DataFrame)
+        : Seq[Map[String, Long]] = {
+      val perBatch =
+        scala.collection.mutable.ArrayBuffer.empty[Map[String, Long]]
+      val q = WikiEditPipeline.editDeltas(src).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val hw = df.groupBy(col("domain"))
+            .agg(max(col("ts")).as("hw")).collect()
+            .map(r => r.getString(0) ->
+              r.getAs[java.sql.Timestamp]("hw").getTime).toMap
+          if (hw.nonEmpty) perBatch.synchronized { perBatch += hw }
+          ()
+        }
+        .option("checkpointLocation", tmp("graft_align_ck")).start()
+      try q.processAllAvailable() finally q.stop()
+      perBatch.toSeq
+    }
+    // ALIGNED: both sources capped at one file per trigger
+    val aligned = measure(
+      EditStream.readJsonFiles(spark, d1, maxFilesPerTrigger = 1)
+        .unionByName(
+          EditStream.readJsonFiles(spark, d2, maxFilesPerTrigger = 1)))
+    assert(aligned.length >= 3, s"cap admits 1 file/source/trigger: " +
+      s"expected >=3 batches, got ${aligned.length}")
+    aligned.foreach { hw =>
+      assert(hw.keySet ==
+        Set("s1.wikipedia.org", "s2.wikipedia.org"),
+        s"both sources must land rows in every batch: $hw")
+      val drift = math.abs(hw("s1.wikipedia.org") -
+        hw("s2.wikipedia.org"))
+      assert(drift <= quantumMs, s"aligned drift ${drift}ms exceeds " +
+        s"the ${quantumMs}ms admission quantum")
+    }
+    // high-waters ADVANCE: the cap spreads the 3 files over triggers
+    val s1hw = aligned.map(_("s1.wikipedia.org"))
+    assert(s1hw == s1hw.sorted && s1hw.distinct.length >= 3, s1hw)
+    // UNCAPPED control: source 2 ingests everything in its first
+    // batch while source 1 admits one file — the drift the cap
+    // prevents is real and measured
+    val unaligned = measure(
+      EditStream.readJsonFiles(spark, d1, maxFilesPerTrigger = 1)
+        .unionByName(EditStream.readJsonFiles(spark, d2)))
+    val worst = unaligned
+      .filter(_.keySet.size == 2)
+      .map(hw => math.abs(hw("s1.wikipedia.org") -
+        hw("s2.wikipedia.org"))).maxOption.getOrElse(0L)
+    assert(worst > quantumMs,
+      s"uncapped control should drift past one quantum (got ${worst}ms)")
+  }
+
   test("processing-time window mode: literal TumblingProcessingTimeWindows twin") {
     initLog()
     val in = tmp("graft_in_pt")
