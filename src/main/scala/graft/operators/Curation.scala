@@ -202,9 +202,18 @@ object Curation {
     * `ntile(3)` window — equal by the exact-split construction.
     */
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // project to the three columns qualityBuckets consumes and
+    // MATERIALIZE once (r17, guide §2.4): qualityBuckets executes its
+    // input twice — the bounded offsets collect and the ranked join —
+    // and without the checkpoint each execution re-scanned the corpus
+    // and re-tokenized text for the score. The narrow (id, domain,
+    // score) frame is O(n)·~24 bytes — the same storage class as one
+    // shuffle of the keys.
+    val docs = Par.ensure(Tables.documents(spark, dir))
       .withColumn("score",
         expr("n_chars * 100L div cast(size(split(text, ' ')) as long)"))
+      .select(col("doc_id"), col("source"), col("score"))
+      .localCheckpoint(true)
     qualityBuckets(docs, "source", "score", "doc_id", tiles = 3)
       .withColumn("bucket",
         when(col("tile") === 1, "head")
@@ -232,6 +241,13 @@ object Curation {
       .join(preds.select(col("doc_id"),
         floor(col("margin") * lit(100)).cast("long").as("score")),
         Seq("doc_id"))
+      // materialize the narrow scored frame once (r17, guide §2.4):
+      // qualityBuckets executes its input twice (offsets collect +
+      // ranked join), and each execution otherwise re-runs the whole
+      // NB classifier chain — train aggregation, token explode,
+      // broadcast weight join, per-doc argmax. Same rows, same oracle;
+      // measured sf0.1: 4.27 s → see OPTIMIZATION_r17.md.
+      .localCheckpoint(true)
     qualityBuckets(scored, "source", "score", "doc_id", tiles = 3)
       .withColumn("bucket",
         when(col("tile") === 1, "head")

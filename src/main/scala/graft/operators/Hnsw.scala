@@ -240,17 +240,44 @@ object Hnsw {
 
   /** One descent over a (possibly persisted) adjacency for a frontier
     * of (query_id, node, cos) rows scored against `queries`
-    * (query_id, qe). Each hop TRUNCATES lineage (localCheckpoint →
-    * LogicalRDD): the frontier feeds the next hop twice (as beam and
-    * as hop source), so a lazy chain doubles the LOGICAL plan per
-    * hop — 12 hops ≈ 2¹² plan nodes OOMed the driver in plan
-    * stringification alone (the graph_pagerank truncate-the-growing-
-    * lineage lesson applied to search state). Bounded rows (queries ×
-    * beam) make the checkpoint cheap at any corpus size.
+    * (query_id, qe).
+    *
+    * The beam state lives ON THE DRIVER (r17, guide §1.2/§2.4): it is
+    * bounded by construction — ≤ queries × ef rows between hops and
+    * ≤ queries × ef × (2M+4) candidate rows inside a hop — the same
+    * driver-state class as the persisted-index probe's frontier. The
+    * previous form kept it distributed, which cost every hop a
+    * union + groupBy + window (two extra shuffles of a few-hundred-row
+    * frame) plus an EAGER localCheckpoint (a block-manager write):
+    * 7 hops × 3 jobs per search. Now each hop is ONE distributed job
+    * — broadcast the frontier keys, equi-join the layer adjacency
+    * (the only corpus-scale side, scored map-side off the riding dst
+    * embeddings), collect the bounded candidate rows — and the
+    * dedup-by-max-cos + top-ef beam cut runs driver-side with the
+    * identical (cos desc, node asc) ordering, NaN ordered first like
+    * Spark's desc sort. Results are bit-identical (drop-in spec'd);
+    * measured sf0.1: ann_hnsw 4.3 s → see OPTIMIZATION_r17.md.
     */
   private def descend(adj: DataFrame, queries: DataFrame,
       frontier0: DataFrame, efBase: Int = EfBase): DataFrame = {
-    var frontier = frontier0.localCheckpoint(eager = true)
+    val spark = adj.sparkSession
+    import spark.implicits._
+    // beam merge: dedup (query, node) keeping max cos, then per query
+    // order by (cos desc — NaN first, matching Spark — node asc) and
+    // keep the top ef
+    def mergeTop(rows: Array[(Long, Long, Double)],
+        ef: Int): Array[(Long, Long, Double)] =
+      rows.groupBy(t => (t._1, t._2)).iterator
+        .map { case ((q, n), ts) => (q, n, ts.map(_._3).max) }
+        .toArray.groupBy(_._1).valuesIterator
+        .flatMap(_.sortWith { (a, b) =>
+          val c = java.lang.Double.compare(a._3, b._3)
+          if (c != 0) c > 0 else a._2 < b._2
+        }.take(ef))
+        .toArray
+    var frontier: Array[(Long, Long, Double)] = frontier0
+      .select(col("query_id"), col("node"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     for (layer <- MaxLayer to 0 by -1) {
       val (ef, hops) =
         if (layer == 0) (efBase, HopsBase) else (EfUpper, HopsUpper)
@@ -258,29 +285,21 @@ object Hnsw {
         .select(col("src").as("node"), col("dst"), col("de"))
       for (_ <- 1 to hops) {
         // dst embeddings ride the adjacency → scoring is map-side;
-        // duplicates (several in-edges) collapse in the groupBy
-        val nbrs = frontier.select(col("query_id"), col("node"))
+        // duplicate (query, dst) rows (several in-edges) collapse in
+        // the driver merge
+        val hopKeys = frontier.map(t => (t._1, t._2)).toSeq
+          .toDF("query_id", "node")
+        val nbrs = broadcast(hopKeys)
           .join(layerAdj, Seq("node"))
           .join(queries, Seq("query_id"))
           .select(col("query_id"), col("dst").as("node"),
             round(Vectors.cosine(col("qe"), col("de")), 6).as("cos"))
-        val wBeam = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("node"))
-        val next = frontier.unionByName(nbrs)
-          .groupBy(col("query_id"), col("node"))
-          .agg(max(col("cos")).as("cos"))
-          .withColumn("__r", row_number().over(wBeam))
-          .filter(col("__r") <= ef).drop("__r")
-          .localCheckpoint(eager = true)
-        // the superseded frontier's blocks are fully consumed into
-        // `next` (eager) — free them now instead of waiting for a
-        // driver GC + ContextCleaner round (tiny per hop, but a
-        // 174-lane suite runs many descents per process)
-        unpersistCheckpointed(frontier)
-        frontier = next
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        frontier = mergeTop(frontier ++ nbrs, ef)
       }
     }
-    frontier
+    frontier.toSeq.toDF("query_id", "node", "cos")
   }
 
   /** Unpersist the checkpointed RDD under a localCheckpointed frame

@@ -2187,60 +2187,71 @@ object Similarity {
     val dsub = dims / m
     val centroids = ivfTrain(e, nlist, dims0 = dims).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    // assign ONCE over the full corpus; the predicate applies after
-    // the assignment projection (it commutes — Catalyst pushes it
-    // below into the scan), so the filtered path trains on full-corpus
-    // residuals and encodes only the passing rows
+    // assign ONCE over the full corpus — and PERSIST it (r17, guide
+    // §2.4/§5): the O(n·nlist·dims) assignment pass otherwise ran
+    // twice per search — once materializing pqTrain's residual slices
+    // and again under the encode that feeds ADC scoring. The cache is
+    // scoped to this call: the ADC shortlist below is eagerly
+    // materialized (bounded nQueries×max(k,rerank) rows), after which
+    // the assignment is unpersisted — nothing outlives the invocation,
+    // every invocation recomputes from parquet.
     val assigned = assignToNearest(Par.ensure(e), centroids)
-    val centLookup = centLookupFrame(spark, centroids)
-    val books = pqTrain(residualFrame(assigned, centLookup, dims),
-      m, ksub, dims0 = dims)
-    val centFrame = ivfPqCentFrame(spark, centroids, books, m, ksub, dsub)
-    val codes = ivfPqEncode(assigned.where(pred), centFrame, books, dims)
-      .select(col("vec_id").as("neighbor_id"), col("list"),
-        col("codes"), col("rnorm"))
-    val qs = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    // two-level storage assignment can differ from the exact ranking
-    // (the [[annIvfSearchImpl]] own-list guard, same reasoning)
-    val own: Map[Long, Int] =
-      if (centroids.length < HierAssignThreshold) Map.empty
-      else assignToNearest(e.filter(col("vec_id") < nQueries), centroids)
-        .select(col("vec_id"), col("list")).collect()
-        .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    // per-(query, probed list) rows: the m×ksub residual dot table
-    // rides each row (nQueries×nprobe×m×ksub doubles — bounded),
-    // q·c_list is a driver-computed scalar. Probe ranking sorts
-    // (−cos, list) so ties break LOW, the assignment's side.
-    val probeRows = qs.toSeq.flatMap { case (qid, q) =>
-      val qn = math.sqrt(q.map(x => x * x).sum)
-      val dt = dotTable(books, m, ksub, dsub, q.toIndexedSeq)
-      val qDotC = centroids.map { case (i, c) =>
-        i -> c.indices.map(d => c(d) * q(d)).sum
-      }.toMap
-      (rankedProbeLists(centroids, q.toIndexedSeq, nprobe) ++
-          own.get(qid)).distinct
-        .map(l => (qid, l, dt, qn, qDotC(l)))
-    }
-    val queries = broadcast(spark.createDataFrame(probeRows)
-      .toDF("query_id", "list", "dt", "qn", "qcl"))
-    val scored = codes.join(queries, Seq("list"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round((col("qcl") + dtSumCol(col("dt"), m)) /
-          (col("qn") * col("rnorm")), 6).as("adc_cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_cos").desc, col("neighbor_id"))
-    val adcTopN = scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= math.max(k, rerank))
-    if (rerank <= 0)
-      adcTopN.select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("adc_cos"))
-    else refineShortlist(e, adcTopN, qs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centLookup = centLookupFrame(spark, centroids)
+      val books = pqTrain(residualFrame(assigned, centLookup, dims),
+        m, ksub, dims0 = dims)
+      val centFrame = ivfPqCentFrame(spark, centroids, books, m, ksub, dsub)
+      val codes = ivfPqEncode(assigned.where(pred), centFrame, books, dims)
+        .select(col("vec_id").as("neighbor_id"), col("list"),
+          col("codes"), col("rnorm"))
+      val qs = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      // two-level storage assignment can differ from the exact ranking
+      // (the [[annIvfSearchImpl]] own-list guard, same reasoning)
+      val own: Map[Long, Int] =
+        if (centroids.length < HierAssignThreshold) Map.empty
+        else assignToNearest(e.filter(col("vec_id") < nQueries), centroids)
+          .select(col("vec_id"), col("list")).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // per-(query, probed list) rows: the m×ksub residual dot table
+      // rides each row (nQueries×nprobe×m×ksub doubles — bounded),
+      // q·c_list is a driver-computed scalar. Probe ranking sorts
+      // (−cos, list) so ties break LOW, the assignment's side.
+      val probeRows = qs.toSeq.flatMap { case (qid, q) =>
+        val qn = math.sqrt(q.map(x => x * x).sum)
+        val dt = dotTable(books, m, ksub, dsub, q.toIndexedSeq)
+        val qDotC = centroids.map { case (i, c) =>
+          i -> c.indices.map(d => c(d) * q(d)).sum
+        }.toMap
+        (rankedProbeLists(centroids, q.toIndexedSeq, nprobe) ++
+            own.get(qid)).distinct
+          .map(l => (qid, l, dt, qn, qDotC(l)))
+      }
+      val queries = broadcast(spark.createDataFrame(probeRows)
+        .toDF("query_id", "list", "dt", "qn", "qcl"))
+      val scored = codes.join(queries, Seq("list"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round((col("qcl") + dtSumCol(col("dt"), m)) /
+            (col("qn") * col("rnorm")), 6).as("adc_cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_cos").desc, col("neighbor_id"))
+      // eager, driver-bounded (nQueries×max(k, rerank) rows): pins the
+      // shortlist so the cached assignment can be released before the
+      // lazy refine tail executes
+      val adcTopN = scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= math.max(k, rerank))
+        .localCheckpoint(true)
+      if (rerank <= 0)
+        adcTopN.select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("adc_cos"))
+      else refineShortlist(e, adcTopN, qs, k)
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Persist an IVF-PQ index: residual codes + reconstruction norms
