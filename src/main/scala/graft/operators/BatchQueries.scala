@@ -218,14 +218,17 @@ object BatchQueries {
     * form; at 100 TB the approx_percentile sketch replaces it).
     */
   def pricePercentiles(spark: SparkSession, dir: String): DataFrame =
+    // one percentile aggregate for both quantiles (r17): the two-call
+    // form sorted the per-group buffer twice; the array form computes
+    // both from one buffer, bit-identically. (The old unprojected
+    // percentile_approx column was pruned by Catalyst — dropping it
+    // from the source changes nothing.)
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
-      .agg(
-        round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)), 4)
-          .as("approx_median"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median"),
-        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
-      .select(col("o_orderpriority"), col("median"), col("p95"))
+      .agg(expr("percentile(o_totalprice, array(0.5D, 0.95D))").as("qs"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("qs"), 1), 4).as("median"),
+        round(element_at(col("qs"), 2), 4).as("p95"))
 
   /** CUBE grouping sets over two dimensions. */
   def cubeQuantities(spark: SparkSession, dir: String): DataFrame =
@@ -678,11 +681,18 @@ object BatchQueries {
   def robustScaledPrices(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice"))
+    // ONE percentile aggregate for all three quartiles (r17, guide
+    // §1.2 per-task work): three separate percentile() calls each
+    // collected and sorted the full per-group value buffer — 3×
+    // memory and 3 sorts for numbers the array form computes from a
+    // single buffer, bit-identically (same sort, same interpolation).
     val stats = li.groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.25)").as("q1"),
-        expr("percentile(l_extendedprice, 0.5)").as("median"),
-        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+        .as("qs"))
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("q1"),
+        element_at(col("qs"), 2).as("median"),
+        element_at(col("qs"), 3).as("q3"))
       .select(col("l_returnflag"),
         round(col("median"), 6).as("median"),
         round(col("q3") - col("q1"), 6).as("iqr"),

@@ -848,7 +848,8 @@ object Bpe {
           .otherwise(0L)).as("docs_kept"),
         sum(when(Sampling.hashUnit16(col("doc_id")) < col("rate_u16"),
           col("n_tokens_bpe")).otherwise(0L)).as("toks_kept"))
-      .orderBy(col("source"))
+    // no trailing sort (r17): presentation-only, and its sampling
+    // pass re-ran the BPE token-count join a second time per run
   }
 
   // ------------------------------------------------------------------

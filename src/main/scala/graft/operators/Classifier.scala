@@ -180,7 +180,8 @@ object Classifier {
     nbPredict(docs, nbWeights(docs, "source"))
       .select(col("doc_id"), col("pred").as("pred_source"),
         col("score"), col("margin"))
-      .orderBy(col("doc_id"))
+    // no trailing sort (r17): presentation-only, and its sampling
+    // pass re-ran the train+score chain a second time per run
   }
 
   /** Driver query `curate_classifier_hashed`: the same flow on 4096
@@ -197,6 +198,6 @@ object Classifier {
       hexBucket(_, hexChars))
       .select(col("doc_id"), col("pred").as("pred_source"),
         col("score"), col("margin"))
-      .orderBy(col("doc_id"))
+    // no trailing sort (r17): see classifierSelect
   }
 }

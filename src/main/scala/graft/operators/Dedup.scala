@@ -232,13 +232,20 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("u").as("v"), col("canonical_id").as("vl")), "v")
         .groupBy(col("u")).agg(min(col("vl")).as("nl"))
+      // the convergence flag RIDES the materialized round (r17, guide
+      // §2.4): labels only ever decrease, so "changed" ⟺ the new
+      // label is strictly below the old one — computable inside the
+      // same projection. The old form re-joined next against labels
+      // per round (one extra shuffle + job); now the count is a
+      // filter over the round's own checkpoint blocks.
       val next = truncate(labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"),
           least(col("canonical_id"), coalesce(col("nl"), col("canonical_id")))
-            .as("canonical_id")))
-      changed = next.join(labels.withColumnRenamed("canonical_id", "old"), "u")
-        .filter(col("canonical_id") =!= col("old")).count()
-      labels = next
+            .as("canonical_id"),
+          (coalesce(col("nl"), col("canonical_id")) < col("canonical_id"))
+            .as("__chg")))
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
       iter += 1
     }
     labels.select(col("u").as("doc_id"), col("canonical_id"))

@@ -167,7 +167,8 @@ object Governance {
     val priority = docs.select(col("source")).distinct()
       .withColumn("rank",
         row_number().over(Window.orderBy(col("source"))).cast("long"))
-    keepByPriority(docs, priority).orderBy(col("keep_id"))
+    // no trailing sort (r17): presentation-only (row-sorted compare)
+    keepByPriority(docs, priority)
   }
 
   /** Incremental (delta-vs-corpus) dedup: classify each new document

@@ -108,7 +108,8 @@ object Graph {
     transactionEdges(spark, dir)
       .groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
-      .orderBy(col("degree"))
+    // no trailing sort (r17): its sampling pass re-ran both aggs
+    // (and the edge join beneath) a second time per run
 
   /** Supplier co-service graph: an undirected edge (u < v) wherever
     * two suppliers BOTH serve at least `minShared` of the sampled
@@ -464,5 +465,5 @@ object Graph {
     labelPropagation(supplierKnnEdges(spark, dir), rounds = 3)
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"))
-      .orderBy(col("community"))
+    // no trailing sort (r17): presentation-only (row-sorted compare)
 }

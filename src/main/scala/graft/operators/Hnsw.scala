@@ -150,14 +150,24 @@ object Hnsw {
     val dims = Similarity.dimsOf(e, dims0)
     val base = Par.ensure(e).select(col("vec_id"), col("embedding"))
       .withColumn("__lvl", levelCol(col("vec_id")))
-    // one count job sizes every layer's plane count (layer ℓ holds
-    // ~n/M^ℓ nodes by the geometric assignment — no per-layer count)
-    val n = base.count()
-    def planesOf(layer: Int): Int =
-      planesFor(math.max(1L, (n / math.pow(M, layer)).toLong))
-    // membership: a node appears at layers 0..lvl
+    // membership: a node appears at layers 0..lvl. MATERIALIZED once
+    // (r17, guide §2.4): the membership frame feeds ~8 subtrees — the
+    // four per-layer bucket slices, the ring window, the ring endpoint
+    // collect, and both ring-edge embedding joins — and each execution
+    // otherwise re-ran the scan + level hash + explode (and the
+    // Par.ensure repartition). Its blocks are strictly smaller than
+    // the adjacency this function materializes anyway (≤ 2M+4 edges ×
+    // riding embeddings vs ~1.13 rows per node), so the storage class
+    // is already paid for. Same rows, bit-identical adjacency
+    // (HnswSpec determinism pin).
     val mem = base.withColumn("layer",
       explode(sequence(lit(0), col("__lvl")))).drop("__lvl")
+      .localCheckpoint(true)
+    // layer 0 holds every node, so the plane-sizing count reads the
+    // materialized membership instead of a second corpus scan
+    val n = mem.filter(col("layer") === 0).count()
+    def planesOf(layer: Int): Int =
+      planesFor(math.max(1L, (n / math.pow(M, layer)).toLong))
     // LSH candidates, all layers and tables in one UNION plan (one
     // job): each layer's slice gets its own posexploded bucket array
     // — per-slice expressions stay small enough for whole-stage

@@ -145,8 +145,13 @@ class BpeSpec extends GraftSpecBase {
     assert(bpeToks.join(wsToks.withColumnRenamed("n_tokens_bpe", "ws"),
       Seq("doc_id")).filter(col("n_tokens_bpe") =!= col("ws"))
       .count() == 0)
-    val viaBpe = Bpe.budgetFromCounts(docs, bpeToks).collect()
-    val viaWs = Bpe.budgetFromCounts(docs, wsToks).collect()
+    // row-sorted compare: the lane dropped its presentation orderBy
+    // in r17 (the driver's oracle compare is row-sorted anyway), so
+    // the twin-parity assertion sorts both sides itself
+    val viaBpe = Bpe.budgetFromCounts(docs, bpeToks)
+      .orderBy(col("source")).collect()
+    val viaWs = Bpe.budgetFromCounts(docs, wsToks)
+      .orderBy(col("source")).collect()
     assert(viaBpe.toSeq == viaWs.toSeq,
       s"bpe=${viaBpe.toSeq}\nws =${viaWs.toSeq}")
     assert(viaBpe.nonEmpty)
