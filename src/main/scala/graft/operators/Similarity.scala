@@ -2005,16 +2005,21 @@ object Similarity {
     // the query's own assignment (computed by the SAME assignToNearest
     // the corpus used) so the self-neighborhood is always probed; the
     // duplicate probe rows this creates collapse in scored.distinct().
-    val probes =
-      if (centroids.length < HierAssignThreshold) ranked
-      else ranked.unionByName(assignToNearest(queries, centroids)
+    val (probes, mayDup) =
+      if (centroids.length < HierAssignThreshold) (ranked, false)
+      else (ranked.unionByName(assignToNearest(queries, centroids)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("list")))
-    val scored = broadcast(probes).join(corpus,
+          col("list"))), true)
+    val scoredBase = broadcast(probes).join(corpus,
         Seq("list")).filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(Vectors.cosine(col("qe"), col("ce")), 6).as("cos_sim"))
-      .distinct()
+    // the dedup shuffle exists ONLY for the two-level branch, whose
+    // own-assignment union can probe a list twice; in the flat regime
+    // probe lists are unique per query and each corpus vector lives
+    // in exactly one list, so distinct() was an identity that still
+    // shuffled every scored candidate row (r17, guide §2.4)
+    val scored = if (mayDup) scoredBase.distinct() else scoredBase
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -2635,6 +2640,22 @@ object Similarity {
     * scan scoring m `element_at`-free native dots (the codes cast
     * rides codegen), shortlist via WindowGroupLimit, refine touches
     * nQueries×rerank rows.
+    *
+    * CONTRACT — flat scan is this family's LAW (r17 adjudication of
+    * the r16 VERDICT item 8): IndexScalarQuantizer QT_8bit *flat* is
+    * by definition exhaustive — the family exists to show the
+    * no-training, no-cells floor, and it is the ONE family here whose
+    * search lane is FULL-oracle (the DuckDB twin replays the exact
+    * quantize + scan). Any pruning (cells, block-max bounds over
+    * per-block code extrema) changes either the scanned set's
+    * tie-break surface or the lane's engine-exactness and would have
+    * to re-derive the oracle — and the CELLED version of this trade
+    * already exists as the IVF/IVF-PQ families (partition-pruned
+    * probes), with [[writeSq8Index]]/[[sq8IndexProbe]] as the
+    * compressed-scan persisted form (codes-only scan, 4× fewer
+    * bytes). The lane therefore pays ~O(n/4) bytes per query by design;
+    * SCALE.md carries it as the documented linear law (9.6-9.9×/decade
+    * measured r16, re-measured r17), not a defect.
     *
     * FULL oracle (unique among the six families): scale, codes,
     * quantized cosine, and the exact refine are all engine-exact —
